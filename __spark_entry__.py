@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship KG materialization at sf0.001 (smoke).
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — exact DuckDB equivalents for the correctness gate.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the TPC-H KG materialization (native compiler: scans →
+    term projections → equi-joins → union → dedup) at sf0.001."""
+    from morph_xr2rml_spark.examples import kg_tpch_triples
+    return kg_tpch_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from morph_xr2rml_spark import examples
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # xR2RML materialization — native (tabular/R2RML) compiler
+        "kg_tpch_triples": examples.kg_tpch_triples,
+        # xR2RML materialization — document compiler (iterator + pushDown +
+        # reference/template term maps over JSON, refobjectmap joins inside
+        # kg_tpch via native path)
+        "kg_lineitem_json_triples": examples.kg_lineitem_json_triples,
+    }
+    try:
+        from morph_xr2rml_spark.ops import registry as ops_registry
+        q.update(ops_registry.queries())
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from morph_xr2rml_spark import examples
+
+    o = {
+        "kg_tpch_triples": examples.kg_tpch_oracle_sql(),
+        "kg_lineitem_json_triples": examples.kg_lineitem_json_oracle_sql(),
+    }
+    try:
+        from morph_xr2rml_spark.ops import registry as ops_registry
+        o.update(ops_registry.oracle_sql())
+    except ImportError:
+        pass
+    return o

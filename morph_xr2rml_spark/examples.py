@@ -1,0 +1,197 @@
+"""Demo mappings over the TPC-H-ish test tables, used by the driver
+entry point (__spark_entry__.py), the benchmark, and tests.
+
+Two pipelines:
+  - ``kg_tpch``: R2RML-style mapping over typed tables → NATIVE compiler
+    (pure Catalyst: codegen, pushdown, equi-joins);
+  - ``kg_lineitem_json``: JSON documents with rml:iterator + xrr:pushDown
+    → DOCUMENT compiler (Arrow-batched mapInPandas).
+
+Each has an exact DuckDB oracle (same strings, same rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import materialize
+from .model import MappingDocument
+from .native import NativeCompiler
+from .sources import SourceCatalog
+
+EX = "http://example.org/"
+
+TPCH_KG_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#Region>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "region" ];
+    rr:subjectMap [ rr:template "http://example.org/region/{r_regionkey}"; rr:class ex:Region ];
+    rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "r_name" ] ].
+
+<#Nation>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "nation" ];
+    rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}"; rr:class ex:Nation ];
+    rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "n_name" ] ];
+    rr:predicateObjectMap [
+        rr:predicate ex:inRegion;
+        rr:objectMap [ rr:parentTriplesMap <#Region>;
+                       rr:joinCondition [ rr:child "n_regionkey"; rr:parent "r_regionkey" ] ];
+    ].
+
+<#Customer>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer" ];
+    rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}"; rr:class ex:Customer ];
+    rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "c_name" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:segment; rr:objectMap [ rr:column "c_mktsegment" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:acctbal; rr:objectMap [ rr:column "c_acctbal" ] ];
+    rr:predicateObjectMap [
+        rr:predicate ex:inNation;
+        rr:objectMap [ rr:parentTriplesMap <#Nation>;
+                       rr:joinCondition [ rr:child "c_nationkey"; rr:parent "n_nationkey" ] ];
+    ].
+
+<#Orders>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "orders" ];
+    rr:subjectMap [ rr:template "http://example.org/order/{o_orderkey}"; rr:class ex:Order ];
+    rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ rr:column "o_orderstatus" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:orderDate; rr:objectMap [ rr:column "o_orderdate" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:totalPrice; rr:objectMap [ rr:column "o_totalprice" ] ];
+    rr:predicateObjectMap [
+        rr:predicate ex:placedBy;
+        rr:objectMap [ rr:parentTriplesMap <#Customer>;
+                       rr:joinCondition [ rr:child "o_custkey"; rr:parent "c_custkey" ] ];
+    ].
+"""
+
+
+def tpch_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the TPC-H-ish tables; doubles are cast to DECIMAL(12,2) so the
+    literal lexical forms are engine/oracle stable."""
+    tables = {}
+    for name in ("region", "nation", "customer", "orders", "lineitem"):
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for cname, dtype in df.dtypes:
+            if dtype == "double":
+                df = df.withColumn(cname, F.col(cname).cast("decimal(12,2)"))
+        tables[name] = df
+    return tables
+
+
+def kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
+                              broadcast_parents=False)
+    return compiler.triples()
+
+
+_RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _iri(expr: str) -> str:
+    return f"'<' || {expr} || '>'"
+
+
+def _plain_lit(expr: str) -> str:
+    # '"' || expr || '"'
+    return "'\"' || " + expr + " || '\"'"
+
+
+def _typed_lit(expr: str, dt: str) -> str:
+    return "'\"' || " + expr + f" || '\"^^<{_XSD}{dt}>'"
+
+
+def kg_tpch_oracle_sql() -> str:
+    """The exact triple set as DuckDB SQL (UNION ALL of per-term-map
+    selects — what the reference's RDB unfolder would emit, SQL-ified)."""
+    ex = "http://example.com/"
+    region = _iri(f"'{EX}region/' || r_regionkey")
+    nation = _iri(f"'{EX}nation/' || n_nationkey")
+    customer = _iri(f"'{EX}customer/' || c_custkey")
+    order = _iri(f"'{EX}order/' || o_orderkey")
+    odate = _typed_lit("strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')", "dateTime")
+    parts = [
+        f"SELECT {region} AS subj, '{_RDF_TYPE}' AS pred, '<{ex}Region>' AS obj FROM region",
+        f"SELECT {region}, '<{ex}name>', {_plain_lit('r_name')} FROM region",
+        f"SELECT {nation}, '{_RDF_TYPE}', '<{ex}Nation>' FROM nation",
+        f"SELECT {nation}, '<{ex}name>', {_plain_lit('n_name')} FROM nation",
+        f"SELECT {nation}, '<{ex}inRegion>', {region} FROM nation JOIN region ON n_regionkey = r_regionkey",
+        f"SELECT {customer}, '{_RDF_TYPE}', '<{ex}Customer>' FROM customer",
+        f"SELECT {customer}, '<{ex}name>', {_plain_lit('c_name')} FROM customer",
+        f"SELECT {customer}, '<{ex}segment>', {_plain_lit('c_mktsegment')} FROM customer",
+        f"SELECT {customer}, '<{ex}acctbal>', {_typed_lit('CAST(c_acctbal AS DECIMAL(12,2))', 'decimal')} FROM customer",
+        f"SELECT {customer}, '<{ex}inNation>', {nation} FROM customer JOIN nation ON c_nationkey = n_nationkey",
+        f"SELECT {order}, '{_RDF_TYPE}', '<{ex}Order>' FROM orders",
+        f"SELECT {order}, '<{ex}status>', {_plain_lit('o_orderstatus')} FROM orders",
+        f"SELECT {order}, '<{ex}orderDate>', {odate} FROM orders",
+        f"SELECT {order}, '<{ex}totalPrice>', {_typed_lit('CAST(o_totalprice AS DECIMAL(12,2))', 'decimal')} FROM orders",
+        f"SELECT {order}, '<{ex}placedBy>', {customer} FROM orders JOIN customer ON o_custkey = c_custkey",
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return (f"SELECT DISTINCT subj, pred, obj, CAST(NULL AS VARCHAR) AS graph "
+            f"FROM (\n{body}\n) t(subj, pred, obj)")
+
+
+# ---------------------------------------------------------------------------
+# Document pipeline: lineitems nested in order JSON docs, iterator + pushDown
+# ---------------------------------------------------------------------------
+
+LINEITEM_JSON_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#Lines>
+    a rr:TriplesMap;
+    xrr:logicalSource [
+        xrr:query "db.orderdocs.find({})";
+        rml:iterator "$.lines.*";
+        xrr:pushDown [ xrr:reference "$.ok"; xrr:as "ok" ];
+    ];
+    rr:subjectMap [ rr:template "http://example.org/line/{$.ok}-{$.ln}"; rr:class ex:Line ];
+    rr:predicateObjectMap [ rr:predicate ex:qty; rr:objectMap [ xrr:reference "$.qty" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:part;
+                            rr:objectMap [ rr:template "http://example.org/part/{$.pk}" ] ].
+"""
+
+
+def orderdocs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build one JSON document per order with its nested lineitems —
+    the document-model input (built natively with collect_list + to_json)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = (li.groupBy("l_orderkey")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  F.col("l_linenumber").alias("ln"),
+                  F.col("l_partkey").alias("pk"),
+                  F.col("l_quantity").cast("long").alias("qty")))).alias("lines"))
+              .select(F.to_json(F.struct(
+                  F.col("l_orderkey").alias("ok"),
+                  F.col("lines"))).alias("content")))
+    return docs
+
+
+def kg_lineitem_json_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    catalog = SourceCatalog().register_collection("orderdocs",
+                                                  orderdocs_df(spark, sf_dir))
+    return materialize(spark, mapping, catalog)
+
+
+def kg_lineitem_json_oracle_sql() -> str:
+    subj = "'<http://example.org/line/' || l_orderkey || '-' || l_linenumber || '>'"
+    parts = [
+        f"SELECT {subj} AS subj, '{_RDF_TYPE}' AS pred, '<http://example.com/Line>' AS obj FROM lineitem",
+        f"""SELECT {subj}, '<http://example.com/qty>', '"' || CAST(l_quantity AS BIGINT) || '"^^<{_XSD}integer>' FROM lineitem""",
+        f"SELECT {subj}, '<http://example.com/part>', '<http://example.org/part/' || l_partkey || '>' FROM lineitem",
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return (f"SELECT DISTINCT subj, pred, obj, CAST(NULL AS VARCHAR) AS graph "
+            f"FROM (\n{body}\n) t(subj, pred, obj)")

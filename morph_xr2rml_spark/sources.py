@@ -81,6 +81,7 @@ class SourceCatalog:
     def __init__(self):
         self._collections: dict[str, DataFrame] = {}
         self._tables: dict[str, DataFrame] = {}
+        self._spark = None
 
     # -- registration ----------------------------------------------------
     def register_collection(self, name: str, df: DataFrame,
@@ -92,9 +93,13 @@ class SourceCatalog:
         return self
 
     def register_table(self, name: str, df: DataFrame) -> "SourceCatalog":
-        """Register a tabular source (for rr:tableName logical sources):
-        typed columns, translated to a row-dict document per row."""
+        """Register a tabular source (for rr:tableName / rr:sqlQuery
+        logical sources): typed columns, translated to a row-dict document
+        per row.  Also exposed as a temp view so rr:sqlQuery text can run
+        against it."""
         self._tables[name] = df
+        self._spark = df.sparkSession
+        df.createOrReplaceTempView(name)
         return self
 
     def register_repo_table(self, df: DataFrame,
@@ -129,7 +134,13 @@ class SourceCatalog:
             return df, False
         # tabular source: rr:tableName or rr:sqlQuery
         name = ls.value
-        if name in self._tables:
+        if ls.kind == "sql":
+            if self._spark is None:
+                raise KeyError("rr:sqlQuery source needs register_table first")
+            # arbitrary SQL over the registered temp views — the DB executed
+            # this in the reference (MorphRDBUnfolder); Catalyst does here
+            tdf = self._spark.sql(name)
+        elif name in self._tables:
             tdf = self._tables[name]
         elif name in self._collections:
             return self._collections[name], False

@@ -360,8 +360,12 @@ class CompiledTriplesMap:
         self.subject = CompiledTermMap(tm.subject_map, cfg)
         self.class_uris = [format_iri(c) for c in tm.class_uris]
         self.subject_graphs = [CompiledTermMap(g, cfg) for g in tm.graph_maps]
+        # rml:iterator is ignored for Column-formulation (tabular) sources
+        # (example_mysql/mapping.ttl:13 "must be ignored")
         self.iterator = JSONPath(tm.logical_source.iterator) \
-            if tm.logical_source.iterator else None
+            if (tm.logical_source.iterator
+                and tm.logical_source.ref_formulation != NS.REFFORM_COLUMN) \
+            else None
         self.ls_pushdowns = tm.logical_source.pushdowns
         self.poms = []
         rom_id = rom_base
@@ -375,8 +379,16 @@ class CompiledTriplesMap:
                          for jc in rom.join_conditions]
                 roms.append((rom_id, rom, [c[0] for c in conds]))
                 rom_id += 1
-            self.poms.append((preds, objs, roms, graphs))
+            # constant term maps don't depend on the document: evaluate once
+            const_preds = ([p for pm in preds for p in pm.translate(None)]
+                           if all(pm.kind == CONSTANT for pm in preds) else None)
+            const_objs = ([o for om in objs for o in om.translate(None)]
+                          if objs and all(om.kind == CONSTANT for om in objs)
+                          else None)
+            self.poms.append((preds, objs, roms, graphs,
+                              const_preds, const_objs))
         self.rom_count = rom_id - rom_base
+        self.subject_is_constant = self.subject.kind == CONSTANT
 
     # ------------------------------------------------------------------
     def iterate(self, doc: Any) -> list[Any]:
@@ -401,11 +413,13 @@ class CompiledTriplesMap:
                 else:
                     res.triples.append((s, RDF_TYPE_IRI, cls, None))
 
-        for preds, objs, roms, pom_graph_maps in self.poms:
-            predicates = [p for pm in preds for p in pm.translate(doc)]
+        for preds, objs, roms, pom_graph_maps, const_preds, const_objs in self.poms:
+            predicates = const_preds if const_preds is not None \
+                else [p for pm in preds for p in pm.translate(doc)]
             if not predicates:
                 continue
-            objects = [o for om in objs for o in om.translate(doc)]
+            objects = const_objs if const_objs is not None \
+                else [o for om in objs for o in om.translate(doc)]
             pom_graphs = [g for gm in pom_graph_maps for g in gm.translate(doc)]
             graphs = subject_graphs + pom_graphs or [None]
 
@@ -451,6 +465,11 @@ def msp_join_keys(msp: MixedSyntaxPath, doc: Any) -> list[str]:
     elif msp.is_pure_column() and isinstance(doc, dict):
         v = doc.get(msp.referenced_column)
         vals = [] if v is None else [v]
+    elif msp.referenced_column is not None and isinstance(doc, dict):
+        # mixed path with a Column(...) head: resolve the cell first, then
+        # run the remaining path steps on the cell value
+        v = doc.get(msp.referenced_column)
+        vals = [] if v is None else msp.evaluate(v)
     else:
         vals = msp.evaluate(doc if isinstance(doc, str) else _obj_to_text(doc))
     out = []

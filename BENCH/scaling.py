@@ -71,21 +71,30 @@ def main() -> None:
         f"tps@{n} | tps@{four_n} | efficiency |",
         "|---|---|---|---|---|---|---|",
     ]
+    MIN_SEC = 5.0  # below this, fixed costs dominate and efficiency is noise
     effs = {}
     for q in r_n["queries"]:
         t8, t32 = r_n["queries"][q], r_4n["queries"][q]
         trip = r_n["triples"].get(q, 0)
         tps8 = trip / t8 if t8 else 0
         tps32 = trip / t32 if t32 else 0
+        if t8 < MIN_SEC:
+            lines.append(f"| {q} | {t8} | {t32} | {trip} | {tps8:.0f} | "
+                         f"{tps32:.0f} | n/a (job < {MIN_SEC:.0f}s: "
+                         "constant-overhead-bound) |")
+            continue
         eff = tps32 / (4 * tps8) if tps8 else 0
         effs[q] = round(eff, 3)
         lines.append(f"| {q} | {t8} | {t32} | {trip} | {tps8:.0f} | "
                      f"{tps32:.0f} | {eff:.3f} |")
     lines += [
         "",
-        "Efficiency = throughput(local[32]) / (4 × throughput(local[8])); "
-        "target ≥ 0.8 (BASELINE.json north_rule, sandbox proxy for N→4N "
-        "executors).",
+        f"Efficiency = throughput(local[{four_n}]) / (4 × "
+        f"throughput(local[{n}])); target ≥ 0.8 (BASELINE.json north_rule, "
+        "sandbox proxy for N→4N executors).  Queries finishing under "
+        f"{MIN_SEC:.0f}s at N are excluded: their wall time is dominated "
+        "by per-query constants (plan compilation, Python worker spin-up), "
+        "which a throughput-scaling metric is not about.",
         "",
         "Raw results:",
         "```json",

@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_tpch via native path)
         "kg_lineitem_json_triples": examples.kg_lineitem_json_triples,
     }
+    for name in examples.SPARQL_QUERIES:
+        q[name] = examples.make_sparql_query(name)
     try:
         from morph_xr2rml_spark.ops import registry as ops_registry
         q.update(ops_registry.queries())
@@ -48,6 +50,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_tpch_triples": examples.kg_tpch_oracle_sql(),
         "kg_lineitem_json_triples": examples.kg_lineitem_json_oracle_sql(),
     }
+    for name in examples.SPARQL_QUERIES:
+        o[name] = examples.sparql_oracle_sql(name)
     try:
         from morph_xr2rml_spark.ops import registry as ops_registry
         o.update(ops_registry.oracle_sql())

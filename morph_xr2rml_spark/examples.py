@@ -141,6 +141,97 @@ def kg_tpch_oracle_sql() -> str:
             f"FROM (\n{body}\n) t(subj, pred, obj)")
 
 
+def kg_tpch_triples_cte() -> str:
+    """The oracle triple set as a CTE body (for SPARQL-query oracles)."""
+    inner = kg_tpch_oracle_sql()
+    return f"WITH triples AS (\n{inner}\n)"
+
+
+# ---------------------------------------------------------------------------
+# SPARQL over the materialized triple table
+# ---------------------------------------------------------------------------
+
+SPARQL_PREFIX = "PREFIX ex: <http://example.com/>\n"
+
+SPARQL_QUERIES = {
+    # BGP with a 3-hop join chain
+    "sparql_customer_nation": (
+        SPARQL_PREFIX + """
+        SELECT ?cust ?nname WHERE {
+            ?cust a ex:Customer .
+            ?cust ex:inNation ?n .
+            ?n ex:name ?nname .
+        }""",
+        """
+        SELECT t1.subj AS cust, t3.obj AS nname
+        FROM triples t1
+        JOIN triples t2 ON t2.subj = t1.subj
+             AND t2.pred = '<http://example.com/inNation>'
+        JOIN triples t3 ON t3.subj = t2.obj
+             AND t3.pred = '<http://example.com/name>'
+        WHERE t1.pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+          AND t1.obj = '<http://example.com/Customer>'
+        ORDER BY cust, nname"""),
+    # GROUP BY + COUNT aggregate
+    "sparql_orders_by_segment": (
+        SPARQL_PREFIX + """
+        SELECT ?seg (COUNT(?o) AS ?n) WHERE {
+            ?o a ex:Order .
+            ?o ex:placedBy ?c .
+            ?c ex:segment ?seg .
+        } GROUP BY ?seg ORDER BY ?seg""",
+        """
+        SELECT t3.obj AS seg, count(t1.subj) AS n
+        FROM triples t1
+        JOIN triples t2 ON t2.subj = t1.subj
+             AND t2.pred = '<http://example.com/placedBy>'
+        JOIN triples t3 ON t3.subj = t2.obj
+             AND t3.pred = '<http://example.com/segment>'
+        WHERE t1.pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+          AND t1.obj = '<http://example.com/Order>'
+        GROUP BY t3.obj ORDER BY seg"""),
+    # FILTER with numeric comparison on typed literals
+    "sparql_expensive_orders": (
+        SPARQL_PREFIX + """
+        SELECT ?o ?p WHERE {
+            ?o ex:totalPrice ?p .
+            FILTER(?p > 69999.5)
+        } ORDER BY ?o""",
+        """
+        SELECT subj AS o, obj AS p
+        FROM triples
+        WHERE pred = '<http://example.com/totalPrice>'
+          AND CAST(regexp_extract(obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1) AS DOUBLE) > 69999.5
+        ORDER BY o"""),
+    # UNION + DISTINCT
+    "sparql_all_names": (
+        SPARQL_PREFIX + """
+        SELECT DISTINCT ?x WHERE {
+            { ?s ex:name ?x } UNION { ?s ex:segment ?x }
+        } ORDER BY ?x""",
+        """
+        SELECT DISTINCT obj AS x FROM triples
+        WHERE pred IN ('<http://example.com/name>', '<http://example.com/segment>')
+        ORDER BY x"""),
+}
+
+
+def make_sparql_query(name: str):
+    sparql_text, _oracle = SPARQL_QUERIES[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sparql import SparqlEngine
+        triples = kg_tpch_triples(spark, sf_dir)
+        return SparqlEngine(triples).sql(sparql_text)
+
+    return run
+
+
+def sparql_oracle_sql(name: str) -> str:
+    _sparql_text, oracle = SPARQL_QUERIES[name]
+    return kg_tpch_triples_cte() + "\n" + oracle
+
+
 # ---------------------------------------------------------------------------
 # Document pipeline: lineitems nested in order JSON docs, iterator + pushDown
 # ---------------------------------------------------------------------------

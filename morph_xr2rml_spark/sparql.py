@@ -1,0 +1,454 @@
+"""SPARQL evaluation over the materialized triple DataFrame.
+
+The reference answers SPARQL by rewriting it into MongoDB/SQL queries
+(SURVEY §3.2/3.3 — ~2000 LoC of per-database translators).  The
+Spark-first equivalent: materialize once into a triple table, then
+evaluate SPARQL algebra directly as DataFrame self-joins — BGP joins on
+shared variables, OPTIONAL as left join, UNION as unionByName, FILTER as
+Column predicates, GROUP BY/aggregates and ORDER/LIMIT native.  Catalyst
+gets the whole plan (join reordering, broadcast, pushdown on the triple
+scan), replacing the reference's condition-translation machinery
+(MorphBaseQueryTranslator.scala:227-355, JsonPathToMongoTranslator
+rules R0-R9) with… nothing: predicates on the triple table push down.
+
+Supported subset: SELECT [DISTINCT] with projection / aggregates,
+BGP, FILTER (comparisons, &&, ||, !, regex, bound, isIRI, isLiteral),
+OPTIONAL, UNION, GROUP BY, ORDER BY, LIMIT/OFFSET.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Query model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TriplePattern:
+    s: tuple  # ("var", name) | ("iri", value) | ("lit", lexical-form)
+    p: tuple
+    o: tuple
+
+
+@dataclass
+class Group:
+    patterns: list = field(default_factory=list)   # TriplePattern
+    filters: list = field(default_factory=list)    # filter ASTs
+    optionals: list = field(default_factory=list)  # Group
+    unions: list = field(default_factory=list)     # [Group, Group]
+
+
+@dataclass
+class SelectQuery:
+    variables: list            # ["x", ...] or ["*"]
+    aggregates: list           # [(func, var_or_None, distinct, alias)]
+    where: Group = None
+    distinct: bool = False
+    group_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)   # [(var, asc)]
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(r"""
+      (?P<STR>"(?:[^"\\]|\\.)*")
+    | (?P<IRI><[^>\s]*>)
+    | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<NUM>[+-]?\d+(?:\.\d+)?)
+    | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+    | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*])
+    | (?P<WS>\s+)
+    | (?P<COMMENT>\#[^\n]*)
+""", re.VERBOSE)
+
+
+class _P:
+    def __init__(self, text: str):
+        self.toks = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN.match(text, pos)
+            if not m:
+                raise ValueError(f"SPARQL tokenize error at {text[pos:pos+30]!r}")
+            pos = m.end()
+            if m.lastgroup in ("WS", "COMMENT"):
+                continue
+            self.toks.append((m.lastgroup, m.group(0)))
+        self.toks.append(("EOF", ""))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        t = self.next()
+        if t[1].upper() != val.upper():
+            raise ValueError(f"SPARQL parse: expected {val!r}, got {t[1]!r}")
+        return t
+
+    def kw(self, val) -> bool:
+        if self.peek()[1].upper() == val.upper():
+            self.next()
+            return True
+        return False
+
+    # --- grammar -------------------------------------------------------
+    def parse(self) -> SelectQuery:
+        while self.kw("PREFIX"):
+            pname = self.next()[1]
+            iri = self.next()[1]
+            self.prefixes[pname.rstrip(":")] = iri[1:-1]
+        self.expect("SELECT")
+        q = SelectQuery(variables=[], aggregates=[])
+        q.distinct = self.kw("DISTINCT")
+        while True:
+            t = self.peek()
+            if t[1] == "*":
+                self.next()
+                q.variables.append("*")
+            elif t[0] == "VAR":
+                q.variables.append(self.next()[1][1:])
+            elif t[1] == "(":
+                self.next()
+                func = self.next()[1].upper()
+                self.expect("(")
+                distinct = self.kw("DISTINCT")
+                inner = self.next()
+                var = None if inner[1] == "*" else inner[1][1:]
+                self.expect(")")
+                self.expect("AS")
+                alias = self.next()[1][1:]
+                self.expect(")")
+                q.aggregates.append((func, var, distinct, alias))
+            else:
+                break
+        self.expect("WHERE")
+        q.where = self._group()
+        if self.kw("GROUP"):
+            self.expect("BY")
+            while self.peek()[0] == "VAR":
+                q.group_by.append(self.next()[1][1:])
+        if self.kw("ORDER"):
+            self.expect("BY")
+            while True:
+                t = self.peek()
+                if t[1].upper() in ("ASC", "DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.expect("(")
+                    var = self.next()[1][1:]
+                    self.expect(")")
+                    q.order_by.append((var, asc))
+                elif t[0] == "VAR":
+                    q.order_by.append((self.next()[1][1:], True))
+                else:
+                    break
+        if self.kw("LIMIT"):
+            q.limit = int(self.next()[1])
+        if self.kw("OFFSET"):
+            q.offset = int(self.next()[1])
+        return q
+
+    def _group(self) -> Group:
+        self.expect("{")
+        g = Group()
+        while True:
+            t = self.peek()
+            if t[1] == "}":
+                self.next()
+                break
+            if t[1].upper() == "FILTER":
+                self.next()
+                g.filters.append(self._filter_expr())
+            elif t[1].upper() == "OPTIONAL":
+                self.next()
+                g.optionals.append(self._group())
+            elif t[1] == "{":
+                left = self._group()
+                self.expect("UNION")
+                right = self._group()
+                g.unions.append((left, right))
+            else:
+                g.patterns.extend(self._triples_same_subject())
+                if self.peek()[1] == ".":
+                    self.next()
+        return g
+
+    def _term(self) -> tuple:
+        t = self.next()
+        if t[0] == "VAR":
+            return ("var", t[1][1:])
+        if t[0] == "IRI":
+            return ("iri", t[1][1:-1])
+        if t[0] == "PNAME":
+            prefix, _, local = t[1].partition(":")
+            return ("iri", self.prefixes[prefix] + local)
+        if t[0] == "STR":
+            lex = t[1]
+            nxt = self.peek()
+            if nxt[0] == "KW" and nxt[1].startswith("@"):
+                pass
+            if nxt[1] == "^" or (nxt[0] == "OP" and nxt[1] == "^"):
+                raise ValueError("typed literals in patterns: use full form")
+            return ("lit", lex)
+        if t[0] == "NUM":
+            return ("num", t[1])
+        if t[0] == "KW" and t[1] == "a":
+            return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        raise ValueError(f"SPARQL parse: unexpected term {t!r}")
+
+    def _triples_same_subject(self) -> list[TriplePattern]:
+        s = self._term()
+        out = []
+        while True:
+            p = self._term()
+            o = self._term()
+            out.append(TriplePattern(s, p, o))
+            if self.peek()[1] == ";":
+                self.next()
+                continue
+            break
+        return out
+
+    # filter expression: precedence || < && < comparison < unary
+    def _filter_expr(self):
+        self.expect("(")
+        e = self._or_expr()
+        self.expect(")")
+        return e
+
+    def _or_expr(self):
+        left = self._and_expr()
+        while self.peek()[1] == "||":
+            self.next()
+            left = ("or", left, self._and_expr())
+        return left
+
+    def _and_expr(self):
+        left = self._unary_expr()
+        while self.peek()[1] == "&&":
+            self.next()
+            left = ("and", left, self._unary_expr())
+        return left
+
+    def _unary_expr(self):
+        t = self.peek()
+        if t[1] == "!":
+            self.next()
+            return ("not", self._unary_expr())
+        if t[1] == "(":
+            self.next()
+            e = self._or_expr()
+            self.expect(")")
+            return e
+        if t[0] == "KW" and t[1].upper() in ("REGEX", "BOUND", "ISIRI",
+                                             "ISLITERAL"):
+            func = self.next()[1].upper()
+            self.expect("(")
+            args = [self._operand()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self._operand())
+            self.expect(")")
+            return (func.lower(), *args)
+        left = self._operand()
+        op = self.next()[1]
+        if op not in ("=", "!=", "<", ">", "<=", ">="):
+            raise ValueError(f"SPARQL filter: bad operator {op!r}")
+        right = self._operand()
+        return ("cmp", op, left, right)
+
+    def _operand(self):
+        t = self.next()
+        if t[0] == "VAR":
+            return ("var", t[1][1:])
+        if t[0] == "NUM":
+            return ("num", float(t[1]))
+        if t[0] == "STR":
+            return ("str", t[1][1:-1])
+        if t[0] == "IRI":
+            return ("iri", t[1][1:-1])
+        if t[0] == "PNAME":
+            prefix, _, local = t[1].partition(":")
+            return ("iri", self.prefixes[prefix] + local)
+        raise ValueError(f"SPARQL filter: unexpected operand {t!r}")
+
+
+def parse_sparql(text: str) -> SelectQuery:
+    return _P(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+_LEX_RE = r'^"((?:[^"\\]|\\.)*)"'
+
+
+def lexical_value(col: Column) -> Column:
+    """The plain value of a term: literal lexical form or IRI string."""
+    return (F.when(col.startswith("<"),
+                   F.regexp_replace(col, r"^<|>$", ""))
+             .otherwise(F.regexp_extract(col, _LEX_RE, 1)))
+
+
+def numeric_value(col: Column) -> Column:
+    # try_cast: non-numeric lexical forms become NULL (ANSI mode is on in
+    # Spark 4 — a plain cast would throw)
+    return F.regexp_extract(col, _LEX_RE, 1).try_cast("double")
+
+
+class SparqlEngine:
+    """Evaluate parsed SELECT queries against a (subj, pred, obj[, graph])
+    triple DataFrame.  Variable bindings are the canonical lexical term
+    strings; projection returns them as columns named after the vars."""
+
+    def __init__(self, triples: DataFrame):
+        self.triples = triples.select("subj", "pred", "obj")
+
+    def sql(self, query_text: str) -> DataFrame:
+        return self.evaluate(parse_sparql(query_text))
+
+    # -- algebra -----------------------------------------------------------
+    def _pattern_df(self, tp: TriplePattern, idx: int) -> DataFrame:
+        df = self.triples
+        sel = []
+        bound: dict[str, str] = {}
+        for role, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
+            kind, val = term
+            if kind == "var":
+                if val in bound:
+                    df = df.where(F.col(role) == F.col(bound[val]))
+                else:
+                    bound[val] = role
+                    sel.append(F.col(role).alias(val))
+            elif kind == "iri":
+                df = df.where(F.col(role) == f"<{val}>")
+            elif kind == "lit":
+                # match any literal whose lexical form equals; plain match
+                df = df.where(F.col(role).startswith(val))
+            elif kind == "num":
+                df = df.where(numeric_value(F.col(role)) == float(val))
+        return df.select(*sel) if sel else df.select(F.lit(1).alias(f"_c{idx}"))
+
+    def _join_group(self, g: Group) -> DataFrame:
+        df: Optional[DataFrame] = None
+        for i, tp in enumerate(g.patterns):
+            pdf = self._pattern_df(tp, i)
+            if df is None:
+                df = pdf
+            else:
+                common = [c for c in pdf.columns if c in df.columns]
+                df = df.join(pdf, common) if common else df.crossJoin(pdf)
+        for left, right in g.unions:
+            udf_ = self._join_group(left)
+            rdf_ = self._join_group(right)
+            for missing in set(rdf_.columns) - set(udf_.columns):
+                udf_ = udf_.withColumn(missing, F.lit(None).cast("string"))
+            for missing in set(udf_.columns) - set(rdf_.columns):
+                rdf_ = rdf_.withColumn(missing, F.lit(None).cast("string"))
+            both = udf_.unionByName(rdf_)
+            if df is None:
+                df = both
+            else:
+                common = [c for c in both.columns if c in df.columns]
+                df = df.join(both, common) if common else df.crossJoin(both)
+        for opt in g.optionals:
+            odf = self._join_group(opt)
+            common = [c for c in odf.columns if c in df.columns]
+            df = df.join(odf, common, "left") if common else df.crossJoin(odf)
+        for flt in g.filters:
+            df = df.where(self._filter_col(flt, df))
+        return df
+
+    def _filter_col(self, ast, df: DataFrame) -> Column:
+        kind = ast[0]
+        if kind == "or":
+            return self._filter_col(ast[1], df) | self._filter_col(ast[2], df)
+        if kind == "and":
+            return self._filter_col(ast[1], df) & self._filter_col(ast[2], df)
+        if kind == "not":
+            return ~self._filter_col(ast[1], df)
+        if kind == "bound":
+            return F.col(ast[1][1]).isNotNull()
+        if kind == "isiri":
+            return F.col(ast[1][1]).startswith("<")
+        if kind == "isliteral":
+            return F.col(ast[1][1]).startswith('"')
+        if kind == "regex":
+            var = ast[1][1]
+            pat = ast[2][1]
+            flags = ast[3][1] if len(ast) > 3 else ""
+            if "i" in flags:
+                pat = "(?i)" + pat
+            return lexical_value(F.col(var)).rlike(pat)
+        if kind == "cmp":
+            _k, op, left, right = ast
+            ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                   "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+                   "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
+            # numeric compare if either side is a number literal
+            if (left[0] == "num") or (right[0] == "num"):
+                lcol = numeric_value(F.col(left[1])) if left[0] == "var" \
+                    else F.lit(left[1])
+                rcol = numeric_value(F.col(right[1])) if right[0] == "var" \
+                    else F.lit(right[1])
+                return ops[op](lcol, rcol)
+            lcol = lexical_value(F.col(left[1])) if left[0] == "var" \
+                else F.lit(left[1])
+            rcol = lexical_value(F.col(right[1])) if right[0] == "var" \
+                else F.lit(right[1])
+            return ops[op](lcol, rcol)
+        raise ValueError(f"unsupported filter {ast!r}")
+
+    # -- full query -----------------------------------------------------
+    def evaluate(self, q: SelectQuery) -> DataFrame:
+        df = self._join_group(q.where)
+        if q.aggregates:
+            aggs = []
+            for func, var, distinct, alias in q.aggregates:
+                if func == "COUNT" and var is None:
+                    aggs.append(F.count(F.lit(1)).alias(alias))
+                    continue
+                col = F.col(var)
+                if func == "COUNT":
+                    aggs.append((F.count_distinct(col) if distinct
+                                 else F.count(col)).alias(alias))
+                else:
+                    ncol = numeric_value(col)
+                    fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min,
+                          "MAX": F.max}[func]
+                    aggs.append(fn(ncol).alias(alias))
+            if q.group_by:
+                df = df.groupBy(*q.group_by).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
+            proj = q.group_by + [a[3] for a in q.aggregates]
+            df = df.select(*proj)
+        elif q.variables and q.variables != ["*"]:
+            df = df.select(*q.variables)
+        if q.distinct:
+            df = df.distinct()
+        if q.order_by:
+            df = df.orderBy(*[F.col(v).asc() if a else F.col(v).desc()
+                              for v, a in q.order_by])
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df

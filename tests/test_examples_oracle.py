@@ -37,3 +37,10 @@ def test_kg_lineitem_json_matches_oracle(spark):
                                              kg_lineitem_json_triples)
     _compare(spark, kg_lineitem_json_triples(spark, SF_DIR),
              kg_lineitem_json_oracle_sql())
+
+
+def test_sparql_queries_match_oracle(spark):
+    from morph_xr2rml_spark import examples
+    for name in examples.SPARQL_QUERIES:
+        df = examples.make_sparql_query(name)(spark, SF_DIR)
+        _compare(spark, df, examples.sparql_oracle_sql(name))

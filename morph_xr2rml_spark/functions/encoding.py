@@ -33,9 +33,18 @@ _ENCODE_RESERVED = [
 ]
 
 
+# fast paths: one scan decides whether any replacement can apply at all —
+# the overwhelmingly common case (keys, digits, plain names) skips the
+# whole replace chain
+_URL_UNSAFE = re.compile(r"[ !\"$'()*+,;<=>@^\[\\\]`{|}~]")
+_RESERVED_UNSAFE = re.compile(r"[%\s!\"#$&'()*+,/:;<=>?@^\[\\\]`{|}~]")
+
+
 def encode_url(value: str | None) -> str | None:
     if value is None:
         return None
+    if _URL_UNSAFE.search(value) is None:
+        return value
     for old, new in _ENCODE_URL:
         value = value.replace(old, new)
     return value
@@ -44,12 +53,15 @@ def encode_url(value: str | None) -> str | None:
 def encode_reserved_chars(value: str | None) -> str | None:
     if value is None:
         return None
+    if _RESERVED_UNSAFE.search(value) is None:
+        return value
     for old, new in _ENCODE_RESERVED:
         value = value.replace(old, new)
     return value
 
 
 _MULTI_UNDERSCORE = re.compile(r"_{2,}")
+_LITERAL_UNSAFE = re.compile(r"[\\\"\n\r]|__")
 
 
 def encode_literal(value: str | None) -> str | None:
@@ -58,6 +70,8 @@ def encode_literal(value: str | None) -> str | None:
     rules dead code — reproduced faithfully."""
     if value is None:
         return None
+    if _LITERAL_UNSAFE.search(value) is None:
+        return value
     value = value.replace("\\", "/")
     value = value.replace('"', "%22")
     # reference: replaceAll("\\\\n"," ") etc. can never match after the

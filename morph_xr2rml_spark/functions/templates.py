@@ -66,6 +66,32 @@ def replace_template_groups(template: str, replacements: Sequence[Sequence[Any]]
     return results
 
 
+def compile_template(template: str) -> list[str]:
+    """Template → fixed segments [fix0, fix1, ..., fixN] around the N
+    groups; expansion is then plain string interleaving (the hot path
+    avoids regex substitution per call)."""
+    paths = [m.group(0) for m in _MIXED_SYNTAX_PATH_RE.finditer(template)]
+    masked = _MIXED_SYNTAX_PATH_RE.sub(_PLACEHOLDER, template)
+    segments, last = [], 0
+    for m in _TEMPLATE_GROUP_RE.finditer(masked):
+        segments.append(masked[last:m.start()])
+        last = m.end()
+    segments.append(masked[last:])
+    if paths and any(_PLACEHOLDER in s for s in segments):
+        # mixed-syntax path OUTSIDE any group (pathological) — signal the
+        # caller to use the generic regex-based expansion instead
+        return None
+    return segments
+
+
+def expand_segments(segments: list[str], combo: list[str]) -> str:
+    parts = [segments[0]]
+    for i, v in enumerate(combo):
+        parts.append(v)
+        parts.append(segments[i + 1])
+    return "".join(parts)
+
+
 def template_to_regex(template: str) -> re.Pattern:
     """Template → regex with one non-greedy capturing group per '{...}'
     (getTemplateMatching, TemplateUtility.scala:36-69)."""

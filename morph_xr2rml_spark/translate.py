@@ -32,7 +32,9 @@ from .functions.datatypes import (infer_datatype, normalize_boolean,
                                   normalize_datetime, to_lexical)
 from .functions.encoding import (encode_literal, encode_reserved_chars,
                                  encode_url)
-from .functions.templates import get_template_groups, replace_template_groups
+from .functions.templates import (cartesian_product, compile_template,
+                                  expand_segments, get_template_groups,
+                                  replace_template_groups)
 from .model import (CONSTANT, REFERENCE, SIMPLE_NTM, TEMPLATE, COLUMN,
                     PushDown, TermMap, TriplesMap)
 from .paths import JSONPath, MixedSyntaxPath
@@ -179,7 +181,7 @@ class CompiledTermMap:
 
     __slots__ = ("tm", "cfg", "kind", "collec_tt", "member_tt", "datatype",
                  "language", "lang_msp", "msp", "tpl_msps", "template",
-                 "nested", "constant_term", "pushdowns")
+                 "tpl_segments", "nested", "constant_term", "pushdowns")
 
     def __init__(self, tm: TermMap, cfg: EngineConfig):
         self.tm = tm
@@ -206,6 +208,7 @@ class CompiledTermMap:
             self.template = tm.template
             groups = get_template_groups(tm.template)
             self.tpl_msps = [_compile_msp(g, tm.ref_formulation) for g in groups]
+            self.tpl_segments = compile_template(tm.template)
         elif tm.kind == CONSTANT:
             self.constant_term = tm.constant
         if tm.nested is not None and not tm.nested.is_simple_nested():
@@ -295,7 +298,15 @@ class CompiledTermMap:
         # all-groups-empty → no term (MorphMongoDataTranslator.scala:385-390)
         if not any_nonempty:
             return []
-        expanded = replace_template_groups(self.template, replacements)
+        segs = self.tpl_segments
+        if segs is None:
+            expanded = replace_template_groups(self.template, replacements)
+        elif all(len(r) == 1 for r in replacements):
+            # fast path: single-valued groups (the overwhelming majority)
+            expanded = [expand_segments(segs, [r[0] for r in replacements])]
+        else:
+            expanded = [expand_segments(segs, combo)
+                        for combo in cartesian_product(replacements)]
         return self._values_to_terms(expanded, self.language)
 
     def _values_to_terms(self, values: list[Any], lang: Optional[str]) -> list:

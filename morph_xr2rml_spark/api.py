@@ -53,15 +53,31 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
                     return False
         return True
 
+    from .native_json import JsonNativeCompiler, compilable as json_ok
+
+    def json_native_ok(tm) -> bool:
+        if not json_ok(tm):
+            return False
+        for pom in tm.predicate_object_maps:
+            for rom in pom.ref_object_maps:
+                if not json_ok(mapping.triples_maps[rom.parent_tm]):
+                    return False
+        return True
+
     native_tms = {n: tm for n, tm in mapping.triples_maps.items()
                   if native_ok(tm)}
+    jn_tms = {n: tm for n, tm in mapping.triples_maps.items()
+              if n not in native_tms and json_native_ok(tm)}
     doc_tms = {n: tm for n, tm in mapping.triples_maps.items()
-               if n not in native_tms}
+               if n not in native_tms and n not in jn_tms}
 
     parts: list[DataFrame] = []
     if native_tms:
         nc = NativeCompiler(spark, mapping, tables, cfg)
         parts.extend(nc.tm_triples(tm) for tm in native_tms.values())
+    if jn_tms:
+        jc = JsonNativeCompiler(spark, mapping, catalog, cfg)
+        parts.extend(jc.tm_base(tm) for tm in jn_tms.values())
     if doc_tms:
         sm = SparkMaterializer(spark, mapping, catalog, cfg, **engine_kw)
         parts.extend(sm._tm_triples(tm) for tm in doc_tms.values())

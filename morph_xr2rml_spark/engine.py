@@ -210,12 +210,16 @@ class SparkMaterializer:
 
     def __init__(self, spark: SparkSession, mapping: MappingDocument,
                  catalog: SourceCatalog, cfg: Optional[EngineConfig] = None,
-                 salt_partitions: int = 0):
+                 salt_partitions: int = 0,
+                 tm_limit: Optional[int] = None):
         self.spark = spark
         self.mapping = mapping
         self.catalog = catalog
         self.cfg = cfg or EngineConfig()
         self.salt_partitions = salt_partitions
+        # per-triples-map source row limit — the reference's
+        # datatranslation.limit/offset config (MorphRDBUnfolder.scala:328-346)
+        self.tm_limit = tm_limit
         self._rom_bases: dict[str, int] = {}
         base = 0
         for name, tm in mapping.triples_maps.items():
@@ -256,6 +260,8 @@ class SparkMaterializer:
     def _tm_triples(self, tm: TriplesMap) -> DataFrame:
         rom_base = self._rom_bases[tm.name]
         src, py_filter = self._source_and_pyfilter(tm)
+        if self.tm_limit is not None:
+            src = src.limit(self.tm_limit)
         child = src.mapInPandas(
             _make_child_fn(tm, self.cfg, rom_base, py_filter), CHILD_SCHEMA)
 

@@ -61,6 +61,9 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                     conds.append(lambda d, k=key, v=operand: _get_path(d, k) == (True, v))
                 elif op == "$ne":
                     conds.append(lambda d, k=key, v=operand: _get_path(d, k) != (True, v))
+                elif op == "$in":
+                    conds.append(lambda d, k=key, vs=tuple(operand):
+                                 _get_path(d, k)[0] and _get_path(d, k)[1] in vs)
                 elif op in ("$gt", "$gte", "$lt", "$lte"):
                     import operator
                     f = {"$gt": operator.gt, "$gte": operator.ge,

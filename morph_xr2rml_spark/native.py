@@ -235,26 +235,41 @@ class NativeCompiler:
 
     # -- triples map compilation ----------------------------------------
     def tm_triples(self, tm: TriplesMap) -> DataFrame:
+        """ONE scan per triples map: every (predicate, object) projection
+        becomes an element of an array of structs exploded over the scan —
+        the compile-time analogue of the reference's self-union
+        elimination (AbstractQueryAtomicMongo.scala:331-349): N predicate-
+        object maps cost one pass over the source, not N."""
         df = self._source_df(tm)
         subj = self.term_expr(df, tm.subject_map).alias("subj")
-        parts: list[DataFrame] = []
 
         rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
+        po_entries: list[Column] = []
         for cls in tm.class_uris:
-            parts.append(df.select(subj, rdf_type.alias("pred"),
-                                   self._iri_term(F.lit(cls)).alias("obj"),
-                                   F.lit(None).cast("string").alias("graph")))
+            po_entries.append(F.struct(
+                rdf_type.alias("pred"),
+                self._iri_term(F.lit(cls)).alias("obj")))
 
+        rom_parts: list[DataFrame] = []
         for pom in tm.predicate_object_maps:
             pred_exprs = [self.term_expr(df, pm) for pm in pom.predicate_maps]
             for pred in pred_exprs:
                 for om in pom.object_maps:
                     obj = self.term_expr(df, om)
-                    parts.append(df.select(
-                        subj, pred.alias("pred"), obj.alias("obj"),
-                        F.lit(None).cast("string").alias("graph")))
+                    po_entries.append(F.struct(pred.alias("pred"),
+                                               obj.alias("obj")))
                 for rom in pom.ref_object_maps:
-                    parts.append(self._rom_triples(df, subj, pred, rom))
+                    rom_parts.append(self._rom_triples(df, subj, pred, rom))
+
+        parts: list[DataFrame] = []
+        if po_entries:
+            fused = df.select(
+                subj, F.explode(F.array(*po_entries)).alias("_po"))
+            parts.append(fused.select(
+                "subj", F.col("_po.pred").alias("pred"),
+                F.col("_po.obj").alias("obj"),
+                F.lit(None).cast("string").alias("graph")))
+        parts.extend(rom_parts)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

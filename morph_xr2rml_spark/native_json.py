@@ -1,0 +1,515 @@
+"""JSON-native compiler: static-path document mappings without Python.
+
+The document compiler (engine.py) evaluates full JSONPath semantics in
+Arrow-batched Python — necessary for wildcards-in-the-middle, filters,
+nested term maps.  But a large class of real mappings (including the
+headline corpus pipeline) only uses STATIC paths:
+
+    rml:iterator "$.lines.*"            → explode(from_json(...).lines)
+    xrr:pushDown [$.ok as ok]           → parent column carried along
+    xrr:reference "$.qty"               → item.qty
+    rr:template ".../{$.ok}-{$.ln}"     → concat(...)
+
+Those compile to pure Catalyst: ONE from_json per source (schema inferred
+by sampling), explode for the iterator, native concat/encode chains for
+terms — whole-stage codegen, zero Python workers.  The JSON datatype →
+XSD mapping matches the document engine (long→xsd:integer,
+double→xsd:decimal, boolean→xsd:boolean —
+MorphMongoDataTranslator.scala:403-419), so both compilers emit identical
+triples; tests assert it.
+
+``compilable(tm)`` decides eligibility; ``materialize_auto`` can route
+through here before falling back to the Python document stage.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import namespaces as NS
+from .functions.templates import compile_template, get_template_groups
+from .model import (COLUMN, CONSTANT, REFERENCE, TEMPLATE, MappingDocument,
+                    TermMap, TriplesMap)
+from .native import encode_literal_col, encode_reserved_col, nt_escape_col
+from .sources import SourceCatalog
+from .translate import EngineConfig
+
+_SIMPLE_PATH = re.compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*)+$")
+_SIMPLE_ITER = re.compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*)+\.\*$")
+
+
+def _static_path(ref: Optional[str]) -> Optional[list[str]]:
+    if ref is None or not _SIMPLE_PATH.match(ref):
+        return None
+    return ref[2:].split(".")
+
+
+def compilable(tm: TriplesMap) -> bool:
+    """True when every path in the TM is static (see module docstring)."""
+    ls = tm.logical_source
+    if ls.kind not in ("query",):
+        return False
+    if ls.iterator is not None and not _SIMPLE_ITER.match(ls.iterator):
+        return False
+    for pd in ls.pushdowns:
+        if _static_path(pd.reference) is None and pd.reference != "$._id":
+            return False
+
+    def tm_ok(m: Optional[TermMap]) -> bool:
+        if m is None:
+            return True
+        if m.nested is not None or m.language_ref is not None or m.pushdowns:
+            return False
+        if m.is_collection_type():
+            return False
+        if m.kind == CONSTANT:
+            return True
+        if m.kind == REFERENCE:
+            return _static_path(m.reference) is not None
+        if m.kind == TEMPLATE:
+            return all(_static_path(g) is not None
+                       for g in get_template_groups(m.template))
+        return False
+
+    if not tm_ok(tm.subject_map) or tm.graph_maps:
+        return False
+    for pom in tm.predicate_object_maps:
+        if pom.graph_maps:
+            return False
+        for m in pom.predicate_maps + pom.object_maps:
+            if not tm_ok(m):
+                return False
+        for rom in pom.ref_object_maps:
+            for jc in rom.join_conditions:
+                if _static_path(jc.child_ref) is None:
+                    return False
+            if rom.is_collection():
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Schema inference by sampling
+# ---------------------------------------------------------------------------
+
+class SchemaConflict(Exception):
+    pass
+
+
+def _merge_type(a, b):
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    if {a, b} == {"long", "double"}:
+        return "double"
+    raise SchemaConflict(f"conflicting JSON types {a} vs {b}")
+
+
+def _walk_paths(doc: Any, needed: dict) -> None:
+    """needed: nested dict path-tree; leaves hold {'__type__': t}."""
+    for key, sub in needed.items():
+        if key in ("__type__", "__array__"):
+            continue
+        if not isinstance(doc, dict) or key not in doc:
+            continue
+        val = doc[key]
+        if sub.get("__array__"):
+            if isinstance(val, list):
+                for item in val:
+                    _walk_paths(item, sub)
+            continue
+        if "__type__" in sub or len(sub) <= 1:
+            t = ("boolean" if isinstance(val, bool) else
+                 "long" if isinstance(val, int) else
+                 "double" if isinstance(val, float) else
+                 "string" if isinstance(val, str) else None)
+            if t is not None:
+                sub["__type__"] = _merge_type(sub.get("__type__"), t)
+        if isinstance(val, dict):
+            _walk_paths(val, sub)
+
+
+def _tree_to_struct(tree: dict) -> T.StructType:
+    fields = []
+    for key, sub in tree.items():
+        if key in ("__type__", "__array__"):
+            continue
+        children = {k: v for k, v in sub.items()
+                    if k not in ("__type__", "__array__")}
+        if children:
+            inner: T.DataType = _tree_to_struct(sub)
+        else:
+            inner = {"boolean": T.BooleanType(), "long": T.LongType(),
+                     "double": T.DoubleType(),
+                     "string": T.StringType()}[sub.get("__type__", "string")]
+        if sub.get("__array__"):
+            inner = T.ArrayType(inner)
+        fields.append(T.StructField(key, inner, True))
+    return T.StructType(fields)
+
+
+class JsonNativeCompiler:
+    """Compile eligible triples maps into from_json/explode/concat plans."""
+
+    def __init__(self, spark: SparkSession, mapping: MappingDocument,
+                 catalog: SourceCatalog, cfg: Optional[EngineConfig] = None,
+                 sample_n: int = 200):
+        self.spark = spark
+        self.mapping = mapping
+        self.catalog = catalog
+        self.cfg = cfg or EngineConfig()
+        self.sample_n = sample_n
+        self._schema_cache: dict[str, T.StructType] = {}
+
+    # -- schema ----------------------------------------------------------
+    def _needed_paths(self, tm: TriplesMap) -> list[list[str]]:
+        paths: list[list[str]] = []
+        it = tm.logical_source.iterator
+        it_prefix = it[2:-2].split(".") if it else []
+
+        def add(ref: str):
+            p = _static_path("$._id.$oid" if ref == "$._id" else ref)
+            if p is not None:
+                paths.append(it_prefix + ["__*__"] + p if it_prefix
+                             else p)
+
+        for pd in tm.logical_source.pushdowns:
+            p = _static_path(pd.reference)
+            if p is not None:
+                paths.append(p)  # pushdown reads the PARENT doc
+
+        def walk_tm(m: Optional[TermMap]):
+            if m is None:
+                return
+            if m.kind == REFERENCE:
+                add(m.reference)
+            elif m.kind == TEMPLATE:
+                for g in get_template_groups(m.template):
+                    add(g)
+
+        walk_tm(tm.subject_map)
+        for pom in tm.predicate_object_maps:
+            for m in pom.predicate_maps + pom.object_maps:
+                walk_tm(m)
+            for rom in pom.ref_object_maps:
+                for jc in rom.join_conditions:
+                    add(jc.child_ref)
+        return paths
+
+    def _schema_for(self, tm: TriplesMap) -> T.StructType:
+        key = tm.logical_source.source_id() + "|" + tm.name
+        if key in self._schema_cache:
+            return self._schema_cache[key]
+        tree: dict = {}
+        for path in self._needed_paths(tm):
+            node = tree
+            for part in path:
+                if part == "__*__":
+                    node["__array__"] = True
+                    continue
+                node = node.setdefault(part, {})
+        src, _ = self.catalog.resolve(tm.logical_source)
+        sample = [r.content for r in src.select("content")
+                  .limit(self.sample_n).collect()]
+        for raw in sample:
+            try:
+                doc = json.loads(raw)
+            except (ValueError, TypeError):
+                continue
+            _walk_paths(doc, tree)
+        schema = _tree_to_struct(tree)
+        self._schema_cache[key] = schema
+        return schema
+
+    # -- term expressions --------------------------------------------------
+    def _field_col(self, tm: TriplesMap, root: Column, item: Optional[Column],
+                   ref: str) -> tuple[Column, T.DataType]:
+        """Resolve a static reference against the parsed doc (root) and
+        the iterated item; returns (col, type)."""
+        if ref == "$._id":
+            ref = "$._id.$oid"
+        parts = _static_path(ref)
+        schema = self._schema_for(tm)
+        it = tm.logical_source.iterator
+        pushdown_fields = {pd.target_field for pd in tm.logical_source.pushdowns}
+        src_col, src_schema = (item, self._item_schema(tm)) \
+            if it is not None else (root, schema)
+        # pushed-down fields live on the PARENT doc and SHADOW same-named
+        # item fields (xR2RMLPushDown inserts with put(), overwriting)
+        if it is not None and parts[0] in pushdown_fields:
+            if len(parts) > 1:
+                # pushed values are scalar strings; deeper paths match nothing
+                return F.lit(None).cast("string"), T.StringType()
+            for pd in tm.logical_source.pushdowns:
+                if pd.target_field == parts[0]:
+                    pparts = _static_path(
+                        "$._id.$oid" if pd.reference == "$._id"
+                        else pd.reference)
+                    col, dt = _descend(root, schema, pparts)
+                    # pushDown stringifies values (xR2RMLPushDown semantics)
+                    return _as_lexical(col, dt), T.StringType()
+        col, dt = _descend(src_col, src_schema, parts)
+        return col, dt
+
+    def _item_schema(self, tm: TriplesMap) -> T.DataType:
+        schema = self._schema_for(tm)
+        it_parts = tm.logical_source.iterator[2:-2].split(".")
+        dt: T.DataType = schema
+        for p in it_parts:
+            dt = dt[p].dataType  # type: ignore[index]
+        assert isinstance(dt, T.ArrayType)
+        return dt.elementType
+
+    def _term_expr(self, tm: TriplesMap, root: Column,
+                   item: Optional[Column], m: TermMap) -> Column:
+        tt = m.infer_term_type()
+        cfg = self.cfg
+        if m.kind == CONSTANT:
+            c = m.constant
+            if c[0] == "iri":
+                return F.concat(F.lit("<"), F.lit(c[1]), F.lit(">"))
+            if c[0] == "bnode":
+                return F.lit(f"_:{c[1]}")
+            return _literal_term(F.lit(c[1]), m.datatype or c[2],
+                                 m.language or c[3])
+        if m.kind == REFERENCE:
+            col, dt = self._field_col(tm, root, item, m.reference)
+            lex = _as_lexical(col, dt)
+            is_str = isinstance(dt, T.StringType)
+            if tt == NS.RR_IRI:
+                # createIRI: trim + encodeUrl; numeric lexicals can't
+                # contain unsafe chars — keep the chain off the plan
+                if is_str:
+                    lex = F.trim(lex)
+                    if cfg.encode_unsafe_chars_in_uri:
+                        lex = encode_url_col(lex)
+                return F.concat(F.lit("<"), lex, F.lit(">"))
+            if is_str and cfg.literal_trim:
+                lex = F.trim(lex)
+            if is_str:
+                lex = encode_literal_col(lex)
+            dtype = m.datatype
+            if dtype is None and m.language is None and cfg.infer_datatypes:
+                dtype = _mongo_xsd(dt)
+            return _literal_term(lex, dtype, m.language, escape=is_str)
+        if m.kind == TEMPLATE:
+            segs = compile_template(m.template)
+            groups = get_template_groups(m.template)
+            if tt == NS.RR_IRI and cfg.encode_unsafe_chars_in_uri:
+                # fixed segments are static: encode them at COMPILE time
+                # with the exact reference function; group values get the
+                # (superset) reserved-chars encoding below, making the
+                # runtime whole-string encodeUrl a provable no-op
+                from .functions.encoding import encode_url as _enc_url
+                segs = [_enc_url(s) for s in segs]
+            parts: list[Column] = []
+            null_conds: list[Column] = []
+            any_str = False
+            parts.append(F.lit(segs[0]))
+            for i, g in enumerate(groups):
+                col, dt = self._field_col(tm, root, item, g)
+                lex = _as_lexical(col, dt)
+                if isinstance(dt, T.StringType):
+                    any_str = True
+                    if tt == NS.RR_IRI and cfg.encode_unsafe_chars_in_db_values:
+                        lex = encode_reserved_col(lex)
+                null_conds.append(lex.isNull())
+                parts.append(F.coalesce(lex, F.lit("")))
+                parts.append(F.lit(segs[i + 1]))
+            expanded = F.concat(*parts)
+            all_null = null_conds[0]
+            for c in null_conds[1:]:
+                all_null = all_null & c
+            expanded = F.when(all_null, F.lit(None)).otherwise(expanded)
+            if tt == NS.RR_IRI:
+                return F.concat(F.lit("<"), expanded, F.lit(">"))
+            if tt == NS.RR_BLANKNODE:
+                return F.concat(F.lit("_:"), expanded)
+            return _literal_term(expanded, m.datatype, m.language,
+                                 escape=any_str)
+        raise ValueError(f"not json-native compilable: {m.kind}")
+
+    # -- triples map --------------------------------------------------------
+    def tm_base(self, tm: TriplesMap) -> DataFrame:
+        """Scan → from_json → (explode) → fused (pred, obj) array explode.
+        Returns (subj, pred, obj, graph) plus join-key columns per ROM."""
+        src, _pyf = self.catalog.resolve(tm.logical_source)
+        schema = self._schema_for(tm)
+        parsed = src.select(F.from_json(F.col("content"), schema)
+                            .alias("_doc"), "_seq")
+        root = F.col("_doc")
+        item = None
+        if tm.logical_source.iterator is not None:
+            it_parts = tm.logical_source.iterator[2:-2].split(".")
+            arr: Column = root
+            for p in it_parts:
+                arr = arr[p]
+            parsed = parsed.select("_doc", "_seq",
+                                   F.explode(arr).alias("_item"))
+            item = F.col("_item")
+
+        subj = self._term_expr(tm, root, item, tm.subject_map).alias("subj")
+        rdf_type = F.lit(f"<{NS.RDF_TYPE}>")
+        po_entries = []
+        for cls in tm.class_uris:
+            po_entries.append(F.struct(rdf_type.alias("pred"),
+                                       F.lit(f"<{cls}>").alias("obj")))
+        rom_selects = []
+        for pom in tm.predicate_object_maps:
+            preds = [self._term_expr(tm, root, item, pm)
+                     for pm in pom.predicate_maps]
+            for pred in preds:
+                for om in pom.object_maps:
+                    po_entries.append(F.struct(
+                        pred.alias("pred"),
+                        self._term_expr(tm, root, item, om).alias("obj")))
+                for rom in pom.ref_object_maps:
+                    rom_selects.append((pred, rom))
+        out_parts = []
+        if po_entries:
+            fused = parsed.select(subj, F.explode(F.array(*po_entries))
+                                  .alias("_po"))
+            out_parts.append(fused.select(
+                "subj", F.col("_po.pred").alias("pred"),
+                F.col("_po.obj").alias("obj"),
+                F.lit(None).cast("string").alias("graph"))
+                .where(F.col("subj").isNotNull() & F.col("obj").isNotNull()))
+        for pred, rom in rom_selects:
+            out_parts.append(self._rom_triples(tm, parsed, root, item,
+                                               subj, pred, rom))
+        out = out_parts[0]
+        for p in out_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _join_key(self, tm: TriplesMap, root, item, ref: str) -> Column:
+        """Join-key canonicalization matching translate.msp_join_keys
+        (json.dumps of the raw scalar: strings quoted+escaped, booleans
+        lowercase, numbers bare)."""
+        col, dt = self._field_col(tm, root, item, ref)
+        if isinstance(dt, T.StringType):
+            return F.concat(F.lit('"'), nt_escape_json(col), F.lit('"'))
+        if isinstance(dt, T.BooleanType):
+            return F.when(col.isNull(), F.lit(None).cast("string")) \
+                    .when(col, F.lit("true")).otherwise(F.lit("false"))
+        return col.cast("string")
+
+    def _rom_triples(self, tm, parsed, root, item, subj, pred, rom) -> DataFrame:
+        parent_tm = self.mapping.triples_maps[rom.parent_tm]
+        # parent side must also be json-native compilable
+        psrc, _ = self.catalog.resolve(parent_tm.logical_source)
+        pschema = self._schema_for(parent_tm)
+        pparsed = psrc.select(F.from_json(F.col("content"), pschema)
+                              .alias("_doc"), "_seq")
+        proot = F.col("_doc")
+        pitem = None
+        if parent_tm.logical_source.iterator is not None:
+            it_parts = parent_tm.logical_source.iterator[2:-2].split(".")
+            arr: Column = proot
+            for p in it_parts:
+                arr = arr[p]
+            pparsed = pparsed.select("_doc", "_seq",
+                                     F.explode(arr).alias("_item"))
+            pitem = F.col("_item")
+        psubj = self._term_expr(parent_tm, proot, pitem,
+                                parent_tm.subject_map)
+        child_sel = parsed.select(
+            subj, pred.alias("pred"),
+            *[self._join_key(tm, root, item, jc.child_ref).alias(f"_ck{i}")
+              for i, jc in enumerate(rom.join_conditions)])
+        parent_sel = pparsed.select(
+            psubj.alias("_psubj"),
+            *[self._join_key(parent_tm, proot, pitem, jc.parent_ref)
+              .alias(f"_pk{i}") for i, jc in enumerate(rom.join_conditions)])
+        cond = None
+        for i in range(len(rom.join_conditions)):
+            c = F.col(f"_ck{i}") == F.col(f"_pk{i}")
+            cond = c if cond is None else (cond & c)
+        joined = child_sel.join(parent_sel, cond)
+        return joined.select("subj", "pred",
+                             F.col("_psubj").alias("obj"),
+                             F.lit(None).cast("string").alias("graph")) \
+                     .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+
+    def triples(self, dedup: bool = True) -> DataFrame:
+        parts = [self.tm_base(tm) for tm in self.mapping.triples_maps.values()]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if dedup:
+            out = out.dropDuplicates(["subj", "pred", "obj", "graph"])
+        return out
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _schema_has(schema: T.DataType, parts: list[str]) -> bool:
+    dt = schema
+    for p in parts:
+        if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+            return False
+        dt = dt[p].dataType
+    return True
+
+
+def _descend(col: Column, schema: T.DataType,
+             parts: list[str]) -> tuple[Column, T.DataType]:
+    dt = schema
+    for p in parts:
+        if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+            return F.lit(None).cast("string"), T.StringType()
+        col = col[p]
+        dt = dt[p].dataType
+    return col, dt
+
+
+def _as_lexical(col: Column, dt: T.DataType) -> Column:
+    """Java-toString lexical forms (booleans lowercase, doubles like
+    Python str — JSON shortest form both ways)."""
+    if isinstance(dt, T.BooleanType):
+        return F.when(col.isNull(), F.lit(None).cast("string")) \
+                .when(col, "true").otherwise("false")
+    return col.cast("string")
+
+
+def _mongo_xsd(dt: T.DataType) -> Optional[str]:
+    """JSON type → XSD, matching MorphMongoDataTranslator.scala:403-419."""
+    if isinstance(dt, T.LongType):
+        return NS.XSD_INTEGER
+    if isinstance(dt, T.DoubleType):
+        return NS.XSD_DECIMAL
+    if isinstance(dt, T.BooleanType):
+        return NS.XSD_BOOLEAN
+    return None
+
+
+def _literal_term(value: Column, datatype: Optional[str],
+                  lang: Optional[str], escape: bool = True) -> Column:
+    body = F.concat(F.lit('"'), nt_escape_col(value) if escape else value,
+                    F.lit('"'))
+    if lang:
+        return F.concat(body, F.lit("@" + lang))
+    if datatype:
+        return F.concat(body, F.lit(f"^^<{datatype}>"))
+    return body
+
+
+def encode_url_col(col: Column) -> Column:
+    from .functions.encoding import _ENCODE_URL
+    out = col
+    for old, new in _ENCODE_URL:
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
+
+
+def nt_escape_json(col: Column) -> Column:
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(out, F.lit('"'), F.lit('\\"'))

@@ -54,6 +54,17 @@ def _spec_to_column(spec: dict, content_col: str):
                         cond = cond & (extracted == F.lit(_json_scalar(operand)))
                     elif op == "$ne":
                         cond = cond & (extracted != F.lit(_json_scalar(operand)))
+                    elif op in ("$gt", "$gte", "$lt", "$lte") and \
+                            isinstance(operand, (int, float)) and \
+                            not isinstance(operand, bool):
+                        num = extracted.try_cast("double")
+                        cond = cond & {
+                            "$gt": num > operand, "$gte": num >= operand,
+                            "$lt": num < operand, "$lte": num <= operand,
+                        }[op]
+                    elif op == "$in" and isinstance(operand, list):
+                        cond = cond & extracted.isin(
+                            [_json_scalar(v) for v in operand])
                     else:
                         return None
             else:

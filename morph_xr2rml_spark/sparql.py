@@ -53,6 +53,7 @@ class SelectQuery:
     order_by: list = field(default_factory=list)   # [(var, asc)]
     limit: Optional[int] = None
     offset: Optional[int] = None
+    is_ask: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +115,11 @@ class _P:
             pname = self.next()[1]
             iri = self.next()[1]
             self.prefixes[pname.rstrip(":")] = iri[1:-1]
+        if self.kw("ASK"):
+            q = SelectQuery(variables=["*"], aggregates=[])
+            q.is_ask = True
+            q.where = self._group()
+            return q
         self.expect("SELECT")
         q = SelectQuery(variables=[], aggregates=[])
         q.distinct = self.kw("DISTINCT")
@@ -324,6 +330,12 @@ class SparqlEngine:
     def sql(self, query_text: str) -> DataFrame:
         return self.evaluate(parse_sparql(query_text))
 
+    def ask(self, query_text: str) -> bool:
+        q = parse_sparql(query_text)
+        if not q.is_ask:
+            raise ValueError("not an ASK query")
+        return self._join_group(q.where).limit(1).count() > 0
+
     # -- algebra -----------------------------------------------------------
     def _pattern_df(self, tp: TriplePattern, idx: int) -> DataFrame:
         df = self.triples
@@ -452,3 +464,55 @@ class SparqlEngine:
         if q.limit is not None:
             df = df.limit(q.limit)
         return df
+
+
+# ---------------------------------------------------------------------------
+# Result serialization (the reference's SPARQL result sinks:
+# MorphMongoQueryProcessor.scala:45-150 — XML/JSON/CSV for SELECT/ASK)
+# ---------------------------------------------------------------------------
+
+def _term_to_binding(term: Optional[str]) -> Optional[dict]:
+    if term is None:
+        return None
+    if term.startswith("<"):
+        return {"type": "uri", "value": term[1:-1]}
+    if term.startswith("_:"):
+        return {"type": "bnode", "value": term[2:]}
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z-]+)|\^\^<([^>]*)>)?$', term)
+    if m:
+        out = {"type": "literal", "value": m.group(1)}
+        if m.group(2):
+            out["xml:lang"] = m.group(2)
+        if m.group(3):
+            out["datatype"] = m.group(3)
+        return out
+    return {"type": "literal", "value": term}
+
+
+def to_sparql_json(df: DataFrame) -> dict:
+    """SELECT results → SPARQL 1.1 Query Results JSON (driver-side;
+    collect() the projection first — result sets are small by definition)."""
+    cols = df.columns
+    bindings = []
+    for row in df.collect():
+        b = {}
+        for c in cols:
+            t = _term_to_binding(row[c])
+            if t is not None:
+                b[c] = t
+        bindings.append(b)
+    return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+
+
+def to_sparql_csv(df: DataFrame) -> str:
+    """SELECT results → SPARQL 1.1 CSV (plain values)."""
+    import csv as _csv
+    import io as _io
+    cols = df.columns
+    buf = _io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(cols)
+    for row in df.select([lexical_value(F.col(c)).alias(c)
+                          for c in cols]).collect():
+        w.writerow(["" if row[c] is None else row[c] for c in cols])
+    return buf.getvalue()

@@ -1,0 +1,121 @@
+"""JSON-native compiler: must emit EXACTLY what the Python document
+compiler emits for static-path mappings, with no Python in the plan."""
+
+import json
+
+import pytest
+
+from morph_xr2rml_spark.engine import materialize
+from morph_xr2rml_spark.local_engine import materialize_local
+from morph_xr2rml_spark.model import MappingDocument
+from morph_xr2rml_spark.native_json import JsonNativeCompiler, compilable
+from morph_xr2rml_spark.sources import SourceCatalog
+
+SIMPLE = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex: <http://example.com/> .
+<#Lines>
+    xrr:logicalSource [ xrr:query "db.orderdocs.find({})";
+                        rml:iterator "$.lines.*";
+                        xrr:pushDown [ xrr:reference "$.ok"; xrr:as "ok" ] ];
+    rr:subjectMap [ rr:template "http://example.org/line/{$.ok}-{$.ln}"; rr:class ex:Line ];
+    rr:predicateObjectMap [ rr:predicate ex:qty; rr:objectMap [ xrr:reference "$.qty" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:flag; rr:objectMap [ xrr:reference "$.flag" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:part;
+                            rr:objectMap [ rr:template "http://example.org/part/{$.pk}" ] ].
+"""
+
+DOCS = [
+    {"ok": 1, "lines": [{"ln": 1, "pk": 10, "qty": 5, "flag": True},
+                        {"ln": 2, "pk": 20, "qty": 2, "flag": False}]},
+    {"ok": 2, "lines": [{"ln": 1, "pk": 10, "qty": 7}]},
+    {"ok": 3, "lines": []},
+]
+
+JOIN_MAPPING = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex: <http://example.com/> .
+<#Child>
+    xrr:logicalSource [ xrr:query "db.c.find({})" ];
+    rr:subjectMap [ rr:template "http://x/c/{$.id}" ];
+    rr:predicateObjectMap [ rr:predicate ex:ref;
+      rr:objectMap [ rr:parentTriplesMap <#Parent>;
+                     rr:joinCondition [ rr:child "$.pid"; rr:parent "$.id" ] ] ].
+<#Parent>
+    xrr:logicalSource [ xrr:query "db.p.find({})" ];
+    rr:subjectMap [ rr:template "http://x/p/{$.id}" ];
+    rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ xrr:reference "$.v" ] ].
+"""
+
+
+def _catalog(spark, name, docs):
+    return SourceCatalog().register_collection(
+        name, spark.createDataFrame([(json.dumps(d),) for d in docs],
+                                    "content string"))
+
+
+def test_compilable_detection():
+    m = MappingDocument.from_text(SIMPLE)
+    assert compilable(m.triples_maps["#Lines"])
+    from fixtures_data import MAPPING1_PATH
+    m1 = MappingDocument.from_file(MAPPING1_PATH)
+    # mapping1 has nested term maps and RdfLists → NOT json-native
+    assert not compilable(m1.triples_maps["#Students"])
+
+
+def test_json_native_equals_document_compiler(spark):
+    mapping = MappingDocument.from_text(SIMPLE)
+    cat = _catalog(spark, "orderdocs", DOCS)
+    jn = JsonNativeCompiler(spark, mapping, cat)
+    got = {tuple(r) for r in jn.triples().collect()}
+    want = materialize_local(mapping, {"orderdocs": DOCS})
+    assert got == want
+    # types: qty long → xsd:integer, flag → xsd:boolean
+    objs = {o for (s, p, o, g) in got if p == "<http://example.com/qty>"}
+    assert '"5"^^<http://www.w3.org/2001/XMLSchema#integer>' in objs
+    flags = {o for (s, p, o, g) in got if p == "<http://example.com/flag>"}
+    assert '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>' in flags
+
+
+def test_json_native_no_python_in_plan(spark):
+    mapping = MappingDocument.from_text(SIMPLE)
+    cat = _catalog(spark, "orderdocs", DOCS)
+    plan = JsonNativeCompiler(spark, mapping, cat).triples() \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_json_native_rom_join(spark):
+    mapping = MappingDocument.from_text(JOIN_MAPPING)
+    c_docs = [{"id": 1, "pid": 10}, {"id": 2, "pid": 99}]
+    p_docs = [{"id": 10, "v": "x"}, {"id": 11, "v": "y"}]
+    cat = SourceCatalog()
+    cat.register_collection("c", spark.createDataFrame(
+        [(json.dumps(d),) for d in c_docs], "content string"))
+    cat.register_collection("p", spark.createDataFrame(
+        [(json.dumps(d),) for d in p_docs], "content string"))
+    jn = JsonNativeCompiler(spark, mapping, cat)
+    got = {tuple(r) for r in jn.triples().collect()}
+    want = materialize_local(mapping, {"c": c_docs, "p": p_docs})
+    assert got == want
+    refs = {(s, o) for (s, p, o, g) in got if p.endswith("ref>")}
+    assert refs == {("<http://x/c/1>", "<http://x/p/10>")}
+
+
+def test_corpus_mapping_json_native_equals_doc_engine(spark):
+    """The headline corpus mapping through both compilers at sf0.001."""
+    from morph_xr2rml_spark.examples import LINEITEM_JSON_MAPPING, orderdocs_df
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    docs = orderdocs_df(spark, "/root/testdata/sf0.001")
+    assert compilable(mapping.triples_maps["#Lines"])
+    cat1 = SourceCatalog().register_collection("orderdocs", docs)
+    cat2 = SourceCatalog().register_collection("orderdocs", docs)
+    native = {tuple(r) for r in
+              JsonNativeCompiler(spark, mapping, cat1).triples().collect()}
+    pyudf = {tuple(r) for r in materialize(spark, mapping, cat2).collect()}
+    assert native == pyudf

@@ -1,0 +1,71 @@
+"""ASK queries, SPARQL result serializers, native $gt/$in filter pushdown."""
+
+import json
+
+import pytest
+from fixtures_data import MOVIES_JSON, STUDENTS_JSON, MAPPING1_PATH
+
+from morph_xr2rml_spark.engine import materialize
+from morph_xr2rml_spark.model import MappingDocument
+from morph_xr2rml_spark.sources import SourceCatalog, mongo_filter_to_column
+from morph_xr2rml_spark.sparql import (SparqlEngine, to_sparql_csv,
+                                       to_sparql_json)
+
+PREFIX = "PREFIX ex: <http://example.com/>\n"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    mapping = MappingDocument.from_file(MAPPING1_PATH)
+    cat = SourceCatalog()
+    for name, docs in (("students", STUDENTS_JSON), ("movies", MOVIES_JSON)):
+        cat.register_collection(
+            name, spark.createDataFrame([(d,) for d in docs], "content string"))
+    return SparqlEngine(materialize(spark, mapping, cat).cache())
+
+
+def test_ask(engine):
+    assert engine.ask(PREFIX + "ASK { ?s a ex:Student }") is True
+    assert engine.ask(PREFIX + "ASK { ?s a ex:Nothing }") is False
+
+
+def test_sparql_json_serialization(engine):
+    df = engine.sql(PREFIX + """
+        SELECT ?s ?a WHERE { ?s ex:activity ?a . FILTER(regex(?a, "^Sw")) }""")
+    out = to_sparql_json(df)
+    assert out["head"]["vars"] == ["s", "a"]
+    (b,) = out["results"]["bindings"]
+    assert b["s"]["type"] == "uri"
+    assert b["a"] == {"type": "literal", "value": "Swimming", "xml:lang": "en"}
+
+
+def test_sparql_csv_serialization(engine):
+    df = engine.sql(PREFIX +
+                    "SELECT ?m WHERE { ?m a ex:Movie } ORDER BY ?m LIMIT 2")
+    csv_text = to_sparql_csv(df)
+    lines = csv_text.strip().splitlines()
+    assert lines[0] == "m"
+    assert lines[1].startswith("http://example.org/movies/")
+
+
+def test_native_gt_in_filters(spark):
+    mapping = MappingDocument.from_text("""
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+    @prefix ex: <http://example.com/> .
+    <#T> xrr:logicalSource [ xrr:query "db.d.find({k: {$gt: 5}})" ];
+      rr:subjectMap [ rr:template "http://x/{$.k}"; rr:class ex:T ].
+    <#U> xrr:logicalSource [ xrr:query "db.d.find({tag: {$in: ['a','b']}})" ];
+      rr:subjectMap [ rr:template "http://y/{$.k}"; rr:class ex:U ].
+    """)
+    # both filters compile to native Column predicates (no Python fallback)
+    assert mongo_filter_to_column("{k: {$gt: 5}}", "content") is not None
+    assert mongo_filter_to_column("{tag: {$in: ['a','b']}}", "content") is not None
+
+    docs = [json.dumps({"k": k, "tag": t})
+            for k, t in [(3, "a"), (5, "b"), (6, "c"), (7, "a")]]
+    cat = SourceCatalog().register_collection(
+        "d", spark.createDataFrame([(d,) for d in docs], "content string"))
+    got = {r.subj for r in materialize(spark, mapping, cat).collect()}
+    assert got == {"<http://x/6>", "<http://x/7>",    # k > 5
+                   "<http://y/3>", "<http://y/5>", "<http://y/7>"}  # tag in a,b

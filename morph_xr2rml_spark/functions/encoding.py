@@ -64,16 +64,22 @@ _MULTI_UNDERSCORE = re.compile(r"_{2,}")
 _LITERAL_UNSAFE = re.compile(r"[\\\"\n\r]|__")
 
 
-def encode_literal(value: str | None) -> str | None:
+def encode_literal(value: str | None, encode_quotes: bool = False) -> str | None:
     """GeneralUtility.encodeLiteral (":20-40").  The reference replaces
     backslashes with '/' FIRST, which makes its later '\\n'/'\\r'/'\\ '
-    rules dead code — reproduced faithfully."""
+    rules dead code — reproduced faithfully.
+
+    encode_quotes: the reference's CURRENT code maps '"' → '%22', but its
+    shipped golden outputs (result1-4.txt — the P/R target) contain raw
+    quotes, i.e. they predate that rule.  Default False = golden-faithful;
+    True = current-code-faithful."""
     if value is None:
         return None
     if _LITERAL_UNSAFE.search(value) is None:
         return value
     value = value.replace("\\", "/")
-    value = value.replace('"', "%22")
+    if encode_quotes:
+        value = value.replace('"', "%22")
     # reference: replaceAll("\\\\n"," ") etc. can never match after the
     # backslash substitution above — intentionally omitted (dead code).
     value = _MULTI_UNDERSCORE.sub("_", value)

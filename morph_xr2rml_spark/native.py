@@ -37,6 +37,10 @@ def is_tabular_compilable(tm: TriplesMap) -> bool:
     collection term type."""
     if tm.logical_source.iterator or tm.logical_source.pushdowns:
         return False
+    # named graphs are only produced by the document compiler
+    if tm.graph_maps or any(pom.graph_maps
+                            for pom in tm.predicate_object_maps):
+        return False
 
     def ok(m: Optional[TermMap]) -> bool:
         if m is None:
@@ -77,10 +81,12 @@ def encode_reserved_col(col: Column) -> Column:
     return out
 
 
-def encode_literal_col(col: Column) -> Column:
-    """GeneralUtility.encodeLiteral as native expressions (same order)."""
+def encode_literal_col(col: Column, encode_quotes: bool = False) -> Column:
+    """GeneralUtility.encodeLiteral as native expressions (same order;
+    quote encoding off by default — see encoding.encode_literal)."""
     out = F.replace(col, F.lit("\\"), F.lit("/"))
-    out = F.replace(out, F.lit('"'), F.lit("%22"))
+    if encode_quotes:
+        out = F.replace(out, F.lit('"'), F.lit("%22"))
     out = F.regexp_replace(out, "_{2,}", "_")
     out = F.replace(out, F.lit("\n"), F.lit(""))
     return F.replace(out, F.lit("\r"), F.lit(""))
@@ -191,7 +197,7 @@ class NativeCompiler:
             if self.cfg.literal_trim:
                 val = F.trim(val)
             if isinstance(df.schema[m.column].dataType, T.StringType):
-                val = encode_literal_col(val)
+                val = encode_literal_col(val, self.cfg.encode_literal_quotes)
             return self._literal_term(val, dtype, m.language)
         if m.kind == TEMPLATE:
             return self._template_expr(df, m, tt)

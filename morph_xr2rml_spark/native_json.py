@@ -293,7 +293,7 @@ class JsonNativeCompiler:
             if is_str and cfg.literal_trim:
                 lex = F.trim(lex)
             if is_str:
-                lex = encode_literal_col(lex)
+                lex = encode_literal_col(lex, cfg.encode_literal_quotes)
             dtype = m.datatype
             if dtype is None and m.language is None and cfg.infer_datatypes:
                 dtype = _mongo_xsd(dt)

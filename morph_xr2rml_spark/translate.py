@@ -48,6 +48,9 @@ class EngineConfig:
     encode_unsafe_chars_in_uri: bool = True
     encode_unsafe_chars_in_db_values: bool = True
     infer_datatypes: bool = True
+    # golden-faithful default: the reference's result1-4.txt goldens keep
+    # raw quotes in literals (see encoding.encode_literal)
+    encode_literal_quotes: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +338,7 @@ class CompiledTermMap:
         text = _obj_to_text(value)
         if cfg.literal_trim:
             text = text.strip()
-        text = encode_literal(text)
+        text = encode_literal(text, cfg.encode_literal_quotes)
         dt = self.datatype
         if dt == NS.XSD_DATETIME:
             text = normalize_datetime(text)

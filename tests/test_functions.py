@@ -73,7 +73,10 @@ def test_encode_reserved_chars():
 
 
 def test_encode_literal():
-    assert encode_literal('say "hi"') == "say %22hi%22"
+    # golden-faithful default: quotes preserved (result1-4.txt)
+    assert encode_literal('say "hi"') == 'say "hi"'
+    # current-code-faithful mode: '"' → %22 (GeneralUtility.scala:25)
+    assert encode_literal('say "hi"', encode_quotes=True) == "say %22hi%22"
     assert encode_literal("back\\slash") == "back/slash"
     assert encode_literal("a___b") == "a_b"
     assert encode_literal("line1\nline2\r") == "line1line2"

@@ -109,8 +109,9 @@ def test_weird_chars_literal_encoding():
     foo_names = [o for (s, p, o, g) in triples
                  if s == f"<{S}547f2a2b31f7a44bec07b221>" and p == f"<{EX}names>"]
     members = _list_members(triples, foo_names[0])
-    # encodeLiteral: '"' -> %22 (GeneralUtility.scala:20-40)
-    assert members[1] == '"#{[|`^@]%22 Foo"^^<http://www.w3.org/2001/XMLSchema#string>'
+    # golden-faithful: raw quote kept (N-Triples-escaped), matching
+    # result1.txt:21 / result4.txt
+    assert members[1] == '"#{[|`^@]\\" Foo"^^<http://www.w3.org/2001/XMLSchema#string>'
 
 
 def test_template_all_groups_empty_yields_no_term():

@@ -1,0 +1,90 @@
+"""Direct P/R against the reference's OWN golden outputs
+(example_mongo/result2.txt, result4.txt — the files the north rule's
+P/R ≥ 0.95 is scored on).  Blank nodes are compared structurally: each
+bnode is replaced by a hash of its (recursive) outgoing-edge closure, so
+label schemes don't matter (FIXTURES.md expected-output conventions)."""
+
+import hashlib
+import json
+
+import pytest
+from fixtures_data import MOVIES, STUDENTS
+
+from morph_xr2rml_spark.local_engine import materialize_local
+from morph_xr2rml_spark.model import MappingDocument
+from morph_xr2rml_spark.translate import format_iri, format_literal
+from morph_xr2rml_spark.turtle import parse_turtle_file
+
+REF = "/root/reference/morph-xr2rml-dist/example_mongo"
+
+
+def _golden_triples(path: str) -> set[tuple]:
+    """Parse a reference golden Turtle file into lexical (s, p, o)."""
+    g = parse_turtle_file(path)
+
+    def term(t):
+        if t[0] == "iri":
+            return format_iri(t[1])
+        if t[0] == "bnode":
+            return "_:" + t[1]
+        return format_literal(t[1], t[2], t[3])
+
+    return {(term(s), term(p), term(o)) for (s, p, o) in g.triples}
+
+
+def _canonicalize_bnodes(triples: set[tuple]) -> set[tuple]:
+    """Replace bnode labels with structural closure hashes."""
+    out_edges: dict[str, list] = {}
+    for s, p, o in triples:
+        if s.startswith("_:"):
+            out_edges.setdefault(s, []).append((p, o))
+
+    memo: dict[str, str] = {}
+
+    def bhash(b: str, depth=0) -> str:
+        if b in memo:
+            return memo[b]
+        if depth > 50:
+            return "_:deep"
+        edges = []
+        for p, o in sorted(out_edges.get(b, [])):
+            o2 = bhash(o, depth + 1) if o.startswith("_:") else o
+            edges.append((p, o2))
+        h = "_:" + hashlib.md5(json.dumps(sorted(edges)).encode()).hexdigest()
+        memo[b] = h
+        return h
+
+    result = set()
+    for s, p, o in triples:
+        s2 = bhash(s) if s.startswith("_:") else s
+        o2 = bhash(o) if o.startswith("_:") else o
+        result.add((s2, p, o2))
+    return result
+
+
+def _pr(ours: set, golden: set) -> tuple[float, float]:
+    tp = len(ours & golden)
+    precision = tp / len(ours) if ours else 1.0
+    recall = tp / len(golden) if golden else 1.0
+    return precision, recall
+
+
+@pytest.mark.parametrize("mapping_file,golden_file,sources", [
+    ("mapping2.ttl", "result2.txt", {"movies": MOVIES}),
+    ("mapping4.ttl", "result4.txt", {"students": STUDENTS}),
+])
+def test_pr_against_reference_golden(mapping_file, golden_file, sources):
+    mapping = MappingDocument.from_file(f"{REF}/{mapping_file}")
+    ours = {(s, p, o) for (s, p, o, g)
+            in materialize_local(mapping, sources)}
+    golden = _golden_triples(f"{REF}/{golden_file}")
+    ours_c = _canonicalize_bnodes(ours)
+    golden_c = _canonicalize_bnodes(golden)
+    precision, recall = _pr(ours_c, golden_c)
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"{golden_file}: P={precision:.3f} R={recall:.3f}\n"
+        f"missing={sorted(golden_c - ours_c)[:5]}\n"
+        f"extra={sorted(ours_c - golden_c)[:5]}")
+    # these two fixtures should in fact be exact
+    assert precision == 1.0 and recall == 1.0, \
+        f"{golden_file}: P={precision} R={recall}"

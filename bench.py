@@ -154,6 +154,47 @@ def q_kg_repo_corpus_pyudf(spark, sf_dir: str):
     return materialize(spark, mapping, catalog)
 
 
+SKEW_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#Child>
+    xrr:logicalSource [ xrr:query "db.skewchild.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/item/{$.uid}" ];
+    rr:predicateObjectMap [ rr:predicate ex:dim;
+      rr:objectMap [ rr:parentTriplesMap <#Dim>;
+                     rr:joinCondition [ rr:child "$.k"; rr:parent "$.k" ] ] ].
+<#Dim>
+    xrr:logicalSource [ xrr:query "db.skewdim.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/dim/{$.k}" ].
+"""
+
+
+def q_kg_skew_join(spark, sf_dir: str):
+    """Hot-key refobjectmap join (north-star skew case): ~50% of child
+    rows share ONE parent key (Zipf head).  Runs through the document
+    engine with explicit key salting; AQE skew-join is on as backstop."""
+    from pyspark.sql import functions as F
+    from morph_xr2rml_spark.engine import materialize
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.sources import SourceCatalog
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # deterministic Zipf-ish key: half the rows hit key 0
+    k = F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 5, F.lit(0)) \
+         .otherwise(F.pmod(F.col("l_orderkey"), F.lit(997)))
+    child = li.select(F.to_json(F.struct(
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("uid"),
+        k.alias("k"))).alias("content")).repartition(64)
+    dim = spark.range(0, 997).select(
+        F.to_json(F.struct(F.col("id").alias("k"))).alias("content"))
+    catalog = (SourceCatalog()
+               .register_collection("skewchild", child)
+               .register_collection("skewdim", dim))
+    mapping = MappingDocument.from_text(SKEW_MAPPING)
+    return materialize(spark, mapping, catalog, salt_partitions=8)
+
+
 def q_kg_tpch(spark, sf_dir: str):
     from morph_xr2rml_spark.examples import kg_tpch_triples, tpch_tables
     tables = tpch_tables(spark, sf_dir)
@@ -169,6 +210,7 @@ def queries():
         "kg_repo_corpus": q_kg_repo_corpus,
         "kg_repo_corpus_pyudf": q_kg_repo_corpus_pyudf,
         "kg_tpch": q_kg_tpch,
+        "kg_skew_join": q_kg_skew_join,
     }
     try:
         from morph_xr2rml_spark.ops import registry

@@ -71,6 +71,7 @@ def _pr(ours: set, golden: set) -> tuple[float, float]:
 
 @pytest.mark.parametrize("mapping_file,golden_file,sources", [
     ("mapping2.ttl", "result2.txt", {"movies": MOVIES}),
+    ("mapping3.ttl", "result3.txt", {"students": STUDENTS}),
     ("mapping4.ttl", "result4.txt", {"students": STUDENTS}),
 ])
 def test_pr_against_reference_golden(mapping_file, golden_file, sources):

@@ -271,8 +271,10 @@ class SparkMaterializer:
                     for r in pom.ref_object_maps)]
         if roms:
             # two consumers (base triples + join rows): avoid recomputing
-            # the JSON-parse-heavy stage
-            child = child.persist()
+            # the JSON-parse-heavy stage; disk overflow for executor-memory
+            # safety at scale
+            from pyspark import StorageLevel
+            child = child.persist(StorageLevel.MEMORY_AND_DISK)
 
         base = child.where(F.col("kind") == 0) \
                     .select("subj", "pred", "obj", "graph")

@@ -221,8 +221,12 @@ def make_sparql_query(name: str):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .sparql import SparqlEngine
-        triples = kg_tpch_triples(spark, sf_dir)
-        return SparqlEngine(triples).sql(sparql_text)
+        # unfused plan: constant preds per union branch so the SPARQL
+        # pattern filters prune non-matching triples maps from the plan
+        mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+        compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
+                                  fuse_projections=False)
+        return SparqlEngine(compiler.triples()).sql(sparql_text)
 
     return run
 

@@ -134,15 +134,24 @@ class NativeCompiler:
                  tables: dict[str, DataFrame],
                  cfg: Optional[EngineConfig] = None,
                  term_style: str = "ntriples",
-                 broadcast_parents: bool = False):
+                 broadcast_parents: bool = False,
+                 fuse_projections: bool = True):
         """term_style: 'ntriples' → canonical lexical forms (engine
-        output); 'plain' → raw value strings (oracle-comparable)."""
+        output); 'plain' → raw value strings (oracle-comparable).
+
+        fuse_projections: True → ONE scan per TM (explode over an array of
+        (pred, obj) structs) — best for materialization throughput.
+        False → one union branch per predicate-object map with a CONSTANT
+        pred per branch, which lets Catalyst constant-fold away branches
+        that a downstream pred filter can't match — best when querying the
+        un-materialized pipeline (SPARQL over the plan)."""
         self.spark = spark
         self.mapping = mapping
         self.tables = tables
         self.cfg = cfg or EngineConfig()
         self.term_style = term_style
         self.broadcast_parents = broadcast_parents
+        self.fuse_projections = fuse_projections
 
     # -- term expressions ----------------------------------------------
     def _source_df(self, tm: TriplesMap) -> DataFrame:
@@ -268,13 +277,21 @@ class NativeCompiler:
                     rom_parts.append(self._rom_triples(df, subj, pred, rom))
 
         parts: list[DataFrame] = []
-        if po_entries:
+        if po_entries and self.fuse_projections:
             fused = df.select(
                 subj, F.explode(F.array(*po_entries)).alias("_po"))
             parts.append(fused.select(
                 "subj", F.col("_po.pred").alias("pred"),
                 F.col("_po.obj").alias("obj"),
                 F.lit(None).cast("string").alias("graph")))
+        elif po_entries:
+            # unfused: one branch per (pred, obj) with constant preds —
+            # prunable by downstream pattern filters
+            for entry in po_entries:
+                parts.append(df.select(
+                    subj, entry["pred"].alias("pred"),
+                    entry["obj"].alias("obj"),
+                    F.lit(None).cast("string").alias("graph")))
         parts.extend(rom_parts)
         out = parts[0]
         for p in parts[1:]:

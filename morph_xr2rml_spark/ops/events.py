@@ -1,0 +1,87 @@
+"""Event-stream batch analytics over the ``events`` table: time-bucketed
+rollups and gap-based sessionization.
+
+The reference has no windowing at all (SURVEY §2.f "absent entirely");
+these are the Spark-native operators a training-data/event pipeline needs.
+Sums use DECIMAL so the DuckDB oracles hash-match exactly (double
+summation order differs between engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup per event type: count, exact decimal sum, min/max."""
+    e = _events(spark, sf_dir)
+    val = F.col("value").cast("decimal(18,6)")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      F.col("event_type"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(val).alias("total_value"),
+                  F.min(val).alias("min_value"),
+                  F.max(val).alias("max_value"))
+             .orderBy("hour", "event_type"))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,6))) AS total_value,
+       min(CAST(value AS DECIMAL(18,6))) AS min_value,
+       max(CAST(value AS DECIMAL(18,6))) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user: a gap > SESSION_GAP_MIN minutes
+    starts a new session.  Classic lag + running-sum window composition;
+    partitioned by user so the shuffle key is the session key."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = SESSION_GAP_MIN * 60
+    new_sess = F.when(
+        (F.unix_timestamp("ts") -
+         F.unix_timestamp(F.lag("ts").over(w))) > gap_s, 1) \
+        .otherwise(0)
+    with_sess = (e.withColumn("_new", F.coalesce(new_sess, F.lit(0)))
+                  .withColumn("session_idx",
+                              F.sum("_new").over(
+                                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (with_sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .orderBy("user_id", "session_idx"))
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sess
+GROUP BY 1, 2
+ORDER BY user_id, session_idx
+"""

@@ -3,11 +3,14 @@
 
 from __future__ import annotations
 
-from . import dedup, similarity, text
+from . import dedup, events, similarity, text
 
 
 def queries():
     return {
+        # event analytics (windowed rollup + sessionization)
+        "events_hourly": events.events_hourly,
+        "events_sessionize": events.events_sessionize,
         # text analysis
         "text_tokens": text.text_tokens,
         "text_quality": text.text_quality,
@@ -32,6 +35,8 @@ def queries():
 
 def oracle_sql():
     return {
+        "events_hourly": events.EVENTS_HOURLY_SQL,
+        "events_sessionize": events.EVENTS_SESSIONIZE_SQL,
         "text_tokens": text.TEXT_TOKENS_SQL,
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,

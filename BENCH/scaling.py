@@ -102,8 +102,16 @@ def main() -> None:
         "```",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually curated addendum sections across protocol reruns
+    addendum = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## Addendum")
+        if idx != -1:
+            addendum = old[idx:]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + addendum)
     print(json.dumps({"efficiency": effs, "written": path}))
 
 

@@ -41,6 +41,7 @@ class Group:
     filters: list = field(default_factory=list)    # filter ASTs
     optionals: list = field(default_factory=list)  # Group
     unions: list = field(default_factory=list)     # [Group, Group]
+    values: list = field(default_factory=list)     # [(var, [lexical terms])]
 
 
 @dataclass
@@ -181,6 +182,15 @@ class _P:
             if t[1].upper() == "FILTER":
                 self.next()
                 g.filters.append(self._filter_expr())
+            elif t[1].upper() == "VALUES":
+                self.next()
+                var = self.next()[1][1:]
+                self.expect("{")
+                terms = []
+                while not (self.peek()[1] == "}"):
+                    terms.append(self._term())
+                self.next()
+                g.values.append((var, terms))
             elif t[1].upper() == "OPTIONAL":
                 self.next()
                 g.optionals.append(self._group())
@@ -384,6 +394,18 @@ class SparqlEngine:
             odf = self._join_group(opt)
             common = [c for c in odf.columns if c in df.columns]
             df = df.join(odf, common, "left") if common else df.crossJoin(odf)
+        for var, terms in g.values:
+            # inline VALUES = membership constraint on the variable's
+            # lexical term forms (the common single-var form)
+            lexicals = []
+            for kind, val in terms:
+                if kind == "iri":
+                    lexicals.append(f"<{val}>")
+                elif kind == "lit":
+                    lexicals.append(val)
+                else:
+                    lexicals.append(str(val))
+            df = df.where(F.col(var).isin(lexicals))
         for flt in g.filters:
             df = df.where(self._filter_col(flt, df))
         return df

@@ -69,3 +69,23 @@ def test_native_gt_in_filters(spark):
     got = {r.subj for r in materialize(spark, mapping, cat).collect()}
     assert got == {"<http://x/6>", "<http://x/7>",    # k > 5
                    "<http://y/3>", "<http://y/5>", "<http://y/7>"}  # tag in a,b
+
+
+def test_values_clause(engine):
+    rows = engine.sql(PREFIX + """
+        SELECT ?m WHERE {
+            ?m a ex:Movie .
+            VALUES ?m { <http://example.org/movies/2046>
+                        <http://example.org/movies/Manhattan> }
+        } ORDER BY ?m""").collect()
+    assert [r.m for r in rows] == ["<http://example.org/movies/2046>",
+                                   "<http://example.org/movies/Manhattan>"]
+
+
+def test_values_literal(engine):
+    rows = engine.sql(PREFIX + """
+        SELECT ?s WHERE {
+            ?s ex:name ?n .
+            VALUES ?n { "Woody Allen" }
+        }""").collect()
+    assert [r.s for r in rows] == ["<http://example.org/director/Woody%20Allen>"]

@@ -332,5 +332,6 @@ class NativeCompiler:
         for p in parts[1:]:
             out = out.unionByName(p)
         if dedup:
-            out = out.dropDuplicates(list(TRIPLE_COLS))
+            from .engine import dedup_triples
+            out = dedup_triples(out)
         return out

@@ -443,7 +443,8 @@ class JsonNativeCompiler:
         for p in parts[1:]:
             out = out.unionByName(p)
         if dedup:
-            out = out.dropDuplicates(["subj", "pred", "obj", "graph"])
+            from .engine import dedup_triples
+            out = dedup_triples(out)
         return out
 
 

@@ -78,8 +78,8 @@ class ResumableMaterializer:
             if done.get(key, {}).get("complete"):
                 continue
             t0 = time.time()
-            triples = self.materializer._tm_triples(tm) \
-                .dropDuplicates(["subj", "pred", "obj", "graph"])
+            from .engine import dedup_triples
+            triples = dedup_triples(self.materializer._tm_triples(tm))
             part_dir = os.path.join(self.out_path, f"tm={key}")
             triples.write.mode("overwrite").parquet(part_dir)
             n = self.spark.read.parquet(part_dir).count()

@@ -16,6 +16,7 @@ def queries():
         "text_quality": text.text_quality,
         "text_langid": text.text_langid,
         "text_fingerprint": text.text_fingerprint,
+        "text_pii_scrub": text.text_pii_scrub,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -41,6 +42,7 @@ def oracle_sql():
         "text_quality": text.TEXT_QUALITY_SQL,
         "text_langid": text.TEXT_LANGID_SQL,
         "text_fingerprint": text.TEXT_FINGERPRINT_SQL,
+        "text_pii_scrub": text.TEXT_PII_SCRUB_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

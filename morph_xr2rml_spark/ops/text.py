@@ -178,3 +178,46 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses (standard pretraining
+    hygiene pass): returns the scrubbed text plus per-kind match counts —
+    all native regexp ops, one pass per pattern."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_email = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(_IPV4_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>")
+    return (d.select("doc_id", n_email.alias("n_email"),
+                     n_phone.alias("n_phone"), n_ip.alias("n_ip"),
+                     F.md5(scrubbed).alias("scrubbed_md5"))
+             .orderBy("doc_id"))
+
+
+TEXT_PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{_PHONE_RE.replace("'", "''")}')) AS n_phone,
+       len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IPV4_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+"""

@@ -55,3 +55,23 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx")
+
+
+def test_pii_scrub_behavior(spark, tmp_path):
+    """The oracle tables contain no PII, so also verify redaction on
+    synthetic text with real emails/phones/IPs."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(1, "contact bob@example.com or +1 (555) 123-4567 at 10.0.0.1 now")],
+        "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.write.parquet(path)
+    from morph_xr2rml_spark.ops.text import text_pii_scrub, _EMAIL_RE, _IPV4_RE, _PHONE_RE
+    row = text_pii_scrub(spark, str(tmp_path)).collect()[0]
+    assert row.n_email == 1 and row.n_ip == 1 and row.n_phone >= 1
+    scrubbed = (df.select(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.col("text"), _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>").alias("t")).collect()[0].t)
+    assert "bob@example.com" not in scrubbed and "<EMAIL>" in scrubbed
+    assert "10.0.0.1" not in scrubbed and "<IP>" in scrubbed
+    assert "555" not in scrubbed and "<PHONE>" in scrubbed

@@ -89,3 +89,21 @@ def test_values_literal(engine):
             VALUES ?n { "Woody Allen" }
         }""").collect()
     assert [r.s for r in rows] == ["<http://example.org/director/Woody%20Allen>"]
+
+
+def test_sparql_over_materialized_store_pushes_down(spark, tmp_path):
+    """Production pattern: materialize once to parquet, query many times —
+    pattern predicates must reach the parquet scan as PushedFilters."""
+    from morph_xr2rml_spark.examples import kg_tpch_triples
+    path = str(tmp_path / "triples.parquet")
+    kg_tpch_triples(spark, "/root/testdata/sf0.001").write.parquet(path)
+    store = spark.read.parquet(path)
+    eng = SparqlEngine(store)
+    df = eng.sql(PREFIX + """
+        SELECT ?c ?n WHERE { ?c ex:inNation ?n }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the pred equality constraint reaches the scan
+    assert "EqualTo(pred,<http://example.com/inNation>)" in plan.replace(" ", "") \
+        or "inNation" in plan[plan.find("PushedFilters"):plan.find("PushedFilters") + 400]
+    assert df.count() > 0

@@ -332,3 +332,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
               .where(F.col("hamming") <= max_hamming)
               .orderBy("doc_a", "doc_b"))
     return pairs
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    """Banded SimHash pair generation as SQL (arithmetic >> sign-extends
+    identically in Spark and DuckDB; & 0xFFFF isolates the band)."""
+    core = _simhash_sql().split("ORDER BY")[0]  # sigs query without order
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 16}) & 65535 AS bh FROM sigs"
+        for b in range(4))
+    return f"""
+WITH sigs AS ({core}),
+buckets AS (
+{bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()

@@ -26,8 +26,8 @@ def queries():
         # similarity
         "sim_cosine_topk": similarity.sim_cosine_topk,
         "sim_ann_lsh_buckets": similarity.sim_ann_lsh_buckets,
-        # Spark-only (no SQL oracle): banded simhash pairs, LSH ANN top-k,
-        # embedding near-dup — rows-only checks
+        # rows-only (no SQL oracle): embedding near-dup (float-threshold
+        # boundary would make the hash compare flaky)
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "sim_ann_lsh_topk": similarity.sim_ann_lsh_topk,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
@@ -50,6 +50,8 @@ def oracle_sql():
         "dedup_simhash": dedup.SIMHASH_SIGNATURES_SQL,
         "sim_cosine_topk": similarity.SIM_COSINE_TOPK_SQL,
         "sim_ann_lsh_buckets": similarity.SIM_ANN_LSH_BUCKETS_SQL,
+        "dedup_simhash_pairs": dedup.DEDUP_SIMHASH_PAIRS_SQL,
+        "sim_ann_lsh_topk": similarity.SIM_ANN_LSH_TOPK_SQL,
     }
 
 

@@ -179,3 +179,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
                          F.floor(cos * 1000).alias("cos_pm"))
                  .where(F.col("cos_pm") >= threshold_pm)
                  .orderBy("vec_a", "vec_b"))
+
+
+def _ann_lsh_topk_sql() -> str:
+    """Bucketed ANN top-k as SQL: same plane literals, same rank rule."""
+    buckets_core = _ann_bucket_sql().split("ORDER BY")[0]
+    return f"""
+WITH buckets AS ({buckets_core}),
+q AS (SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket
+      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE b.vec_id < {N_QUERIES}),
+c AS (SELECT b.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) /
+         (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))) *
+          sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket
+  WHERE c.neighbor_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SIM_ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()

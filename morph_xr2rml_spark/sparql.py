@@ -42,6 +42,7 @@ class Group:
     optionals: list = field(default_factory=list)  # Group
     unions: list = field(default_factory=list)     # [Group, Group]
     values: list = field(default_factory=list)     # [(var, [lexical terms])]
+    binds: list = field(default_factory=list)      # [(var, expr AST)]
 
 
 @dataclass
@@ -68,7 +69,7 @@ _TOKEN = re.compile(r"""
     | (?P<NUM>[+-]?\d+(?:\.\d+)?)
     | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*])
+    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/-])
     | (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
 """, re.VERBOSE)
@@ -191,6 +192,14 @@ class _P:
                     terms.append(self._term())
                 self.next()
                 g.values.append((var, terms))
+            elif t[1].upper() == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self._bind_expr()
+                self.expect("AS")
+                var = self.next()[1][1:]
+                self.expect(")")
+                g.binds.append((var, expr))
             elif t[1].upper() == "OPTIONAL":
                 self.next()
                 g.optionals.append(self._group())
@@ -289,6 +298,48 @@ class _P:
         right = self._operand()
         return ("cmp", op, left, right)
 
+    def _bind_expr(self):
+        """BIND expression subset: CONCAT(...), STR(?x), arithmetic
+        (+ - * /) over vars and numbers, string/number literals."""
+        left = self._bind_term()
+        while True:
+            t = self.peek()
+            if t[1] in ("+", "-", "*", "/"):
+                op = self.next()[1]
+                left = ("arith", op, left, self._bind_term())
+            elif t[0] == "NUM" and t[1][0] in "+-":
+                # the tokenizer folds the sign into the number literal:
+                # '?x + 1' arrives as VAR, NUM('+1') — unfold it here
+                self.next()
+                left = ("arith", t[1][0], left, ("num", float(t[1][1:])))
+            else:
+                break
+        return left
+
+    def _bind_term(self):
+        t = self.peek()
+        if t[0] == "KW" and t[1].upper() == "CONCAT":
+            self.next()
+            self.expect("(")
+            args = [self._bind_expr()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self._bind_expr())
+            self.expect(")")
+            return ("concat", args)
+        if t[0] == "KW" and t[1].upper() == "STR":
+            self.next()
+            self.expect("(")
+            inner = self._operand()
+            self.expect(")")
+            return ("strfn", inner)
+        if t[1] == "(":
+            self.next()
+            e = self._bind_expr()
+            self.expect(")")
+            return e
+        return self._operand()
+
     def _operand(self):
         t = self.next()
         if t[0] == "VAR":
@@ -317,16 +368,22 @@ _LEX_RE = r'^"((?:[^"\\]|\\.)*)"'
 
 
 def lexical_value(col: Column) -> Column:
-    """The plain value of a term: literal lexical form or IRI string."""
-    return (F.when(col.startswith("<"),
-                   F.regexp_replace(col, r"^<|>$", ""))
-             .otherwise(F.regexp_extract(col, _LEX_RE, 1)))
+    """The plain value of a term: literal lexical form, IRI string, or —
+    for plain values produced by BIND — the value itself."""
+    s = col.cast("string")
+    return (F.when(s.startswith("<"), F.regexp_replace(s, r"^<|>$", ""))
+             .when(s.startswith('"'), F.regexp_extract(s, _LEX_RE, 1))
+             .otherwise(s))
 
 
 def numeric_value(col: Column) -> Column:
     # try_cast: non-numeric lexical forms become NULL (ANSI mode is on in
-    # Spark 4 — a plain cast would throw)
-    return F.regexp_extract(col, _LEX_RE, 1).try_cast("double")
+    # Spark 4 — a plain cast would throw).  Plain (BIND-produced) values
+    # cast directly.
+    s = col.cast("string")
+    return (F.when(s.startswith('"'),
+                   F.regexp_extract(s, _LEX_RE, 1).try_cast("double"))
+             .otherwise(s.try_cast("double")))
 
 
 class SparqlEngine:
@@ -394,6 +451,8 @@ class SparqlEngine:
             odf = self._join_group(opt)
             common = [c for c in odf.columns if c in df.columns]
             df = df.join(odf, common, "left") if common else df.crossJoin(odf)
+        for var, expr in g.binds:
+            df = df.withColumn(var, self._bind_col(expr))
         for var, terms in g.values:
             # inline VALUES = membership constraint on the variable's
             # lexical term forms (the common single-var form)
@@ -449,6 +508,39 @@ class SparqlEngine:
                 else F.lit(right[1])
             return ops[op](lcol, rcol)
         raise ValueError(f"unsupported filter {ast!r}")
+
+    def _bind_col(self, ast) -> Column:
+        """BIND expression → Column.  Arithmetic works on extracted
+        numeric values; CONCAT/STR on lexical values; the result is a
+        plain value (not a lexical term form)."""
+        kind = ast[0]
+        if kind == "var":
+            return F.col(ast[1])
+        if kind == "num":
+            return F.lit(ast[1])
+        if kind == "strfn":
+            inner = ast[1]
+            if inner[0] == "var":
+                return lexical_value(F.col(inner[1]))
+            return F.lit(str(inner[1]))
+        if kind == "str":       # string literal operand
+            return F.lit(ast[1])
+        if kind == "iri":
+            return F.lit(ast[1])
+        if kind == "concat":
+            parts = []
+            for a in ast[1]:
+                c = self._bind_col(a)
+                if a[0] == "var":
+                    c = lexical_value(c)
+                parts.append(c.cast("string"))
+            return F.concat(*parts)
+        if kind == "arith":
+            _k, op, l, r = ast
+            lc = numeric_value(F.col(l[1])) if l[0] == "var" else self._bind_col(l)
+            rc = numeric_value(F.col(r[1])) if r[0] == "var" else self._bind_col(r)
+            return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+        raise ValueError(f"unsupported BIND expression {ast!r}")
 
     # -- full query -----------------------------------------------------
     def evaluate(self, q: SelectQuery) -> DataFrame:

@@ -107,3 +107,25 @@ def test_sparql_over_materialized_store_pushes_down(spark, tmp_path):
     assert "EqualTo(pred,<http://example.com/inNation>)" in plan.replace(" ", "") \
         or "inNation" in plan[plan.find("PushedFilters"):plan.find("PushedFilters") + 400]
     assert df.count() > 0
+
+
+def test_bind_arithmetic_and_concat(engine):
+    rows = engine.sql(PREFIX + """
+        SELECT ?s ?double_id ?label WHERE {
+            ?s ex:hasId ?v .
+            BIND(?v * 2 AS ?double_id)
+            BIND(CONCAT("id=", STR(?v)) AS ?label)
+        }""").collect()
+    assert len(rows) == 1
+    assert rows[0].double_id == 26.0
+    assert rows[0].label == "id=13"
+
+
+def test_bind_in_filter_chain(engine):
+    rows = engine.sql(PREFIX + """
+        SELECT ?s WHERE {
+            ?s ex:hasId ?v .
+            BIND(?v + 1 AS ?w)
+            FILTER(?w > 13.5)
+        }""").collect()
+    assert len(rows) == 1

@@ -22,3 +22,14 @@ def spark():
     )
     yield spark
     spark.stop()
+
+
+import os as _os
+
+import pytest as _pytest
+
+# tests that read the reference checkout (mappings, golden outputs) skip
+# cleanly when it isn't present, so the repo is standalone-runnable
+requires_reference = _pytest.mark.skipif(
+    not _os.path.exists("/root/reference"),
+    reason="reference checkout not available")

@@ -14,6 +14,10 @@ from morph_xr2rml_spark.model import MappingDocument
 from morph_xr2rml_spark.sink import ResumableMaterializer, write_ntriples
 from morph_xr2rml_spark.sources import SourceCatalog
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 OUT = "/tmp/mxs_resume_test"
 
 

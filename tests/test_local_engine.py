@@ -9,6 +9,10 @@ from fixtures_data import MAPPING1_PATH, MOVIES, STUDENTS
 from morph_xr2rml_spark.local_engine import materialize_local, to_ntriples
 from morph_xr2rml_spark.model import MappingDocument
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 EX = "http://example.com/"
 S = "http://example.org/student/"
 

@@ -6,6 +6,10 @@ from morph_xr2rml_spark import namespaces as NS
 from morph_xr2rml_spark.model import (CONSTANT, REFERENCE, TEMPLATE,
                                       MappingDocument, parse_mongo_query)
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 
 def test_mapping1_structure():
     doc = MappingDocument.from_file(MAPPING1_PATH)

@@ -9,6 +9,10 @@ from fixtures_data import MOVIES_JSON, STUDENTS, STUDENTS_JSON
 from morph_xr2rml_spark.local_engine import materialize_local
 from morph_xr2rml_spark.model import MappingDocument
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 REF = "/root/reference/morph-xr2rml-dist/example_mongo"
 EX = "http://example.com/"
 OID_SMITH = "547f2a2b31f7a44bec07b21f"

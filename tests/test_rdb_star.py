@@ -10,6 +10,10 @@ import pytest
 from morph_xr2rml_spark.local_engine import materialize_local
 from morph_xr2rml_spark.model import MappingDocument
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 MAPPING = "/root/reference/morph-xr2rml-dist/example_mysql/mapping.ttl"
 EX = "http://example.com/"
 

@@ -15,6 +15,10 @@ from morph_xr2rml_spark.model import MappingDocument
 from morph_xr2rml_spark.translate import format_iri, format_literal
 from morph_xr2rml_spark.turtle import parse_turtle_file
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 REF = "/root/reference/morph-xr2rml-dist/example_mongo"
 
 

@@ -11,6 +11,10 @@ from morph_xr2rml_spark.local_engine import materialize_local
 from morph_xr2rml_spark.model import MappingDocument
 from morph_xr2rml_spark.sources import SourceCatalog
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 
 def _spark_triples(spark, mapping, collections, **kw):
     catalog = SourceCatalog()

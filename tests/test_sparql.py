@@ -8,6 +8,10 @@ from morph_xr2rml_spark.model import MappingDocument
 from morph_xr2rml_spark.sources import SourceCatalog
 from morph_xr2rml_spark.sparql import SparqlEngine, parse_sparql
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 PREFIX = "PREFIX ex: <http://example.com/>\n"
 
 

@@ -11,6 +11,10 @@ from morph_xr2rml_spark.sources import SourceCatalog, mongo_filter_to_column
 from morph_xr2rml_spark.sparql import (SparqlEngine, to_sparql_csv,
                                        to_sparql_json)
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 PREFIX = "PREFIX ex: <http://example.com/>\n"
 
 

@@ -12,6 +12,10 @@ from morph_xr2rml_spark.local_engine import materialize_local
 from morph_xr2rml_spark.model import MappingDocument
 from morph_xr2rml_spark.streaming import stream_triples
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 STREAM_DIR = "/tmp/mxs_stream_in"
 CKPT = "/tmp/mxs_stream_ckpt"
 

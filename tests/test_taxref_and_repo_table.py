@@ -13,6 +13,10 @@ from morph_xr2rml_spark.model import MappingDocument
 from morph_xr2rml_spark.sources import SourceCatalog
 from morph_xr2rml_spark.translate import CompiledTriplesMap, EngineConfig
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 TAXREF_DIR = "/root/reference/morph-xr2rml-dist/example_taxref_rewriting"
 
 

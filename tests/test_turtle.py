@@ -3,6 +3,10 @@
 from morph_xr2rml_spark import namespaces as NS
 from morph_xr2rml_spark.turtle import parse_turtle, parse_turtle_file
 
+from conftest import requires_reference
+
+pytestmark = requires_reference
+
 REF = "/root/reference/morph-xr2rml-dist/example_mongo"
 
 

@@ -241,7 +241,7 @@ class _P:
         s = self._term()
         out = []
         while True:
-            p = self._term()
+            p = self._pred_path()
             o = self._term()
             out.append(TriplePattern(s, p, o))
             if self.peek()[1] == ";":
@@ -249,6 +249,25 @@ class _P:
                 continue
             break
         return out
+
+    def _pred_path(self):
+        """Predicate position: IRI, variable, or a property path —
+        sequence `p1/p2/...`, transitive `p+`, reflexive-transitive `p*`."""
+        first = self._path_elt()
+        if self.peek()[1] != "/":
+            return first
+        elts = [first]
+        while self.peek()[1] == "/":
+            self.next()
+            elts.append(self._path_elt())
+        return ("seq", elts)
+
+    def _path_elt(self):
+        t = self._term()
+        if t[0] == "iri" and self.peek()[1] in ("+", "*"):
+            mod = self.next()[1]
+            return ("plus" if mod == "+" else "star", t[1])
+        return t
 
     # filter expression: precedence || < && < comparison < unary
     def _filter_expr(self):
@@ -391,8 +410,10 @@ class SparqlEngine:
     triple DataFrame.  Variable bindings are the canonical lexical term
     strings; projection returns them as columns named after the vars."""
 
-    def __init__(self, triples: DataFrame):
+    def __init__(self, triples: DataFrame, path_max_hops: int = 16):
         self.triples = triples.select("subj", "pred", "obj")
+        # bound on transitive-closure iterations for p+/p* property paths
+        self.path_max_hops = path_max_hops
 
     def sql(self, query_text: str) -> DataFrame:
         return self.evaluate(parse_sparql(query_text))
@@ -403,8 +424,73 @@ class SparqlEngine:
             raise ValueError("not an ASK query")
         return self._join_group(q.where).limit(1).count() > 0
 
+    # -- property paths ----------------------------------------------------
+    def _iri_pairs(self, iri: str) -> DataFrame:
+        return (self.triples.where(F.col("pred") == f"<{iri}>")
+                .select(F.col("subj").alias("ps"), F.col("obj").alias("po")))
+
+    def _path_pairs(self, pred) -> DataFrame:
+        """(ps, po) pairs reachable via the property path.  Transitive
+        closure is an iterated self-join with frontier-based termination
+        (bounded by path_max_hops — the DataFrame equivalent of semi-naive
+        datalog evaluation)."""
+        kind = pred[0]
+        if kind == "iri":
+            return self._iri_pairs(pred[1])
+        if kind == "seq":
+            elts = pred[1]
+            out = self._path_pairs(elts[0])
+            for elt in elts[1:]:
+                nxt = self._path_pairs(elt).withColumnRenamed("ps", "_mid") \
+                                           .withColumnRenamed("po", "_po2")
+                out = (out.join(nxt, out["po"] == nxt["_mid"])
+                          .select(F.col("ps"), F.col("_po2").alias("po")))
+            return out
+        if kind in ("plus", "star"):
+            base = self._iri_pairs(pred[1]).distinct().cache()
+            closure = base
+            frontier = base
+            for _ in range(self.path_max_hops):
+                step = (frontier.alias("f")
+                        .join(base.alias("b"),
+                              F.col("f.po") == F.col("b.ps"))
+                        .select(F.col("f.ps").alias("ps"),
+                                F.col("b.po").alias("po")).distinct())
+                new = step.join(closure, ["ps", "po"], "left_anti").cache()
+                if new.isEmpty():
+                    break
+                closure = closure.unionByName(new)
+                frontier = new
+            if kind == "star":
+                nodes = (self.triples.select(F.col("subj").alias("n"))
+                         .unionByName(self.triples.select(
+                             F.col("obj").alias("n"))).distinct())
+                identity = nodes.select(F.col("n").alias("ps"),
+                                        F.col("n").alias("po"))
+                closure = closure.unionByName(identity).distinct()
+            return closure
+        raise ValueError(f"unsupported property path {pred!r}")
+
+    def _path_pattern_df(self, tp: TriplePattern) -> DataFrame:
+        pairs = self._path_pairs(tp.p)
+        sel = []
+        for role, term in (("ps", tp.s), ("po", tp.o)):
+            kind, val = term
+            if kind == "var":
+                sel.append(F.col(role).alias(val))
+            elif kind == "iri":
+                pairs = pairs.where(F.col(role) == f"<{val}>")
+            elif kind == "lit":
+                pairs = pairs.where(F.col(role).startswith(val))
+        if tp.s[0] == "var" and tp.o[0] == "var" and tp.s[1] == tp.o[1]:
+            pairs = pairs.where(F.col("ps") == F.col("po"))
+            sel = [F.col("ps").alias(tp.s[1])]
+        return pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("_p"))
+
     # -- algebra -----------------------------------------------------------
     def _pattern_df(self, tp: TriplePattern, idx: int) -> DataFrame:
+        if tp.p[0] in ("seq", "plus", "star"):
+            return self._path_pattern_df(tp)
         df = self.triples
         sel = []
         bound: dict[str, str] = {}

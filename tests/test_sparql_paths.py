@@ -1,0 +1,87 @@
+"""SPARQL property paths over a TAXREF-like hierarchy: sequence paths,
+transitive closure (p+), reflexive-transitive (p*)."""
+
+import json
+
+import pytest
+
+from morph_xr2rml_spark.engine import materialize
+from morph_xr2rml_spark.model import MappingDocument
+from morph_xr2rml_spark.sources import SourceCatalog
+from morph_xr2rml_spark.sparql import SparqlEngine
+
+PREFIX = "PREFIX ex: <http://example.com/>\n"
+
+MAPPING = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex: <http://example.com/> .
+<#Taxa>
+    xrr:logicalSource [ xrr:query "db.taxa.find({})" ];
+    rr:subjectMap [ rr:template "http://t/{$.code}"; rr:class ex:Taxon ];
+    rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ xrr:reference "$.name" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:parent;
+      rr:objectMap [ rr:parentTriplesMap <#Taxa>;
+                     rr:joinCondition [ rr:child "$.parent"; rr:parent "$.code" ] ] ].
+"""
+
+# 3-level tree: KD ← PH0/PH1 ← CL00..CL11
+DOCS = [{"code": "KD", "name": "Kingdom"},
+        {"code": "PH0", "parent": "KD", "name": "Phylum 0"},
+        {"code": "PH1", "parent": "KD", "name": "Phylum 1"},
+        {"code": "CL00", "parent": "PH0", "name": "Class 0.0"},
+        {"code": "CL01", "parent": "PH0", "name": "Class 0.1"},
+        {"code": "CL10", "parent": "PH1", "name": "Class 1.0"}]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    mapping = MappingDocument.from_text(MAPPING)
+    cat = SourceCatalog().register_collection(
+        "taxa", spark.createDataFrame([(json.dumps(d),) for d in DOCS],
+                                      "content string"))
+    return SparqlEngine(materialize(spark, mapping, cat).cache())
+
+
+def test_sequence_path(engine):
+    # grandparent name via parent/parent... here parent/name: class → its
+    # phylum's name
+    rows = engine.sql(PREFIX + """
+        SELECT ?c ?pn WHERE { ?c ex:parent/ex:name ?pn }
+    """).collect()
+    by_c = {r.c: r.pn for r in rows}
+    assert by_c["<http://t/CL00>"] == '"Phylum 0"'
+    assert by_c["<http://t/PH1>"] == '"Kingdom"'
+
+
+def test_transitive_plus(engine):
+    rows = engine.sql(PREFIX + """
+        SELECT ?a ?anc WHERE { ?a ex:parent+ ?anc }
+    """).collect()
+    pairs = {(r.a, r.anc) for r in rows}
+    # one hop and two hops both present
+    assert ("<http://t/CL00>", "<http://t/PH0>") in pairs
+    assert ("<http://t/CL00>", "<http://t/KD>") in pairs
+    assert ("<http://t/PH0>", "<http://t/KD>") in pairs
+    # no self pairs, no downward edges
+    assert not any(a == b for (a, b) in pairs)
+    # total: 5 one-hop + 3 two-hop
+    assert len(pairs) == 8
+
+
+def test_star_includes_identity(engine):
+    rows = engine.sql(PREFIX + """
+        SELECT ?anc WHERE { <http://t/CL00> ex:parent* ?anc }
+    """).collect()
+    ancs = {r.anc for r in rows}
+    assert ancs == {"<http://t/CL00>", "<http://t/PH0>", "<http://t/KD>"}
+
+
+def test_path_join_with_pattern(engine):
+    # all taxa whose (transitive) ancestor is the kingdom AND have a name
+    rows = engine.sql(PREFIX + """
+        SELECT ?a ?n WHERE {
+            ?a ex:parent+ <http://t/KD> .
+            ?a ex:name ?n .
+        }""").collect()
+    assert len(rows) == 5  # everything but KD itself

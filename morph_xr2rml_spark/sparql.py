@@ -69,7 +69,7 @@ _TOKEN = re.compile(r"""
     | (?P<NUM>[+-]?\d+(?:\.\d+)?)
     | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/-])
+    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/^-])
     | (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
 """, re.VERBOSE)
@@ -263,11 +263,15 @@ class _P:
         return ("seq", elts)
 
     def _path_elt(self):
+        inverse = False
+        if self.peek()[1] == "^":
+            self.next()
+            inverse = True
         t = self._term()
         if t[0] == "iri" and self.peek()[1] in ("+", "*"):
             mod = self.next()[1]
-            return ("plus" if mod == "+" else "star", t[1])
-        return t
+            t = ("plus" if mod == "+" else "star", t[1])
+        return ("inv", t) if inverse else t
 
     # filter expression: precedence || < && < comparison < unary
     def _filter_expr(self):
@@ -437,6 +441,10 @@ class SparqlEngine:
         kind = pred[0]
         if kind == "iri":
             return self._iri_pairs(pred[1])
+        if kind == "inv":
+            inner = self._path_pairs(pred[1])
+            return inner.select(F.col("po").alias("ps"),
+                                F.col("ps").alias("po"))
         if kind == "seq":
             elts = pred[1]
             out = self._path_pairs(elts[0])
@@ -489,7 +497,7 @@ class SparqlEngine:
 
     # -- algebra -----------------------------------------------------------
     def _pattern_df(self, tp: TriplePattern, idx: int) -> DataFrame:
-        if tp.p[0] in ("seq", "plus", "star"):
+        if tp.p[0] in ("seq", "plus", "star", "inv"):
             return self._path_pattern_df(tp)
         df = self.triples
         sel = []

@@ -85,3 +85,19 @@ def test_path_join_with_pattern(engine):
             ?a ex:name ?n .
         }""").collect()
     assert len(rows) == 5  # everything but KD itself
+
+
+def test_inverse_path(engine):
+    # children of the kingdom via ^parent
+    rows = engine.sql(PREFIX + """
+        SELECT ?child WHERE { <http://t/KD> ^ex:parent ?child }
+    """).collect()
+    assert {r.child for r in rows} == {"<http://t/PH0>", "<http://t/PH1>"}
+
+
+def test_inverse_transitive(engine):
+    # all descendants of the kingdom
+    rows = engine.sql(PREFIX + """
+        SELECT ?d WHERE { <http://t/KD> ^ex:parent+ ?d }
+    """).collect()
+    assert len(rows) == 5

@@ -43,6 +43,7 @@ class Group:
     unions: list = field(default_factory=list)     # [Group, Group]
     values: list = field(default_factory=list)     # [(var, [lexical terms])]
     binds: list = field(default_factory=list)      # [(var, expr AST)]
+    graphs: list = field(default_factory=list)     # [(graph term, Group)]
 
 
 @dataclass
@@ -203,6 +204,10 @@ class _P:
             elif t[1].upper() == "OPTIONAL":
                 self.next()
                 g.optionals.append(self._group())
+            elif t[1].upper() == "GRAPH":
+                self.next()
+                gterm = self._term()
+                g.graphs.append((gterm, self._group()))
             elif t[1] == "{":
                 left = self._group()
                 self.expect("UNION")
@@ -415,7 +420,15 @@ class SparqlEngine:
     strings; projection returns them as columns named after the vars."""
 
     def __init__(self, triples: DataFrame, path_max_hops: int = 16):
-        self.triples = triples.select("subj", "pred", "obj")
+        # keep the graph column when present: GRAPH clauses query it;
+        # patterns outside GRAPH match only the default graph (NULL)
+        self.has_graph = "graph" in triples.columns
+        self.quads = (triples.select("subj", "pred", "obj", "graph")
+                      if self.has_graph else
+                      triples.select("subj", "pred", "obj",
+                                     F.lit(None).cast("string").alias("graph")))
+        self.triples = self.quads.where(F.col("graph").isNull()) \
+                                 .select("subj", "pred", "obj")
         # bound on transitive-closure iterations for p+/p* property paths
         self.path_max_hops = path_max_hops
 
@@ -496,11 +509,22 @@ class SparqlEngine:
         return pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("_p"))
 
     # -- algebra -----------------------------------------------------------
-    def _pattern_df(self, tp: TriplePattern, idx: int) -> DataFrame:
+    def _pattern_df(self, tp: TriplePattern, idx: int,
+                    graph_term=None) -> DataFrame:
         if tp.p[0] in ("seq", "plus", "star", "inv"):
             return self._path_pattern_df(tp)
-        df = self.triples
+        if graph_term is None:
+            df = self.triples
+        elif graph_term[0] == "iri":
+            df = self.quads.where(
+                F.col("graph") == f"<{graph_term[1]}>") \
+                .select("subj", "pred", "obj")
+        else:  # graph variable: bind it
+            df = self.quads.where(F.col("graph").isNotNull()) \
+                .withColumnRenamed("graph", graph_term[1])
         sel = []
+        if graph_term is not None and graph_term[0] == "var":
+            sel.append(F.col(graph_term[1]))
         bound: dict[str, str] = {}
         for role, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
             kind, val = term
@@ -519,15 +543,22 @@ class SparqlEngine:
                 df = df.where(numeric_value(F.col(role)) == float(val))
         return df.select(*sel) if sel else df.select(F.lit(1).alias(f"_c{idx}"))
 
-    def _join_group(self, g: Group) -> DataFrame:
+    def _join_group(self, g: Group, graph_term=None) -> DataFrame:
         df: Optional[DataFrame] = None
         for i, tp in enumerate(g.patterns):
-            pdf = self._pattern_df(tp, i)
+            pdf = self._pattern_df(tp, i, graph_term)
             if df is None:
                 df = pdf
             else:
                 common = [c for c in pdf.columns if c in df.columns]
                 df = df.join(pdf, common) if common else df.crossJoin(pdf)
+        for gterm, sub in g.graphs:
+            gdf = self._join_group(sub, graph_term=gterm)
+            if df is None:
+                df = gdf
+            else:
+                common = [c for c in gdf.columns if c in df.columns]
+                df = df.join(gdf, common) if common else df.crossJoin(gdf)
         for left, right in g.unions:
             udf_ = self._join_group(left)
             rdf_ = self._join_group(right)

@@ -101,3 +101,55 @@ def test_inverse_transitive(engine):
         SELECT ?d WHERE { <http://t/KD> ^ex:parent+ ?d }
     """).collect()
     assert len(rows) == 5
+
+
+GRAPH_MAPPING = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex: <http://example.com/> .
+<#T> xrr:logicalSource [ xrr:query "db.d.find({})" ];
+  rr:subjectMap [ rr:template "http://x/{$.k}" ];
+  rr:predicateObjectMap [
+      rr:predicate ex:p;
+      rr:objectMap [ xrr:reference "$.v" ];
+      rr:graphMap [ rr:template "http://graphs/{$.part}" ];
+  ];
+  rr:predicateObjectMap [
+      rr:predicate ex:q;
+      rr:objectMap [ xrr:reference "$.v" ];
+  ].
+"""
+
+
+@pytest.fixture(scope="module")
+def graph_engine(spark):
+    mapping = MappingDocument.from_text(GRAPH_MAPPING)
+    docs = [{"k": 1, "v": "a", "part": "p0"}, {"k": 2, "v": "b", "part": "p1"}]
+    cat = SourceCatalog().register_collection(
+        "d", spark.createDataFrame([(json.dumps(d),) for d in docs],
+                                   "content string"))
+    return SparqlEngine(materialize(spark, mapping, cat).cache())
+
+
+def test_graph_variable(graph_engine):
+    rows = graph_engine.sql(PREFIX + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?v } } ORDER BY ?g
+    """).collect()
+    assert [(r.g, r.s) for r in rows] == [
+        ("<http://graphs/p0>", "<http://x/1>"),
+        ("<http://graphs/p1>", "<http://x/2>")]
+
+
+def test_graph_constant(graph_engine):
+    rows = graph_engine.sql(PREFIX + """
+        SELECT ?s WHERE { GRAPH <http://graphs/p0> { ?s ex:p ?v } }
+    """).collect()
+    assert [r.s for r in rows] == ["<http://x/1>"]
+
+
+def test_default_graph_excludes_named(graph_engine):
+    # ex:p triples live only in named graphs; ex:q in the default graph
+    assert graph_engine.sql(
+        PREFIX + "SELECT ?s WHERE { ?s ex:p ?v }").count() == 0
+    assert graph_engine.sql(
+        PREFIX + "SELECT ?s WHERE { ?s ex:q ?v }").count() == 2

@@ -57,6 +57,7 @@ class SelectQuery:
     limit: Optional[int] = None
     offset: Optional[int] = None
     is_ask: bool = False
+    construct: Optional[list] = None    # [TriplePattern] template
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +123,15 @@ class _P:
             q = SelectQuery(variables=["*"], aggregates=[])
             q.is_ask = True
             q.where = self._group()
+            return q
+        if self.kw("CONSTRUCT"):
+            q = SelectQuery(variables=["*"], aggregates=[])
+            tmpl_group = self._group()
+            q.construct = tmpl_group.patterns
+            self.expect("WHERE")
+            q.where = self._group()
+            if self.kw("LIMIT"):
+                q.limit = int(self.next()[1])
             return q
         self.expect("SELECT")
         q = SelectQuery(variables=[], aggregates=[])
@@ -668,6 +678,38 @@ class SparqlEngine:
         raise ValueError(f"unsupported BIND expression {ast!r}")
 
     # -- full query -----------------------------------------------------
+    def construct(self, query_text: str) -> DataFrame:
+        """CONSTRUCT → a new (subj, pred, obj) triple DataFrame from the
+        template applied to every WHERE binding (the reference's
+        CONSTRUCT answering, MorphMongoQueryProcessor.scala:118-138 —
+        here it's projection + union + distinct)."""
+        q = parse_sparql(query_text)
+        if q.construct is None:
+            raise ValueError("not a CONSTRUCT query")
+        bindings = self._join_group(q.where)
+
+        def term_col(term) -> Column:
+            kind, val = term
+            if kind == "var":
+                return F.col(val)
+            if kind == "iri":
+                return F.lit(f"<{val}>")
+            return F.lit(val)  # literal lexical form
+
+        parts = []
+        for tp in q.construct:
+            parts.append(bindings.select(term_col(tp.s).alias("subj"),
+                                         term_col(tp.p).alias("pred"),
+                                         term_col(tp.o).alias("obj")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.where(F.col("subj").isNotNull() & F.col("obj").isNotNull()) \
+                 .distinct()
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
     def evaluate(self, q: SelectQuery) -> DataFrame:
         df = self._join_group(q.where)
         if q.aggregates:

@@ -153,3 +153,19 @@ def test_default_graph_excludes_named(graph_engine):
         PREFIX + "SELECT ?s WHERE { ?s ex:p ?v }").count() == 0
     assert graph_engine.sql(
         PREFIX + "SELECT ?s WHERE { ?s ex:q ?v }").count() == 2
+
+
+def test_construct(engine):
+    out = engine.construct(PREFIX + """
+        CONSTRUCT { ?a ex:ancestor ?anc . ?anc ex:descendant ?a }
+        WHERE { ?a ex:parent+ ?anc }""")
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("<http://t/CL00>", "<http://example.com/ancestor>",
+            "<http://t/KD>") in rows
+    assert ("<http://t/KD>", "<http://example.com/descendant>",
+            "<http://t/CL00>") in rows
+    assert len(rows) == 16  # 8 closure pairs x 2 template triples
+    # the constructed graph is itself queryable
+    e2 = SparqlEngine(out)
+    n = e2.sql(PREFIX + "SELECT ?x WHERE { ?x ex:ancestor <http://t/KD> }").count()
+    assert n == 5

@@ -3,8 +3,12 @@ rollups and gap-based sessionization.
 
 The reference has no windowing at all (SURVEY §2.f "absent entirely");
 these are the Spark-native operators a training-data/event pipeline needs.
-Sums use DECIMAL so the DuckDB oracles hash-match exactly (double
-summation order differs between engines)."""
+
+Output canonicalization: every emitted cell is a STRING or BIGINT —
+timestamps are formatted ('yyyy-MM-dd HH:mm:ss[.ffffff]') and money-ish
+doubles are quantized to BIGINT micros per row BEFORE aggregation, so the
+value-hash compare against the DuckDB oracle is representation-exact
+(native timestamp/decimal rendering differs between engines)."""
 
 from __future__ import annotations
 
@@ -18,25 +22,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly rollup per event type: count, exact decimal sum, min/max."""
+    """Hourly rollup per event type: count, exact integer-micro sum/min/max.
+    `value` is quantized to BIGINT micros per row (exact in both engines:
+    |value|*1e6 << 2^53, and the BIGINT sum is order-independent)."""
     e = _events(spark, sf_dir)
-    val = F.col("value").cast("decimal(18,6)")
-    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+    micros = F.round(F.col("value") * 1000000).cast("long")
+    return (e.groupBy(F.date_format(F.date_trunc("hour", F.col("ts")),
+                                    "yyyy-MM-dd HH:mm:ss").alias("hour"),
                       F.col("event_type"))
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(val).alias("total_value"),
-                  F.min(val).alias("min_value"),
-                  F.max(val).alias("max_value"))
+                  F.sum(micros).alias("total_value_micros"),
+                  F.min(micros).alias("min_value_micros"),
+                  F.max(micros).alias("max_value_micros"))
              .orderBy("hour", "event_type"))
 
 
 EVENTS_HOURLY_SQL = """
-SELECT date_trunc('hour', ts) AS hour,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,6))) AS total_value,
-       min(CAST(value AS DECIMAL(18,6))) AS min_value,
-       max(CAST(value AS DECIMAL(18,6))) AS max_value
+       sum(CAST(round(value * 1000000) AS BIGINT)) AS total_value_micros,
+       min(CAST(round(value * 1000000) AS BIGINT)) AS min_value_micros,
+       max(CAST(round(value * 1000000) AS BIGINT)) AS max_value_micros
 FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
@@ -58,10 +65,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .withColumn("session_idx",
                               F.sum("_new").over(
                                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return (with_sess.groupBy("user_id", "session_idx")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end"))
+                 F.date_format(F.min("ts"), fmt).alias("session_start"),
+                 F.date_format(F.max("ts"), fmt).alias("session_end"))
             .orderBy("user_id", "session_idx"))
 
 
@@ -79,8 +87,8 @@ sess AS (
   FROM flagged)
 SELECT user_id, session_idx,
        count(*) AS n_events,
-       min(ts) AS session_start,
-       max(ts) AS session_end
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
 FROM sess
 GROUP BY 1, 2
 ORDER BY user_id, session_idx

@@ -26,8 +26,6 @@ def queries():
         # similarity
         "sim_cosine_topk": similarity.sim_cosine_topk,
         "sim_ann_lsh_buckets": similarity.sim_ann_lsh_buckets,
-        # rows-only (no SQL oracle): embedding near-dup (float-threshold
-        # boundary would make the hash compare flaky)
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "sim_ann_lsh_topk": similarity.sim_ann_lsh_topk,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
@@ -52,6 +50,7 @@ def oracle_sql():
         "sim_ann_lsh_buckets": similarity.SIM_ANN_LSH_BUCKETS_SQL,
         "dedup_simhash_pairs": dedup.DEDUP_SIMHASH_PAIRS_SQL,
         "sim_ann_lsh_topk": similarity.SIM_ANN_LSH_TOPK_SQL,
+        "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_COSINE_SQL,
     }
 
 

@@ -159,26 +159,86 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy("query_id", "rank"))
 
 
-# embedding-cosine near-duplicate pairs (dedup by embedding similarity)
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup by embedding similarity)
+#
+# Exactness design: floats never cross the comparison. Vectors are
+# quantized per component to BIGINT (floor(x * QUANT) — floor of an IEEE
+# double product is bit-identical across engines), and the threshold test
+# cos(a,b) >= NUM/DEN is evaluated cross-multiplied in integers:
+#     dot > 0  AND  dot² · DEN² >= NUM² · |a|²·|b|²
+# With |x| <= ~0.6, DIM=64, QUANT=1000: dot <= ~2e7, dot² <= ~4e14,
+# ×DEN²=400 <= ~2e17 — comfortably inside BIGINT (and HUGEINT in DuckDB).
+# ---------------------------------------------------------------------------
+
+COS_QUANT = 1000
+COS_NUM = 7      # gate threshold 7/20 = 0.35 — the synthetic embeddings
+COS_DEN = 20     # are random (max pairwise cos ≈ 0.51): 0.95 would always
+                 # return zero rows, proving nothing
+
+
+def _qvec(col):
+    """Quantize a float vector to BIGINT components (portable)."""
+    return F.transform(col.cast("array<double>"),
+                       lambda x: F.floor(x * COS_QUANT))
+
+
+def _idot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
-                           threshold_pm: int = 950) -> DataFrame:
-    """Near-dup pairs with cosine ≥ threshold_pm/1000, LSH-bucketed.
-    Integer threshold on floor(cos*1000) keeps the comparison portable."""
+                           num: int = COS_NUM, den: int = COS_DEN) -> DataFrame:
+    """Near-dup pairs with quantized cosine ≥ num/den, LSH-bucketed so
+    candidates only join within a bucket (the 100-TB path: no all-pairs).
+    Integer cross-multiplied comparison — exact DuckDB oracle."""
     emb = _emb(spark, sf_dir)
-    sig = emb.select("vec_id", "embedding",
+    sig = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"),
                      lsh_signature_col(F.col("embedding")).alias("bucket"))
-    a = sig.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("va"), "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("vb"), "bucket")
+    # squared norm computed once per vector, before the self-join
+    sig = sig.withColumn("n2", _idot(F.col("qv"), F.col("qv")))
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+                   F.col("n2").alias("na2"), "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+                   F.col("n2").alias("nb2"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    va = F.col("va").cast("array<double>")
-    vb = F.col("vb").cast("array<double>")
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
-    return (pairs.select("vec_a", "vec_b",
-                         F.floor(cos * 1000).alias("cos_pm"))
-                 .where(F.col("cos_pm") >= threshold_pm)
+    dot = _idot(F.col("qa"), F.col("qb"))
+    keep = (dot > 0) & (dot * dot * (den * den) >=
+                        F.col("na2") * F.col("nb2") * (num * num))
+    return (pairs.where(keep)
+                 .select("vec_a", "vec_b")
+                 .distinct()
                  .orderBy("vec_a", "vec_b"))
+
+
+def _dedup_embedding_cosine_sql(num: int = COS_NUM, den: int = COS_DEN) -> str:
+    buckets_core = _ann_bucket_sql().split("ORDER BY")[0]
+    return f"""
+WITH buckets AS ({buckets_core}),
+qvecs AS (
+  SELECT e.vec_id, b.bucket,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {COS_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+normed AS (
+  SELECT vec_id, bucket, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS n2
+  FROM qvecs),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.n2 AS na2, b.n2 AS nb2,
+         list_sum(list_transform(list_zip(a.qv, b.qv),
+                                 x -> x[1] * x[2])) AS dot
+  FROM normed a
+  JOIN normed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT DISTINCT vec_a, vec_b
+FROM pairs
+WHERE dot > 0 AND dot * dot * {den * den} >= na2 * nb2 * {num * num}
+ORDER BY vec_a, vec_b
+"""
+
+
+DEDUP_EMBEDDING_COSINE_SQL = _dedup_embedding_cosine_sql()
 
 
 def _ann_lsh_topk_sql() -> str:

@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name in examples.SPARQL_QUERIES:
         q[name] = examples.make_sparql_query(name)
+    for name, (fn, _sql) in examples.EXTRA_QUERIES.items():
+        q[name] = fn
     try:
         from morph_xr2rml_spark.ops import registry as ops_registry
         q.update(ops_registry.queries())
@@ -52,6 +54,8 @@ def oracle_sql() -> dict[str, str]:
     }
     for name in examples.SPARQL_QUERIES:
         o[name] = examples.sparql_oracle_sql(name)
+    for name, (_fn, sql) in examples.EXTRA_QUERIES.items():
+        o[name] = sql
     try:
         from morph_xr2rml_spark.ops import registry as ops_registry
         o.update(ops_registry.oracle_sql())

@@ -228,15 +228,21 @@ class SparkMaterializer:
     def __init__(self, spark: SparkSession, mapping: MappingDocument,
                  catalog: SourceCatalog, cfg: Optional[EngineConfig] = None,
                  salt_partitions: int = 0,
-                 tm_limit: Optional[int] = None):
+                 tm_limit: Optional[int] = None,
+                 tm_offset: Optional[int] = None):
         self.spark = spark
         self.mapping = mapping
         self.catalog = catalog
         self.cfg = cfg or EngineConfig()
         self.salt_partitions = salt_partitions
-        # per-triples-map source row limit — the reference's
-        # datatranslation.limit/offset config (MorphRDBUnfolder.scala:328-346)
+        # per-triples-map source row limit/offset — the reference's
+        # datatranslation.limit/offset config (MorphProperties.scala:218-219,
+        # applied as "LIMIT x OFFSET y" in SQLQuery.scala:392,410):
+        # OFFSET skips first, LIMIT caps what remains
         self.tm_limit = tm_limit
+        self.tm_offset = tm_offset
+        # children persisted for ROM reuse; release via cleanup()
+        self._persisted: list[DataFrame] = []
         self._rom_bases: dict[str, int] = {}
         base = 0
         for name, tm in mapping.triples_maps.items():
@@ -277,6 +283,8 @@ class SparkMaterializer:
     def _tm_triples(self, tm: TriplesMap) -> DataFrame:
         rom_base = self._rom_bases[tm.name]
         src, py_filter = self._source_and_pyfilter(tm)
+        if self.tm_offset is not None:
+            src = src.offset(self.tm_offset)
         if self.tm_limit is not None:
             src = src.limit(self.tm_limit)
         child = src.mapInPandas(
@@ -292,6 +300,7 @@ class SparkMaterializer:
             # safety at scale
             from pyspark import StorageLevel
             child = child.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted.append(child)
 
         base = child.where(F.col("kind") == 0) \
                     .select("subj", "pred", "obj", "graph")
@@ -303,10 +312,24 @@ class SparkMaterializer:
             out = out.unionByName(p)
         return out
 
+    def cleanup(self) -> None:
+        """Unpersist the child stages cached for ROM reuse.  Call after the
+        returned DataFrame has been materialized (written / collected) —
+        long-lived sessions running many materializations would otherwise
+        accumulate executor storage until eviction pressure."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
+
     def _rom_triples(self, child: DataFrame, rom_id: int, rom) -> DataFrame:
         """One referencing-object-map: equi-join replacing the reference's
         nested-loop set-intersection join
         (MorphMongoDataTranslator.scala:133-182)."""
+        if not rom.join_conditions:
+            # the reference intersects the per-condition parent-subject sets;
+            # the intersection of ZERO sets is List() (GeneralUtility.
+            # intersectMultipleTermSets) — a no-condition ROM yields nothing
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         parent_tm = self.mapping.triples_maps[rom.parent_tm]
         psrc, p_pyfilter = self._source_and_pyfilter(parent_tm)
         parent_refs = [jc.parent_ref for jc in rom.join_conditions]

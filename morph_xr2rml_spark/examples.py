@@ -237,6 +237,50 @@ def sparql_oracle_sql(name: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Deep transitive closure: a 25-node chain (nation keys 0..24 linked by
+# ex:next) is deeper than any fixed hop bound — the query only answers
+# correctly when the closure truly runs to fixpoint (24 hops).
+# ---------------------------------------------------------------------------
+
+def _nation_chain_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+             .select(F.col("n_nationkey").alias("k"))
+    return (n.alias("x")
+             .join(n.alias("y"), F.col("x.k") + 1 == F.col("y.k"))
+             .select(F.concat(F.lit("<urn:n"), F.col("x.k").cast("string"),
+                              F.lit(">")).alias("subj"),
+                     F.lit("<http://example.com/next>").alias("pred"),
+                     F.concat(F.lit("<urn:n"), F.col("y.k").cast("string"),
+                              F.lit(">")).alias("obj"),
+                     F.lit(None).cast("string").alias("graph")))
+
+
+def sparql_path_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import SparqlEngine
+    eng = SparqlEngine(_nation_chain_triples(spark, sf_dir))
+    return eng.sql(SPARQL_PREFIX +
+                   "SELECT ?a ?b WHERE { ?a ex:next+ ?b . } ORDER BY ?a ?b")
+
+
+SPARQL_PATH_DEEP_SQL = """
+WITH RECURSIVE base AS (
+  SELECT '<urn:n' || x.n_nationkey || '>' AS a,
+         '<urn:n' || y.n_nationkey || '>' AS b
+  FROM nation x JOIN nation y ON x.n_nationkey + 1 = y.n_nationkey),
+closure(a, b) AS (
+  SELECT a, b FROM base
+  UNION
+  SELECT c.a, nb.b FROM closure c JOIN base nb ON c.b = nb.a)
+SELECT a, b FROM closure ORDER BY a, b
+"""
+
+# extra gate queries that do not run over the TPC-H KG mapping
+EXTRA_QUERIES = {
+    "sparql_path_deep": (sparql_path_deep, SPARQL_PATH_DEEP_SQL),
+}
+
+
+# ---------------------------------------------------------------------------
 # Document pipeline: lineitems nested in order JSON docs, iterator + pushDown
 # ---------------------------------------------------------------------------
 

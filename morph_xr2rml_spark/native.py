@@ -304,6 +304,11 @@ class NativeCompiler:
         columns; the reference generates a SQL LEFT JOIN
         (MorphRDBUnfolder.scala:284-320) — inner join is equivalent for
         triple generation (NULL object ⇒ no triple)."""
+        if not rom.join_conditions:
+            # zero join conditions: the reference's intersection of zero
+            # term sets is empty — never a cross product
+            from .engine import TRIPLE_SCHEMA
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         parent_tm = self.mapping.triples_maps[rom.parent_tm]
         pdf = self._source_df(parent_tm)
         parent_subj = self.term_expr(pdf, parent_tm.subject_map)

@@ -401,6 +401,11 @@ class JsonNativeCompiler:
         return col.cast("string")
 
     def _rom_triples(self, tm, parsed, root, item, subj, pred, rom) -> DataFrame:
+        if not rom.join_conditions:
+            # intersection of zero per-condition sets = empty (matches the
+            # document engine / reference), never a cross product
+            from .engine import TRIPLE_SCHEMA
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         parent_tm = self.mapping.triples_maps[rom.parent_tm]
         # parent side must also be json-native compilable
         psrc, _ = self.catalog.resolve(parent_tm.logical_source)

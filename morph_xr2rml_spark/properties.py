@@ -46,6 +46,7 @@ class MorphProperties:
     output_syntax: str              # TURTLE | N-TRIPLE | ...
     cache_query_result: bool
     tm_limit: Optional[int]
+    tm_offset: Optional[int] = None
 
     @classmethod
     def from_text(cls, text: str, base_dir: str = ".") -> "MorphProperties":
@@ -61,6 +62,7 @@ class MorphProperties:
         if mapping and not os.path.isabs(mapping):
             mapping = os.path.join(base_dir, mapping)
         limit = props.get("datatranslation.limit")
+        offset = props.get("datatranslation.offset")
         return cls(
             mapping_path=mapping,
             config=cfg,
@@ -68,6 +70,7 @@ class MorphProperties:
             cache_query_result=_bool(props, "querytranslator.cachequeryresult",
                                      False),
             tm_limit=int(limit) if limit else None,
+            tm_offset=int(offset) if offset else None,
         )
 
     @classmethod

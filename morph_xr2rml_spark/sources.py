@@ -51,25 +51,44 @@ def _spec_to_column(spec: dict, content_col: str):
                         cond = cond & (extracted.isNotNull() if operand
                                        else extracted.isNull())
                     elif op == "$eq":
+                        if _is_number(operand):
+                            # numeric equality is cross-representation in
+                            # Mongo/Python ({a:3} matches 3.0) but the
+                            # extracted lexical form is "3" vs "3.0" —
+                            # only the Python filter gets this right
+                            return None
                         cond = cond & (extracted == F.lit(_json_scalar(operand)))
                     elif op == "$ne":
-                        cond = cond & (extracted != F.lit(_json_scalar(operand)))
+                        if _is_number(operand):
+                            return None
+                        # $ne keeps documents where the field is MISSING
+                        # (extracted NULL): a bare != would evaluate to
+                        # NULL there and wrongly drop them
+                        cond = cond & (extracted.isNull() |
+                                       (extracted != F.lit(_json_scalar(operand))))
                     elif op in ("$gt", "$gte", "$lt", "$lte") and \
-                            isinstance(operand, (int, float)) and \
-                            not isinstance(operand, bool):
+                            _is_number(operand):
                         num = extracted.try_cast("double")
                         cond = cond & {
                             "$gt": num > operand, "$gte": num >= operand,
                             "$lt": num < operand, "$lte": num <= operand,
                         }[op]
                     elif op == "$in" and isinstance(operand, list):
+                        if any(_is_number(v) for v in operand):
+                            return None
                         cond = cond & extracted.isin(
                             [_json_scalar(v) for v in operand])
                     else:
                         return None
             else:
+                if _is_number(val):
+                    return None
                 cond = cond & (extracted == F.lit(_json_scalar(val)))
     return cond
+
+
+def _is_number(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
 def _json_scalar(v) -> str:

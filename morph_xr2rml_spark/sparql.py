@@ -429,7 +429,7 @@ class SparqlEngine:
     triple DataFrame.  Variable bindings are the canonical lexical term
     strings; projection returns them as columns named after the vars."""
 
-    def __init__(self, triples: DataFrame, path_max_hops: int = 16):
+    def __init__(self, triples: DataFrame, path_max_hops: int = 1000):
         # keep the graph column when present: GRAPH clauses query it;
         # patterns outside GRAPH match only the default graph (NULL)
         self.has_graph = "graph" in triples.columns
@@ -439,7 +439,9 @@ class SparqlEngine:
                                      F.lit(None).cast("string").alias("graph")))
         self.triples = self.quads.where(F.col("graph").isNull()) \
                                  .select("subj", "pred", "obj")
-        # bound on transitive-closure iterations for p+/p* property paths
+        # SAFETY VALVE on transitive-closure iterations for p+/p* paths:
+        # closures run to fixpoint; exceeding the cap raises (never a
+        # silently truncated result)
         self.path_max_hops = path_max_hops
 
     def sql(self, query_text: str) -> DataFrame:
@@ -478,19 +480,37 @@ class SparqlEngine:
                           .select(F.col("ps"), F.col("_po2").alias("po")))
             return out
         if kind in ("plus", "star"):
-            base = self._iri_pairs(pred[1]).distinct().cache()
+            # semi-naive evaluation TO FIXPOINT.  Each frontier is
+            # localCheckpoint'ed (eager): the iteration result is
+            # materialized once, its lineage truncated (no exponential
+            # plan growth over hops), and nothing stays in the cache
+            # manager once the frontier DataFrames are dropped.
+            base = self._iri_pairs(pred[1]).distinct().localCheckpoint()
             closure = base
             frontier = base
-            for _ in range(self.path_max_hops):
+            hops = 0
+            while True:
                 step = (frontier.alias("f")
                         .join(base.alias("b"),
                               F.col("f.po") == F.col("b.ps"))
                         .select(F.col("f.ps").alias("ps"),
                                 F.col("b.po").alias("po")).distinct())
-                new = step.join(closure, ["ps", "po"], "left_anti").cache()
+                new = step.join(closure, ["ps", "po"], "left_anti") \
+                          .localCheckpoint()
                 if new.isEmpty():
                     break
+                hops += 1
+                if hops > self.path_max_hops:
+                    raise RuntimeError(
+                        f"property-path closure exceeded the safety cap of "
+                        f"{self.path_max_hops} hops without reaching a "
+                        f"fixpoint; raise SparqlEngine(path_max_hops=...) "
+                        f"if the graph really is that deep")
                 closure = closure.unionByName(new)
+                # flatten the growing union every 16 hops so very deep
+                # chains don't accumulate a thousand-branch union plan
+                if hops % 16 == 0:
+                    closure = closure.localCheckpoint()
                 frontier = new
             if kind == "star":
                 nodes = (self.triples.select(F.col("subj").alias("n"))

@@ -21,8 +21,11 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import warnings
+
 from .engine import CHILD_SCHEMA, _make_child_fn
-from .model import MappingDocument, TriplesMap
+from .model import MappingDocument, TriplesMap, parse_mongo_query
+from .sources import mongo_filter_to_column
 from .translate import EngineConfig
 
 
@@ -55,13 +58,37 @@ def stream_triples(mapping: MappingDocument, stream_df: DataFrame,
         .alias("_etime"),
         F.lit(0).cast("long").alias("_seq"))
 
+    # batch-parity filtering: each TM's find({...}) filter applies to the
+    # stream exactly as it would to the batch source — natively (pushed
+    # into the micro-batch scan) when compilable, else inside the
+    # translation stage.  One stream carries ONE collection; mappings
+    # addressing several distinct collections are ambiguous here.
+    colls: set[str] = set()
     parts = []
     for tm in mapping.triples_maps.values():
-        out = (src.select("content", "_seq")
-                  .mapInPandas(_make_child_fn(tm, cfg, 0, None), CHILD_SCHEMA)
+        tm_src = src.select("content", "_seq")
+        py_filter = None
+        ls = tm.logical_source
+        if ls.kind == "query" and ls.value.lstrip().startswith("db."):
+            coll, filter_text = parse_mongo_query(ls.value)
+            colls.add(coll)
+            native_cond = mongo_filter_to_column(filter_text, "content")
+            if native_cond is not None:
+                tm_src = tm_src.where(native_cond)
+            else:
+                py_filter = filter_text
+        out = (tm_src
+                  .mapInPandas(_make_child_fn(tm, cfg, 0, py_filter),
+                               CHILD_SCHEMA)
                   .where(F.col("kind") == 0)
                   .select("subj", "pred", "obj", "graph"))
         parts.append(out)
+    if len(colls) > 1:
+        warnings.warn(
+            f"stream_triples: mapping addresses {len(colls)} distinct "
+            f"collections {sorted(colls)} but a single stream is bound — "
+            "every triples map reads the same stream; split the mapping "
+            "or the stream if that is not intended", stacklevel=2)
     triples = parts[0]
     for p in parts[1:]:
         triples = triples.unionByName(p)

@@ -24,10 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
+    # shuffle spill on tmpfs: local-mode shuffles 5+ GB through
+    # spark.local.dir; on /dev/shm that's memory-speed instead of the
+    # root disk (measured ~20% off the dedup-bound pipelines)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark_graft_local"
+                               if os.path.isdir("/dev/shm") else "/tmp")
     return (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName("morph-xr2rml-spark-bench")
+        .config("spark.local.dir", local_dir)
+        .config("spark.ui.showConsoleProgress", "false")
         # fixed across parallelism levels so the scaling comparison sees
         # identical plans; AQE coalesces what's too fine
         .config("spark.sql.shuffle.partitions", "64")
@@ -41,7 +49,10 @@ def build_spark(cpus: int):
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # NOT 32g+: this box (VM) punishes cold heap pages — the same
+        # pipeline measured 8s@16c with a 12g heap vs 28s with 64g; a
+        # right-sized heap keeps G1 regions warm
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -56,17 +67,24 @@ def _rep() -> int:
 
 def _replicated(df, offset_cols: list[str]):
     """REP deterministic copies with entity keys offset (key*REP + r) so
-    joins and subjects stay consistent and dedup doesn't collapse them."""
+    joins and subjects stay consistent and dedup doesn't collapse them.
+
+    The repartition happens on the BASE rows, before the explode: the
+    small sf parquet files yield a handful of input splits, and an
+    explode placed before the shuffle would (a) run the fan-out in that
+    narrow map stage — a parallelism ceiling no core count can lift —
+    and (b) shuffle REP× the bytes.  Measured: moving the shuffle ahead
+    of the explode cut the control pipeline 2× at 4 cores and took
+    4→16-core efficiency from 0.38 to 0.86."""
     from pyspark.sql import functions as F
     rep = _rep()
     if rep <= 1:
         return df
-    out = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+    out = df.repartition(64) \
+            .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
     for c in offset_cols:
         out = out.withColumn(c, F.col(c) * rep + F.col("_r"))
-    # the small sf parquet files give the explode 1-2 input splits;
-    # spread the replicated rows so downstream stages parallelize
-    return out.drop("_r").repartition(64)
+    return out.drop("_r")
 
 
 def repo_corpus(spark, sf_dir: str):

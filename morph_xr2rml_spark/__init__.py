@@ -12,4 +12,4 @@ from .model import MappingDocument
 from .translate import EngineConfig
 
 __all__ = ["MappingDocument", "EngineConfig"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -55,12 +55,24 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
 
     from .native_json import JsonNativeCompiler, compilable as json_ok
 
+    jc = JsonNativeCompiler(spark, mapping, catalog, cfg)
+
     def json_native_ok(tm) -> bool:
         if not json_ok(tm):
             return False
         for pom in tm.predicate_object_maps:
             for rom in pom.ref_object_maps:
                 if not json_ok(mapping.triples_maps[rom.parent_tm]):
+                    return False
+        # schema-sampling guard: a mapping-required leaf whose type the
+        # sample could not pin (unseen / conflicting long-vs-double)
+        # would silently drop or drift triples after row sample_n —
+        # route those TMs to the document compiler instead
+        if jc.unsafe_paths(tm):
+            return False
+        for pom in tm.predicate_object_maps:
+            for rom in pom.ref_object_maps:
+                if jc.unsafe_paths(mapping.triples_maps[rom.parent_tm]):
                     return False
         return True
 
@@ -76,7 +88,6 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
         nc = NativeCompiler(spark, mapping, tables, cfg)
         parts.extend(nc.tm_triples(tm) for tm in native_tms.values())
     if jn_tms:
-        jc = JsonNativeCompiler(spark, mapping, catalog, cfg)
         parts.extend(jc.tm_base(tm) for tm in jn_tms.values())
     if doc_tms:
         sm = SparkMaterializer(spark, mapping, catalog, cfg, **engine_kw)
@@ -89,5 +100,48 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
         out = out.unionByName(p)
     if dedup:
         from .engine import dedup_triples
-        out = dedup_triples(out)
+        # native-tier TMs emit one triple per (row, term map) — mostly
+        # distinct, where the map-side partial agg only burns memory
+        # (measured 2.4x at 66M triples).  Document-tier TMs (iterator
+        # re-emission) keep the default map-side collapse.
+        out = dedup_triples(out, prepartition=not doc_tms)
     return out
+
+
+def run_materialization(spark: SparkSession, properties_path: str,
+                        catalog: Optional[SourceCatalog] = None,
+                        tables: Optional[dict[str, DataFrame]] = None,
+                        output_path: Optional[str] = None) -> DataFrame:
+    """MorphRunner-equivalent one-shot (MorphRunner.scala:28-115): read a
+    morph.properties file, materialize its mapping document, and — when
+    ``output_path`` is given — serialize in the configured
+    ``output.syntax.rdf`` (driver-side pretty writer, like the
+    reference's whole-model Jena write).  Returns the triple DataFrame
+    either way.  Database-connection properties don't apply: sources are
+    DataFrames, registered via ``catalog``/``tables``."""
+    from .properties import MorphProperties
+    props = MorphProperties.from_file(properties_path)
+    if props.mapping_path is None:
+        raise ValueError("properties file lacks mappingdocument.file.path")
+    mapping = MappingDocument.from_file(props.mapping_path)
+    if props.tm_limit is not None or props.tm_offset is not None:
+        # datatranslation.limit/offset slice the raw source rows — only
+        # the document engine positions the slice before translation, so
+        # route through it (the reference applies LIMIT/OFFSET in the
+        # unfolded source query, SQLQuery.scala:392,410)
+        cat = catalog or SourceCatalog()
+        for name, df in (tables or {}).items():
+            cat.register_table(name, df)
+        sm = SparkMaterializer(spark, mapping, cat, props.config,
+                               tm_limit=props.tm_limit,
+                               tm_offset=props.tm_offset)
+        triples = sm.triples()
+    else:
+        triples = materialize_auto(spark, mapping, catalog=catalog,
+                                   tables=tables, cfg=props.config)
+    if output_path is not None:
+        from .rdf_io import serialize
+        text = serialize(triples, props.output_syntax, mapping.prefixes)
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write(text)
+    return triples

@@ -203,6 +203,19 @@ SPARQL_QUERIES = {
         WHERE pred = '<http://example.com/totalPrice>'
           AND CAST(regexp_extract(obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1) AS DOUBLE) > 69999.5
         ORDER BY o"""),
+    # IN filter (reference: OneOf mapping, MorphRDBQueryTranslator.scala:134)
+    "sparql_in_filter": (
+        SPARQL_PREFIX + """
+        SELECT ?c ?seg WHERE {
+            ?c ex:segment ?seg .
+            FILTER(?seg IN ("BUILDING", "MACHINERY"))
+        } ORDER BY ?c""",
+        """
+        SELECT subj AS c, obj AS seg
+        FROM triples
+        WHERE pred = '<http://example.com/segment>'
+          AND obj IN ('"BUILDING"', '"MACHINERY"')
+        ORDER BY c"""),
     # UNION + DISTINCT
     "sparql_all_names": (
         SPARQL_PREFIX + """
@@ -274,9 +287,100 @@ closure(a, b) AS (
 SELECT a, b FROM closure ORDER BY a, b
 """
 
+# ---------------------------------------------------------------------------
+# Lang-tagged literals: nation labeled in @en (column) and @fr (template) —
+# exercises rr:language through the native compiler + LANG()/langMatches.
+# ---------------------------------------------------------------------------
+
+LANG_KG_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#NationLang>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "nation" ];
+    rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+        rr:objectMap [ rr:column "n_name"; rr:language "en" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+        rr:objectMap [ rr:template "nation {n_name}"; rr:language "fr" ] ].
+"""
+
+
+def _lang_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mapping = MappingDocument.from_text(LANG_KG_MAPPING)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return NativeCompiler(spark, mapping, {"nation": nation},
+                          fuse_projections=False).triples()
+
+
+def sparql_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import SparqlEngine
+    return SparqlEngine(_lang_triples(spark, sf_dir)).sql(SPARQL_PREFIX + """
+        SELECT ?s ?l WHERE {
+            ?s ex:label ?l .
+            FILTER(langMatches(LANG(?l), "en"))
+        } ORDER BY ?s ?l""")
+
+
+SPARQL_LANG_FILTER_SQL = """
+SELECT '<http://example.org/nation/' || n_nationkey || '>' AS s,
+       '"' || n_name || '"@en' AS l
+FROM nation
+ORDER BY s, l
+"""
+
+
+def sparql_typed_lit_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal triple pattern: exact term match on "15"^^xsd:integer
+    over a small integer-labeled graph derived from nation keys."""
+    from .sparql import SparqlEngine
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    triples = n.select(
+        F.concat(F.lit("<urn:n"), F.col("n_nationkey").cast("string"),
+                 F.lit(">")).alias("subj"),
+        F.lit("<http://example.com/key>").alias("pred"),
+        F.concat(F.lit('"'), F.col("n_nationkey").cast("string"),
+                 F.lit(f'"^^<{_XSD}integer>')).alias("obj"),
+        F.lit(None).cast("string").alias("graph"))
+    return SparqlEngine(triples).sql(
+        SPARQL_PREFIX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        'SELECT ?s WHERE { ?s ex:key "15"^^xsd:integer } ORDER BY ?s')
+
+
+SPARQL_TYPED_LIT_SQL = """
+SELECT '<urn:n' || n_nationkey || '>' AS s
+FROM nation WHERE n_nationkey = 15
+ORDER BY s
+"""
+
+
+def sparql_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE over the TPC-H KG: all triples in/out of nation/0."""
+    from .sparql import SparqlEngine
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
+                              fuse_projections=False)
+    eng = SparqlEngine(compiler.triples())
+    return eng.sql("DESCRIBE <http://example.org/nation/0>") \
+              .orderBy("subj", "pred", "obj")
+
+
+def sparql_describe_oracle_sql() -> str:
+    return kg_tpch_triples_cte() + """
+SELECT DISTINCT subj, pred, obj FROM triples
+WHERE subj = '<http://example.org/nation/0>'
+   OR obj = '<http://example.org/nation/0>'
+ORDER BY subj, pred, obj
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
     "sparql_path_deep": (sparql_path_deep, SPARQL_PATH_DEEP_SQL),
+    "sparql_lang_filter": (sparql_lang_filter, SPARQL_LANG_FILTER_SQL),
+    "sparql_typed_lit": (sparql_typed_lit_pattern, SPARQL_TYPED_LIT_SQL),
+    "sparql_describe": (sparql_describe_nation, sparql_describe_oracle_sql()),
 }
 
 

@@ -338,5 +338,8 @@ class NativeCompiler:
             out = out.unionByName(p)
         if dedup:
             from .engine import dedup_triples
-            out = dedup_triples(out)
+            # tabular R2RML emits one triple per (row, term map): duplicates
+            # only exist if source rows repeat, so skip the map-side
+            # partial agg (prepartition) — it collapses nothing here
+            out = dedup_triples(out, prepartition=True)
         return out

@@ -154,15 +154,20 @@ def _perm_params(j: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig_0..sig_{K-1}): min over shingles of (a_j*h+b_j) mod p."""
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, sig_0..sig_{K-1}) — the composable core."""
     d = _docs(spark, sf_dir)
     sh = _shingles(d).withColumn("h", _hash32(F.col("sh")))
     aggs = []
     for j in range(MINHASH_PERMS):
         a, b = _perm_params(j)
         aggs.append(F.min((F.col("h") * a + b) % MERSENNE).alias(f"sig_{j}"))
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_0..sig_{K-1}): min over shingles of (a_j*h+b_j) mod p."""
+    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 def _minhash_sql_core() -> str:
@@ -189,8 +194,15 @@ SELECT * FROM sigs ORDER BY doc_id
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band (band hash =
-    md5 of the band's signature values)."""
-    sigs = minhash_signatures(spark, sf_dir)
+    md5 of the band's signature values).
+
+    The bucket table is PERSISTED before the self-join: both join sides
+    reference the same frame, and without the persist Spark recomputes
+    the whole shingle→minhash pipeline once per side (measured ~2× the
+    stage cost).  Signatures come from the unordered core — a sort
+    feeding a band explode + join would be pure wasted work."""
+    from pyspark import StorageLevel
+    sigs = _minhash_sigs(spark, sf_dir)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_cols = []
     for b in range(MINHASH_BANDS):
@@ -201,7 +213,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (sigs.select("doc_id",
                            F.explode(F.array(*band_cols)).alias("bb"))
                    .select("doc_id", F.col("bb.band").alias("band"),
-                           F.col("bb.bh").alias("bh")))
+                           F.col("bb.bh").alias("bh"))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                        (F.col("a.bh") == F.col("b.bh")) &
@@ -239,10 +252,8 @@ DEDUP_MINHASH_LSH_SQL = _minhash_lsh_sql()
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document over distinct lowercase tokens:
-    bit i of the signature = majority vote of bit i across token hashes.
-    Two md5-derived 32-bit halves form the 64 bits."""
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, simhash) — the composable core."""
     d = _docs(spark, sf_dir)
     toks = (d.select("doc_id",
                      F.explode(F.array_distinct(
@@ -263,7 +274,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(1).cast("bigint") * (2 ** i if i < 63 else -(2 ** 63))
                      ).otherwise(0)
         sig = bit if sig is None else (sig + bit)
-    return votes.select("doc_id", sig.alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document over distinct lowercase tokens:
+    bit i of the signature = majority vote of bit i across token hashes.
+    Two md5-derived 32-bit halves form the 64 bits."""
+    return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_sql() -> str:
@@ -310,7 +328,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
     Banded: 4×16-bit bands; only pairs sharing a band are compared
     (a pair within distance 3 must share ≥1 exact band; larger distances
     are best-effort, as in production SimHash dedup)."""
-    sigs = simhash_signatures(spark, sf_dir)
+    from pyspark import StorageLevel
+    sigs = _simhash_sigs(spark, sf_dir)
     bands = [F.struct(F.lit(b).alias("band"),
                       F.shiftright(F.col("simhash"), b * 16)
                        .bitwiseAND(0xFFFF).alias("bh"))
@@ -319,7 +338,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
                            F.explode(F.array(*bands)).alias("bb"))
                    .select("doc_id", "simhash",
                            F.col("bb.band").alias("band"),
-                           F.col("bb.bh").alias("bh")))
+                           F.col("bb.bh").alias("bh"))
+                   # persisted: both self-join sides reuse one computation
+                   .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                        (F.col("a.bh") == F.col("b.bh")) &

@@ -106,7 +106,16 @@ class SourceCatalog:
     ``_seq`` is assigned once per registration with
     ``monotonically_increasing_id`` — stable within a run (values are
     computed from deterministic input splits before any shuffle) and used
-    only for deterministic RDF-list member ordering."""
+    only for deterministic RDF-list member ordering.
+
+    CAVEAT (at-scale determinism): ``_seq`` encodes the partition layout,
+    so RDF-list member order — and the content-derived bnode ids that
+    hash over it — is only reproducible across runs while the input
+    splits are identical (same files, same maxPartitionBytes).  This
+    mirrors the reference, whose member order is MongoDB cursor order
+    (also storage-layout-dependent).  Pipelines that need cross-run
+    byte-stable list order should pre-sort the source on a key column
+    and register that sorted frame."""
 
     def __init__(self):
         self._collections: dict[str, DataFrame] = {}

@@ -41,9 +41,10 @@ class Group:
     filters: list = field(default_factory=list)    # filter ASTs
     optionals: list = field(default_factory=list)  # Group
     unions: list = field(default_factory=list)     # [Group, Group]
-    values: list = field(default_factory=list)     # [(var, [lexical terms])]
+    values: list = field(default_factory=list)     # [([vars], [rows of terms])]
     binds: list = field(default_factory=list)      # [(var, expr AST)]
     graphs: list = field(default_factory=list)     # [(graph term, Group)]
+    subqueries: list = field(default_factory=list)  # [SelectQuery]
 
 
 @dataclass
@@ -58,6 +59,7 @@ class SelectQuery:
     offset: Optional[int] = None
     is_ask: bool = False
     construct: Optional[list] = None    # [TriplePattern] template
+    describe: Optional[list] = None     # [term] resources / vars
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +71,7 @@ _TOKEN = re.compile(r"""
     | (?P<IRI><[^>\s]*>)
     | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<NUM>[+-]?\d+(?:\.\d+)?)
+    | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)
     | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/^-])
@@ -133,6 +136,17 @@ class _P:
             if self.kw("LIMIT"):
                 q.limit = int(self.next()[1])
             return q
+        if self.kw("DESCRIBE"):
+            # DESCRIBE <uri>... / DESCRIBE ?v WHERE {...} — the reference
+            # expands each resource into { <uri> ?p ?x } UNION { ?y ?q <uri> }
+            # (SparqlQueryRewriter.scala:116-152)
+            q = SelectQuery(variables=["*"], aggregates=[])
+            q.describe = []
+            while self.peek()[0] in ("IRI", "PNAME", "VAR"):
+                q.describe.append(self._term())
+            if self.kw("WHERE"):
+                q.where = self._group()
+            return q
         self.expect("SELECT")
         q = SelectQuery(variables=[], aggregates=[])
         q.distinct = self.kw("DISTINCT")
@@ -196,13 +210,34 @@ class _P:
                 g.filters.append(self._filter_expr())
             elif t[1].upper() == "VALUES":
                 self.next()
-                var = self.next()[1][1:]
-                self.expect("{")
-                terms = []
-                while not (self.peek()[1] == "}"):
-                    terms.append(self._term())
-                self.next()
-                g.values.append((var, terms))
+                if self.peek()[1] == "(":
+                    # multi-var form: VALUES (?x ?y) { (a b) (c d) }
+                    self.next()
+                    vars_ = []
+                    while self.peek()[0] == "VAR":
+                        vars_.append(self.next()[1][1:])
+                    self.expect(")")
+                    self.expect("{")
+                    rows = []
+                    while self.peek()[1] == "(":
+                        self.next()
+                        row = []
+                        while self.peek()[1] != ")":
+                            row.append(self._term())
+                        self.next()
+                        if len(row) != len(vars_):
+                            raise ValueError("VALUES row arity mismatch")
+                        rows.append(row)
+                    self.expect("}")
+                    g.values.append((vars_, rows))
+                else:
+                    var = self.next()[1][1:]
+                    self.expect("{")
+                    terms = []
+                    while not (self.peek()[1] == "}"):
+                        terms.append(self._term())
+                    self.next()
+                    g.values.append(([var], [[t] for t in terms]))
             elif t[1].upper() == "BIND":
                 self.next()
                 self.expect("(")
@@ -219,10 +254,16 @@ class _P:
                 gterm = self._term()
                 g.graphs.append((gterm, self._group()))
             elif t[1] == "{":
-                left = self._group()
-                self.expect("UNION")
-                right = self._group()
-                g.unions.append((left, right))
+                if self.peek(1)[1].upper() == "SELECT":
+                    # subquery: { SELECT ... WHERE {...} ... }
+                    self.next()
+                    g.subqueries.append(self.parse())
+                    self.expect("}")
+                else:
+                    left = self._group()
+                    self.expect("UNION")
+                    right = self._group()
+                    g.unions.append((left, right))
             else:
                 g.patterns.extend(self._triples_same_subject())
                 if self.peek()[1] == ".":
@@ -241,10 +282,18 @@ class _P:
         if t[0] == "STR":
             lex = t[1]
             nxt = self.peek()
-            if nxt[0] == "KW" and nxt[1].startswith("@"):
-                pass
-            if nxt[1] == "^" or (nxt[0] == "OP" and nxt[1] == "^"):
-                raise ValueError("typed literals in patterns: use full form")
+            if nxt[0] == "LANGTAG":
+                # lang-tagged literal: exact term "lex"@lang
+                self.next()
+                return ("lit_exact", lex + nxt[1])
+            if nxt[1] == "^":
+                # typed literal: "lex"^^<dt> / "lex"^^xsd:dt — exact term
+                self.next()
+                self.expect("^")
+                dt = self._term()
+                if dt[0] != "iri":
+                    raise ValueError("datatype must be an IRI")
+                return ("lit_exact", f"{lex}^^<{dt[1]}>")
             return ("lit", lex)
         if t[0] == "NUM":
             return ("num", t[1])
@@ -320,7 +369,7 @@ class _P:
             self.expect(")")
             return e
         if t[0] == "KW" and t[1].upper() in ("REGEX", "BOUND", "ISIRI",
-                                             "ISLITERAL"):
+                                             "ISLITERAL", "LANGMATCHES"):
             func = self.next()[1].upper()
             self.expect("(")
             args = [self._operand()]
@@ -330,11 +379,29 @@ class _P:
             self.expect(")")
             return (func.lower(), *args)
         left = self._operand()
+        nxt = self.peek()
+        if nxt[0] == "KW" and nxt[1].upper() == "IN":
+            self.next()
+            return ("in", left, self._term_list())
+        if nxt[0] == "KW" and nxt[1].upper() == "NOT":
+            self.next()
+            self.expect("IN")
+            return ("not", ("in", left, self._term_list()))
         op = self.next()[1]
         if op not in ("=", "!=", "<", ">", "<=", ">="):
             raise ValueError(f"SPARQL filter: bad operator {op!r}")
         right = self._operand()
         return ("cmp", op, left, right)
+
+    def _term_list(self) -> list:
+        """Parenthesized operand list for IN / NOT IN."""
+        self.expect("(")
+        terms = [self._operand()]
+        while self.peek()[1] == ",":
+            self.next()
+            terms.append(self._operand())
+        self.expect(")")
+        return terms
 
     def _bind_expr(self):
         """BIND expression subset: CONCAT(...), STR(?x), arithmetic
@@ -391,6 +458,13 @@ class _P:
         if t[0] == "PNAME":
             prefix, _, local = t[1].partition(":")
             return ("iri", self.prefixes[prefix] + local)
+        if t[0] == "KW" and t[1].upper() in ("LANG", "DATATYPE", "STR"):
+            func = t[1].upper()
+            self.expect("(")
+            inner = self._operand()
+            self.expect(")")
+            return ({"LANG": "langfn", "DATATYPE": "datatypefn",
+                     "STR": "strfn"}[func], inner)
         raise ValueError(f"SPARQL filter: unexpected operand {t!r}")
 
 
@@ -445,7 +519,38 @@ class SparqlEngine:
         self.path_max_hops = path_max_hops
 
     def sql(self, query_text: str) -> DataFrame:
-        return self.evaluate(parse_sparql(query_text))
+        q = parse_sparql(query_text)
+        if q.describe is not None:
+            return self._describe(q)
+        return self.evaluate(q)
+
+    def _describe(self, q: SelectQuery) -> DataFrame:
+        """DESCRIBE: for every resource (given IRI, or each binding of a
+        DESCRIBE'd variable from the WHERE clause), all triples where it
+        is subject or object — the reference's expansion
+        ({ <uri> ?p ?x } UNION { ?y ?q <uri> },
+        SparqlQueryRewriter.scala:116-152)."""
+        iris = [f"<{v}>" for k, v in q.describe if k == "iri"]
+        vars_ = [v for k, v in q.describe if k == "var"]
+        res: Optional[DataFrame] = None
+        if iris:
+            res = self.triples.sparkSession.createDataFrame(
+                [(i,) for i in iris], "r string")
+        if vars_:
+            bindings = self._join_group(q.where) if q.where else None
+            if bindings is None:
+                raise ValueError("DESCRIBE ?var needs a WHERE clause")
+            for v in vars_:
+                vdf = bindings.select(F.col(v).alias("r")).distinct()
+                res = vdf if res is None else res.unionByName(vdf).distinct()
+        if res is None:
+            raise ValueError("DESCRIBE needs at least one resource")
+        res = F.broadcast(res)
+        out_edges = self.triples.join(res, F.col("subj") == F.col("r")) \
+                                .select("subj", "pred", "obj")
+        in_edges = self.triples.join(res, F.col("obj") == F.col("r")) \
+                               .select("subj", "pred", "obj")
+        return out_edges.unionByName(in_edges).distinct()
 
     def ask(self, query_text: str) -> bool:
         q = parse_sparql(query_text)
@@ -533,6 +638,8 @@ class SparqlEngine:
                 pairs = pairs.where(F.col(role) == f"<{val}>")
             elif kind == "lit":
                 pairs = pairs.where(F.col(role).startswith(val))
+            elif kind == "lit_exact":
+                pairs = pairs.where(F.col(role) == val)
         if tp.s[0] == "var" and tp.o[0] == "var" and tp.s[1] == tp.o[1]:
             pairs = pairs.where(F.col("ps") == F.col("po"))
             sel = [F.col("ps").alias(tp.s[1])]
@@ -569,6 +676,9 @@ class SparqlEngine:
             elif kind == "lit":
                 # match any literal whose lexical form equals; plain match
                 df = df.where(F.col(role).startswith(val))
+            elif kind == "lit_exact":
+                # typed / lang-tagged literal: exact term match
+                df = df.where(F.col(role) == val)
             elif kind == "num":
                 df = df.where(numeric_value(F.col(role)) == float(val))
         return df.select(*sel) if sel else df.select(F.lit(1).alias(f"_c{idx}"))
@@ -606,20 +716,34 @@ class SparqlEngine:
             odf = self._join_group(opt)
             common = [c for c in odf.columns if c in df.columns]
             df = df.join(odf, common, "left") if common else df.crossJoin(odf)
+        for sub in g.subqueries:
+            sdf = self.evaluate(sub)
+            if df is None:
+                df = sdf
+            else:
+                common = [c for c in sdf.columns if c in df.columns]
+                df = df.join(sdf, common) if common else df.crossJoin(sdf)
         for var, expr in g.binds:
             df = df.withColumn(var, self._bind_col(expr))
-        for var, terms in g.values:
-            # inline VALUES = membership constraint on the variable's
-            # lexical term forms (the common single-var form)
-            lexicals = []
-            for kind, val in terms:
+        for vars_, rows in g.values:
+            def term_lex(term) -> Optional[str]:
+                kind, val = term
                 if kind == "iri":
-                    lexicals.append(f"<{val}>")
-                elif kind == "lit":
-                    lexicals.append(val)
-                else:
-                    lexicals.append(str(val))
-            df = df.where(F.col(var).isin(lexicals))
+                    return f"<{val}>"
+                if kind in ("lit", "lit_exact"):
+                    return val
+                return str(val)
+            if len(vars_) == 1:
+                # single-var: membership constraint, no join needed
+                df = df.where(F.col(vars_[0]).isin(
+                    [term_lex(r[0]) for r in rows]))
+            else:
+                vdf = df.sparkSession.createDataFrame(
+                    [tuple(term_lex(t) for t in row) for row in rows],
+                    ", ".join(f"{v} string" for v in vars_))
+                common = [c for c in vars_ if c in df.columns]
+                df = df.join(F.broadcast(vdf), common) if common \
+                    else df.crossJoin(F.broadcast(vdf))
         for flt in g.filters:
             df = df.where(self._filter_col(flt, df))
         return df
@@ -645,6 +769,29 @@ class SparqlEngine:
             if "i" in flags:
                 pat = "(?i)" + pat
             return lexical_value(F.col(var)).rlike(pat)
+        if kind == "langmatches":
+            lang = self._operand_col(ast[1], lexical=True)
+            pat = ast[2][1]
+            if pat == "*":
+                return lang.isNotNull() & (lang != "")
+            low = F.lower(lang)
+            return (low == pat.lower()) | low.startswith(pat.lower() + "-")
+        if kind == "in":
+            _k, left, terms = ast
+            col = F.col(left[1]) if left[0] == "var" \
+                else self._operand_col(left)
+            if any(t[0] == "num" for t in terms):
+                ncol = numeric_value(col) if left[0] == "var" else col
+                return ncol.isin([float(t[1]) for t in terms])
+            vals = []
+            for t in terms:
+                if t[0] == "iri":
+                    vals.append(f"<{t[1]}>")
+                elif t[0] == "str":
+                    vals.append(f'"{t[1]}"')
+                else:
+                    vals.append(str(t[1]))
+            return col.isin(vals)
         if kind == "cmp":
             _k, op, left, right = ast
             ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
@@ -653,16 +800,47 @@ class SparqlEngine:
             # numeric compare if either side is a number literal
             if (left[0] == "num") or (right[0] == "num"):
                 lcol = numeric_value(F.col(left[1])) if left[0] == "var" \
-                    else F.lit(left[1])
+                    else self._operand_col(left)
                 rcol = numeric_value(F.col(right[1])) if right[0] == "var" \
-                    else F.lit(right[1])
+                    else self._operand_col(right)
                 return ops[op](lcol, rcol)
-            lcol = lexical_value(F.col(left[1])) if left[0] == "var" \
-                else F.lit(left[1])
-            rcol = lexical_value(F.col(right[1])) if right[0] == "var" \
-                else F.lit(right[1])
+            lcol = self._operand_col(left, lexical=True)
+            rcol = self._operand_col(right, lexical=True)
             return ops[op](lcol, rcol)
         raise ValueError(f"unsupported filter {ast!r}")
+
+    def _operand_col(self, ast, lexical: bool = False) -> Column:
+        """Filter operand → Column.  SPARQL accessor functions over the
+        term-string representation: LANG → trailing @tag ('' when none),
+        DATATYPE → ^^<dt> (xsd:string for simple literals, rdf:langString
+        for tagged — SPARQL 1.1 §17.4.2.7), STR → lexical form."""
+        kind = ast[0]
+        if kind == "var":
+            col = F.col(ast[1])
+            return lexical_value(col) if lexical else col
+        if kind == "num":
+            return F.lit(ast[1])
+        if kind in ("str", "iri"):
+            return F.lit(ast[1])
+        if kind == "strfn":
+            return lexical_value(self._operand_col(ast[1]))
+        if kind == "langfn":
+            s = self._operand_col(ast[1]).cast("string")
+            return F.when(s.startswith('"'),
+                          F.regexp_extract(s, r'@([A-Za-z0-9-]+)$', 1)) \
+                    .otherwise(F.lit(None).cast("string"))
+        if kind == "datatypefn":
+            s = self._operand_col(ast[1]).cast("string")
+            dt = F.regexp_extract(s, r'\^\^<([^>]*)>$', 1)
+            lang = F.regexp_extract(s, r'@([A-Za-z0-9-]+)$', 1)
+            xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+            lang_string = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                           "langString")
+            return (F.when(~s.startswith('"'), F.lit(None).cast("string"))
+                     .when(dt != "", dt)
+                     .when(lang != "", F.lit(lang_string))
+                     .otherwise(F.lit(xsd_string)))
+        raise ValueError(f"unsupported filter operand {ast!r}")
 
     def _bind_col(self, ast) -> Column:
         """BIND expression → Column.  Arithmetic works on extracted
@@ -817,3 +995,62 @@ def to_sparql_csv(df: DataFrame) -> str:
                           for c in cols]).collect():
         w.writerow(["" if row[c] is None else row[c] for c in cols])
     return buf.getvalue()
+
+
+def to_sparql_tsv(df: DataFrame) -> str:
+    """SELECT results → SPARQL 1.1 TSV: full term syntax per the spec
+    (IRIs bracketed, literals quoted) — terms are already in that form."""
+    cols = df.columns
+    lines = ["\t".join("?" + c for c in cols)]
+    for row in df.collect():
+        lines.append("\t".join("" if row[c] is None else str(row[c])
+                               for c in cols))
+    return "\n".join(lines) + "\n"
+
+
+def _xml_esc(s: str, attr: bool = False) -> str:
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return s.replace('"', "&quot;") if attr else s
+
+
+def to_sparql_xml(df: DataFrame) -> str:
+    """SELECT results → SPARQL 1.1 Query Results XML — the reference's
+    DEFAULT result serialization (MorphMongoQueryProcessor.scala:45-150,
+    Jena ResultSetFormatter.outputAsXML)."""
+    cols = df.columns
+    out = ['<?xml version="1.0"?>',
+           '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+           "  <head>"]
+    out += [f'    <variable name="{_xml_esc(c, attr=True)}"/>' for c in cols]
+    out += ["  </head>", "  <results>"]
+    for row in df.collect():
+        out.append("    <result>")
+        for c in cols:
+            b = _term_to_binding(row[c])
+            if b is None:
+                continue
+            out.append(f'      <binding name="{_xml_esc(c, attr=True)}">')
+            if b["type"] == "uri":
+                out.append(f"        <uri>{_xml_esc(b['value'])}</uri>")
+            elif b["type"] == "bnode":
+                out.append(f"        <bnode>{_xml_esc(b['value'])}</bnode>")
+            else:
+                a = ""
+                if "xml:lang" in b:
+                    a = f' xml:lang="{b["xml:lang"]}"'
+                elif "datatype" in b:
+                    a = f' datatype="{_xml_esc(b["datatype"], attr=True)}"'
+                out.append(f"        <literal{a}>{_xml_esc(b['value'])}"
+                           "</literal>")
+            out.append("      </binding>")
+        out.append("    </result>")
+    out += ["  </results>", "</sparql>"]
+    return "\n".join(out) + "\n"
+
+
+def to_ask_xml(result: bool) -> str:
+    return ('<?xml version="1.0"?>\n'
+            '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+            "  <head/>\n"
+            f"  <boolean>{'true' if result else 'false'}</boolean>\n"
+            "</sparql>\n")

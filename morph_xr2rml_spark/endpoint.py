@@ -1,0 +1,160 @@
+"""SPARQL protocol endpoint over the materialized triple table.
+
+The reference ships a Jetty HTTP server speaking the SPARQL 1.1 protocol
+(morph-xr2rml-dist/.../server/SparqlEndpoint.scala, service/
+SparqlRestService.scala:1-143).  This is the driver-side equivalent: a
+threading HTTP server whose handlers evaluate queries with SparqlEngine
+against the (cached) triple DataFrame and serialize per the requested
+Accept type.
+
+Supported:
+  GET  /sparql?query=...            (SPARQL 1.1 protocol §2.1.1)
+  POST /sparql  form 'query=...'    (§2.1.2)
+  POST /sparql  application/sparql-query body (§2.1.3)
+
+Result formats (Accept):
+  SELECT: application/sparql-results+json (default), +xml, text/csv,
+          text/tab-separated-values
+  ASK:    json / xml booleans
+  CONSTRUCT / DESCRIBE: text/turtle (default), application/n-triples
+
+This is a utility for parity and local serving — a production deployment
+would put the triple table behind a warehouse endpoint, not the Spark
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from .sparql import (SparqlEngine, parse_sparql, to_ask_xml, to_sparql_csv,
+                     to_sparql_json, to_sparql_tsv, to_sparql_xml)
+
+
+def _best_type(accept: str, offered: list[str]) -> str:
+    """Tiny Accept matcher: first offered type present wins; else the
+    first offered (the default)."""
+    accept = accept or ""
+    for o in offered:
+        if o in accept:
+            return o
+    return offered[0]
+
+
+class SparqlEndpoint:
+    """HTTP SPARQL endpoint bound to one SparqlEngine."""
+
+    def __init__(self, engine: SparqlEngine, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.engine = engine
+        endpoint = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, ctype: str, body: str):
+                data = body.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", ctype + "; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _run(self, query: Optional[str]):
+                if not query:
+                    self._reply(400, "text/plain", "missing 'query'")
+                    return
+                try:
+                    body, ctype = endpoint.answer(
+                        query, self.headers.get("Accept", ""))
+                except Exception as e:  # malformed query → 400 per protocol
+                    self._reply(400, "text/plain", f"query error: {e}")
+                    return
+                self._reply(200, ctype, body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path not in ("/sparql", "/"):
+                    self._reply(404, "text/plain", "not found")
+                    return
+                q = parse_qs(u.query).get("query", [None])[0]
+                self._run(q)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path not in ("/sparql", "/"):
+                    self._reply(404, "text/plain", "not found")
+                    return
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8")
+                ctype = self.headers.get("Content-Type", "")
+                if "application/sparql-query" in ctype:
+                    self._run(raw)
+                else:
+                    q = parse_qs(raw).get("query", [None])[0]
+                    self._run(q)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    # -- query answering ---------------------------------------------------
+    def answer(self, query_text: str, accept: str = "") -> tuple[str, str]:
+        """Evaluate and serialize; returns (body, content_type)."""
+        q = parse_sparql(query_text)
+        if q.is_ask:
+            result = self.engine.ask(query_text)
+            t = _best_type(accept, ["application/sparql-results+json",
+                                    "application/sparql-results+xml"])
+            if t.endswith("xml"):
+                return to_ask_xml(result), t
+            return json.dumps({"head": {}, "boolean": result}), t
+        if q.construct is not None or q.describe is not None:
+            df = (self.engine.construct(query_text)
+                  if q.construct is not None else self.engine.sql(query_text))
+            t = _best_type(accept, ["text/turtle", "application/n-triples"])
+            from .rdf_io import to_ntriples, to_turtle
+            body = to_ntriples(df) if t == "application/n-triples" \
+                else to_turtle(df)
+            return body, t
+        df = self.engine.sql(query_text)
+        t = _best_type(accept, ["application/sparql-results+json",
+                                "application/sparql-results+xml",
+                                "text/csv", "text/tab-separated-values"])
+        if t == "application/sparql-results+xml":
+            return to_sparql_xml(df), t
+        if t == "text/csv":
+            return to_sparql_csv(df), t
+        if t == "text/tab-separated-values":
+            return to_sparql_tsv(df), t
+        return json.dumps(to_sparql_json(df)), t
+
+    # -- lifecycle ----------------------------------------------------------
+    @property
+    def url(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}/sparql"
+
+    def start(self) -> "SparqlEndpoint":
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(triples_df, host: str = "127.0.0.1", port: int = 0,
+          cache: bool = True) -> SparqlEndpoint:
+    """One-call: cache the triple table and start serving SPARQL on it."""
+    if cache:
+        triples_df = triples_df.cache()
+    return SparqlEndpoint(SparqlEngine(triples_df), host, port).start()

@@ -46,15 +46,19 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.extract_features(media)
     rows = feats.collect()
     assert len(rows) == 30
-    assert all(len(r.feature) == 16 for r in rows)
+    # per-modality feature widths: bmp grid 4x4x3=48, wav 8 windows+zcr=9,
+    # video fake=16
+    widths = {r.media_id: len(r.feature) for r in rows}
+    assert all(widths[i] == {0: 48, 1: 9, 2: 16}[i % 3] for i in widths)
     # deterministic: same payload → same feature
     again = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
     frames = multimodal.frame_sample_plan(media).collect()
     assert all(f.frame_ts_ms % 500 == 0 for f in frames)
 
+    # codec formats stay stubbed (no PIL/cv2 in the container)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
+        multimodal.decode_image(b"\x89PNG....")
 
 
 def test_pii_scrub_behavior(spark, tmp_path):

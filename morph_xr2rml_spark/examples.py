@@ -234,12 +234,15 @@ def make_sparql_query(name: str):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .sparql import SparqlEngine
-        # unfused plan: constant preds per union branch so the SPARQL
-        # pattern filters prune non-matching triples maps from the plan
+        # unfused RAW plan (dedup deferred into the engine): constant
+        # preds per union branch + per-pattern dedup-after-filter let the
+        # SPARQL pattern filters prune non-matching triples maps from
+        # the plan entirely
         mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
         compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
                                   fuse_projections=False)
-        return SparqlEngine(compiler.triples()).sql(sparql_text)
+        return SparqlEngine(compiler.triples(dedup=False),
+                            dedup_source=True).sql(sparql_text)
 
     return run
 
@@ -316,7 +319,8 @@ def _lang_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sparql_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sparql import SparqlEngine
-    return SparqlEngine(_lang_triples(spark, sf_dir)).sql(SPARQL_PREFIX + """
+    return SparqlEngine(_lang_triples(spark, sf_dir),
+                        dedup_source=False).sql(SPARQL_PREFIX + """
         SELECT ?s ?l WHERE {
             ?s ex:label ?l .
             FILTER(langMatches(LANG(?l), "en"))
@@ -361,7 +365,7 @@ def sparql_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
     compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
                               fuse_projections=False)
-    eng = SparqlEngine(compiler.triples())
+    eng = SparqlEngine(compiler.triples(dedup=False), dedup_source=True)
     return eng.sql("DESCRIBE <http://example.org/nation/0>") \
               .orderBy("subj", "pred", "obj")
 

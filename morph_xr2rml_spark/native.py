@@ -340,6 +340,10 @@ class NativeCompiler:
             from .engine import dedup_triples
             # tabular R2RML emits one triple per (row, term map): duplicates
             # only exist if source rows repeat, so skip the map-side
-            # partial agg (prepartition) — it collapses nothing here
-            out = dedup_triples(out, prepartition=True)
+            # partial agg (prepartition) — it collapses nothing here.
+            # BUT only in fused (materialization) mode: the explicit
+            # repartition blocks predicate pushdown, which the unfused
+            # SPARQL-over-plan mode relies on to constant-fold
+            # non-matching branches out of the plan (15 -> 6 scans)
+            out = dedup_triples(out, prepartition=self.fuse_projections)
         return out

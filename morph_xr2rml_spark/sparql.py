@@ -503,7 +503,8 @@ class SparqlEngine:
     triple DataFrame.  Variable bindings are the canonical lexical term
     strings; projection returns them as columns named after the vars."""
 
-    def __init__(self, triples: DataFrame, path_max_hops: int = 1000):
+    def __init__(self, triples: DataFrame, path_max_hops: int = 1000,
+                 dedup_source: bool = False):
         # keep the graph column when present: GRAPH clauses query it;
         # patterns outside GRAPH match only the default graph (NULL)
         self.has_graph = "graph" in triples.columns
@@ -513,6 +514,14 @@ class SparqlEngine:
                                      F.lit(None).cast("string").alias("graph")))
         self.triples = self.quads.where(F.col("graph").isNull()) \
                                  .select("subj", "pred", "obj")
+        # dedup_source=True: the input is the RAW (pre-dedup) triple plan
+        # and each pattern dedups AFTER its constant filters.  Filter and
+        # set-dedup commute, so semantics are identical to querying the
+        # deduplicated table — but the constant pred/subj/obj filters can
+        # now push THROUGH to the per-triples-map union branches and
+        # constant-fold non-matching branches away, which a global dedup
+        # aggregate (grouping on hash keys) structurally blocks.
+        self.dedup_source = dedup_source
         # SAFETY VALVE on transitive-closure iterations for p+/p* paths:
         # closures run to fixpoint; exceeding the cap raises (never a
         # silently truncated result)
@@ -560,8 +569,10 @@ class SparqlEngine:
 
     # -- property paths ----------------------------------------------------
     def _iri_pairs(self, iri: str) -> DataFrame:
-        return (self.triples.where(F.col("pred") == f"<{iri}>")
-                .select(F.col("subj").alias("ps"), F.col("obj").alias("po")))
+        df = self.triples.where(F.col("pred") == f"<{iri}>")
+        if self.dedup_source:
+            df = df.dropDuplicates(["subj", "obj"])
+        return df.select(F.col("subj").alias("ps"), F.col("obj").alias("po"))
 
     def _path_pairs(self, pred) -> DataFrame:
         """(ps, po) pairs reachable via the property path.  Transitive
@@ -681,6 +692,10 @@ class SparqlEngine:
                 df = df.where(F.col(role) == val)
             elif kind == "num":
                 df = df.where(numeric_value(F.col(role)) == float(val))
+        if self.dedup_source:
+            # set semantics per pattern, applied AFTER the constant
+            # filters so pushdown/pruning has already happened
+            df = df.dropDuplicates()
         return df.select(*sel) if sel else df.select(F.lit(1).alias(f"_c{idx}"))
 
     def _join_group(self, g: Group, graph_term=None) -> DataFrame:

@@ -359,6 +359,33 @@ ORDER BY s
 """
 
 
+def sparql_construct_located(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT: derive ex:locatedIn triples (customer → region) from the
+    inNation/inRegion chain over the TPC-H KG."""
+    from .sparql import SparqlEngine
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
+                              fuse_projections=False)
+    eng = SparqlEngine(compiler.triples(dedup=False), dedup_source=True)
+    return eng.construct(SPARQL_PREFIX + """
+        CONSTRUCT { ?c ex:locatedIn ?r }
+        WHERE { ?c ex:inNation ?n . ?n ex:inRegion ?r }
+    """).orderBy("subj", "pred", "obj")
+
+
+def sparql_construct_oracle_sql() -> str:
+    return kg_tpch_triples_cte() + """
+SELECT DISTINCT t1.subj AS subj,
+       '<http://example.com/locatedIn>' AS pred,
+       t2.obj AS obj
+FROM triples t1
+JOIN triples t2 ON t2.subj = t1.obj
+     AND t2.pred = '<http://example.com/inRegion>'
+WHERE t1.pred = '<http://example.com/inNation>'
+ORDER BY subj, pred, obj
+"""
+
+
 def sparql_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE over the TPC-H KG: all triples in/out of nation/0."""
     from .sparql import SparqlEngine
@@ -385,6 +412,8 @@ EXTRA_QUERIES = {
     "sparql_lang_filter": (sparql_lang_filter, SPARQL_LANG_FILTER_SQL),
     "sparql_typed_lit": (sparql_typed_lit_pattern, SPARQL_TYPED_LIT_SQL),
     "sparql_describe": (sparql_describe_nation, sparql_describe_oracle_sql()),
+    "sparql_construct": (sparql_construct_located,
+                         sparql_construct_oracle_sql()),
 }
 
 

@@ -74,7 +74,7 @@ _TOKEN = re.compile(r"""
     | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)
     | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/^-])
+    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/^?|-])
     | (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
 """, re.VERBOSE)
@@ -316,7 +316,18 @@ class _P:
 
     def _pred_path(self):
         """Predicate position: IRI, variable, or a property path —
-        sequence `p1/p2/...`, transitive `p+`, reflexive-transitive `p*`."""
+        alternative `p1|p2`, sequence `p1/p2/...`, transitive `p+`,
+        reflexive-transitive `p*`, zero-or-one `p?`, inverse `^p`."""
+        first = self._path_seq()
+        if self.peek()[1] != "|":
+            return first
+        alts = [first]
+        while self.peek()[1] == "|":
+            self.next()
+            alts.append(self._path_seq())
+        return ("alt", alts)
+
+    def _path_seq(self):
         first = self._path_elt()
         if self.peek()[1] != "/":
             return first
@@ -332,9 +343,9 @@ class _P:
             self.next()
             inverse = True
         t = self._term()
-        if t[0] == "iri" and self.peek()[1] in ("+", "*"):
+        if t[0] == "iri" and self.peek()[1] in ("+", "*", "?"):
             mod = self.next()[1]
-            t = ("plus" if mod == "+" else "star", t[1])
+            t = ({"+": "plus", "*": "star", "?": "opt"}[mod], t[1])
         return ("inv", t) if inverse else t
 
     # filter expression: precedence || < && < comparison < unary
@@ -595,6 +606,14 @@ class SparqlEngine:
                 out = (out.join(nxt, out["po"] == nxt["_mid"])
                           .select(F.col("ps"), F.col("_po2").alias("po")))
             return out
+        if kind == "alt":
+            out = self._path_pairs(pred[1][0])
+            for alt in pred[1][1:]:
+                out = out.unionByName(self._path_pairs(alt))
+            return out.distinct()
+        if kind == "opt":
+            base = self._iri_pairs(pred[1])
+            return base.unionByName(self._all_nodes_identity()).distinct()
         if kind in ("plus", "star"):
             # semi-naive evaluation TO FIXPOINT.  Each frontier is
             # localCheckpoint'ed (eager): the iteration result is
@@ -629,14 +648,19 @@ class SparqlEngine:
                     closure = closure.localCheckpoint()
                 frontier = new
             if kind == "star":
-                nodes = (self.triples.select(F.col("subj").alias("n"))
-                         .unionByName(self.triples.select(
-                             F.col("obj").alias("n"))).distinct())
-                identity = nodes.select(F.col("n").alias("ps"),
-                                        F.col("n").alias("po"))
-                closure = closure.unionByName(identity).distinct()
+                closure = closure.unionByName(
+                    self._all_nodes_identity()).distinct()
             return closure
         raise ValueError(f"unsupported property path {pred!r}")
+
+    def _all_nodes_identity(self) -> DataFrame:
+        """(n, n) for every node in the default graph — the reflexive
+        part of `p*` and `p?` (SPARQL: zero-length paths match every
+        graph term)."""
+        nodes = (self.triples.select(F.col("subj").alias("n"))
+                 .unionByName(self.triples.select(F.col("obj").alias("n")))
+                 .distinct())
+        return nodes.select(F.col("n").alias("ps"), F.col("n").alias("po"))
 
     def _path_pattern_df(self, tp: TriplePattern) -> DataFrame:
         pairs = self._path_pairs(tp.p)
@@ -659,7 +683,7 @@ class SparqlEngine:
     # -- algebra -----------------------------------------------------------
     def _pattern_df(self, tp: TriplePattern, idx: int,
                     graph_term=None) -> DataFrame:
-        if tp.p[0] in ("seq", "plus", "star", "inv"):
+        if tp.p[0] in ("seq", "plus", "star", "inv", "alt", "opt"):
             return self._path_pattern_df(tp)
         if graph_term is None:
             df = self.triples

@@ -157,6 +157,22 @@ def q_kg_repo_corpus(spark, sf_dir: str):
     return materialize_auto(spark, mapping, catalog=catalog)
 
 
+def q_kg_repo_corpus_translate(spark, sf_dir: str):
+    """Translation stage alone (dedup deferred): the executor-scaling
+    protocol's probe.  At cluster scale the one global dedup exchange
+    distributes across nodes; the per-executor scaling question is about
+    this stage, so it gets its own bench entry."""
+    from morph_xr2rml_spark.api import materialize_auto
+    from morph_xr2rml_spark.examples import LINEITEM_JSON_MAPPING
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.sources import SourceCatalog
+
+    corpus = spark.read.parquet(corpus_path(sf_dir))
+    catalog = SourceCatalog().register_collection("orderdocs", corpus)
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    return materialize_auto(spark, mapping, catalog=catalog, dedup=False)
+
+
 def q_kg_repo_corpus_pyudf(spark, sf_dir: str):
     """Same pipeline forced through the Arrow/Python document compiler —
     the fallback tier for dynamic JSONPaths; kept in the bench to track
@@ -226,6 +242,7 @@ def q_kg_tpch(spark, sf_dir: str):
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
+        "kg_repo_corpus_translate": q_kg_repo_corpus_translate,
         "kg_repo_corpus_pyudf": q_kg_repo_corpus_pyudf,
         "kg_tpch": q_kg_tpch,
         "kg_skew_join": q_kg_skew_join,

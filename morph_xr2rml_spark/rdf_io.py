@@ -150,20 +150,28 @@ def to_turtle(triples, prefixes: Optional[dict[str, str]] = None) -> str:
             return _turtle_literal(kind[1], kind[2], kind[3], prefixes)
         # blank node
         if is_list_node(t):
-            inlined.add(t)
+            # walk the whole chain FIRST: only commit the nodes to
+            # `inlined` if every tail link is a pure list node (an impure
+            # tail falls back to the explicit label form, and a node
+            # wrongly left in `inlined` would drop its triples entirely)
+            visited = [t]
             elems = []
             cur = t
+            ok = True
             while cur != rdf_nil:
                 props = dict(by_subj[cur])
-                elems.append(term_str(props[rdf_first], indent))
+                elems.append(props[rdf_first])
                 nxt = props[rdf_rest]
                 if nxt != rdf_nil and not is_list_node(nxt):
-                    # impure tail: fall back to explicit label form
-                    return t
+                    ok = False
+                    break
                 if nxt != rdf_nil:
-                    inlined.add(nxt)
+                    visited.append(nxt)
                 cur = nxt
-            return "( " + " ".join(elems) + " )"
+            if not ok:
+                return t
+            inlined.update(visited)
+            return "( " + " ".join(term_str(e, indent) for e in elems) + " )"
         if is_inlinable(t):
             inlined.add(t)
             return "[ " + _pred_objs(t, indent + 1) + " ]"

@@ -103,6 +103,23 @@ def test_turtle_simple_roundtrip():
     assert got == want
 
 
+def test_turtle_impure_list_tail_preserves_all_triples():
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        ("<http://s>", "<http://p>", "_:t1", None),
+        ("_:t1", f"<{RDF}first>", "<http://e1>", None),
+        ("_:t1", f"<{RDF}rest>", "_:t2", None),
+        ("_:t2", f"<{RDF}first>", "<http://e2>", None),
+        ("_:t2", f"<{RDF}rest>", f"<{RDF}nil>", None),
+        ("_:t2", "<http://extra>", '"x"', None),   # impure tail member
+    ]
+    got = _parsed_set(to_turtle(rows))
+    # collection syntax must NOT swallow the impure node's triples
+    assert len(got) == len(rows)
+    # and a pure chain still inlines as ( ... )
+    assert "( " in to_turtle(rows[:5])
+
+
 # ---------------------------------------------------------------------------
 # RDF/XML
 # ---------------------------------------------------------------------------

@@ -36,21 +36,66 @@ from .sparql import (SparqlEngine, parse_sparql, to_ask_xml, to_sparql_csv,
 
 
 def _best_type(accept: str, offered: list[str]) -> str:
-    """Tiny Accept matcher: first offered type present wins; else the
-    first offered (the default)."""
-    accept = accept or ""
-    for o in offered:
-        if o in accept:
-            return o
-    return offered[0]
+    """Accept matcher with q-values and wildcards (RFC 9110 §12.5.1):
+    each offered type scores the q of its most-specific matching range
+    (exact > type/* > */*); the highest-q offer wins, ties broken by
+    offer order (offered[0] is the server default).  No acceptable match
+    → the default (this is a parity utility, not a 406-ing server)."""
+    accept = (accept or "").strip()
+    if not accept:
+        return offered[0]
+    ranges: list[tuple[str, float]] = []
+    for part in accept.split(","):
+        bits = part.strip().split(";")
+        mt = bits[0].strip().lower()
+        if not mt:
+            continue
+        q = 1.0
+        for p in bits[1:]:
+            p = p.strip()
+            if p.lower().startswith("q="):
+                try:
+                    q = float(p[2:])
+                except ValueError:
+                    q = 0.0
+        ranges.append((mt, q))
+    if not ranges:
+        return offered[0]
+
+    def score(offer: str) -> Optional[float]:
+        main = offer.split("/", 1)[0]
+        best_spec, best_q = -1, None
+        for mt, q in ranges:
+            if mt == offer:
+                spec = 2
+            elif mt == f"{main}/*":
+                spec = 1
+            elif mt == "*/*":
+                spec = 0
+            else:
+                continue
+            if spec > best_spec:
+                best_spec, best_q = spec, q
+        return best_q
+
+    best = None   # (q, -index, offer)
+    for i, o in enumerate(offered):
+        q = score(o)
+        if q is not None and q > 0 and (best is None or (q, -i) > best[:2]):
+            best = (q, -i, o)
+    return best[2] if best else offered[0]
 
 
 class SparqlEndpoint:
     """HTTP SPARQL endpoint bound to one SparqlEngine."""
 
     def __init__(self, engine: SparqlEngine, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, max_result_rows: Optional[int] = 100_000):
         self.engine = engine
+        # driver-OOM guard: SELECT/CONSTRUCT results are capped Spark-side
+        # (.limit) before the driver-side serializers collect them; None
+        # disables the cap
+        self.max_result_rows = max_result_rows
         endpoint = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -69,11 +114,18 @@ class SparqlEndpoint:
                 if not query:
                     self._reply(400, "text/plain", "missing 'query'")
                     return
+                # protocol: 400 is reserved for MALFORMED queries; an
+                # evaluation-time engine/Spark failure is a 500
+                try:
+                    q = parse_sparql(query)
+                except Exception as e:
+                    self._reply(400, "text/plain", f"malformed query: {e}")
+                    return
                 try:
                     body, ctype = endpoint.answer(
-                        query, self.headers.get("Accept", ""))
-                except Exception as e:  # malformed query → 400 per protocol
-                    self._reply(400, "text/plain", f"query error: {e}")
+                        q, self.headers.get("Accept", ""))
+                except Exception as e:
+                    self._reply(500, "text/plain", f"evaluation error: {e}")
                     return
                 self._reply(200, ctype, body)
 
@@ -103,25 +155,31 @@ class SparqlEndpoint:
         self._thread: Optional[threading.Thread] = None
 
     # -- query answering ---------------------------------------------------
-    def answer(self, query_text: str, accept: str = "") -> tuple[str, str]:
-        """Evaluate and serialize; returns (body, content_type)."""
-        q = parse_sparql(query_text)
+    def answer(self, query, accept: str = "") -> tuple[str, str]:
+        """Evaluate and serialize; returns (body, content_type).
+        ``query`` is raw SPARQL text or an already-parsed query (the HTTP
+        handler parses once to split 400/500, then passes the parse)."""
+        q = query if not isinstance(query, str) else parse_sparql(query)
         if q.is_ask:
-            result = self.engine.ask(query_text)
+            result = self.engine.ask(q)
             t = _best_type(accept, ["application/sparql-results+json",
                                     "application/sparql-results+xml"])
             if t.endswith("xml"):
                 return to_ask_xml(result), t
             return json.dumps({"head": {}, "boolean": result}), t
         if q.construct is not None or q.describe is not None:
-            df = (self.engine.construct(query_text)
-                  if q.construct is not None else self.engine.sql(query_text))
+            df = (self.engine.construct(q)
+                  if q.construct is not None else self.engine.sql(q))
+            if self.max_result_rows is not None:
+                df = df.limit(self.max_result_rows)
             t = _best_type(accept, ["text/turtle", "application/n-triples"])
             from .rdf_io import to_ntriples, to_turtle
             body = to_ntriples(df) if t == "application/n-triples" \
                 else to_turtle(df)
             return body, t
-        df = self.engine.sql(query_text)
+        df = self.engine.sql(q)
+        if self.max_result_rows is not None:
+            df = df.limit(self.max_result_rows)
         t = _best_type(accept, ["application/sparql-results+json",
                                 "application/sparql-results+xml",
                                 "text/csv", "text/tab-separated-values"])

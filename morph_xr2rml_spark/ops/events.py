@@ -41,7 +41,8 @@ EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 1000000) AS BIGINT)) AS total_value_micros,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS total_value_micros,
        min(CAST(round(value * 1000000) AS BIGINT)) AS min_value_micros,
        max(CAST(round(value * 1000000) AS BIGINT)) AS max_value_micros
 FROM events
@@ -82,8 +83,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts,
-         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
   FROM flagged)
 SELECT user_id, session_idx,
        count(*) AS n_events,

@@ -44,6 +44,32 @@ _LIT_RE = re.compile(
 # PN_LOCAL approximation: safe characters for a compacted local name
 _PN_LOCAL_RE = re.compile(r"^[A-Za-z0-9_]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$")
 
+# N-Triples escape decoding (inverse of functions/encoding.nt_escape):
+# engine terms carry the ESCAPED lexical form; Turtle/N-Triples/N-Quads
+# share that syntax, but RDF/XML element text and JSON-LD @value must
+# embed the REAL value (Jena's writers do), so those writers decode.
+_NT_UNESCAPE_RE = re.compile(
+    r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))")
+_NT_SIMPLE_ESCAPES = {"\\": "\\", '"': '"', "n": "\n", "r": "\r",
+                      "t": "\t", "b": "\b", "f": "\f", "'": "'"}
+
+
+def nt_unescape(s: str) -> str:
+    """Decode N-Triples string escapes (\\\\ \\\" \\n \\r \\t \\b \\f
+    \\uXXXX \\UXXXXXXXX) to the raw lexical value."""
+    if "\\" not in s:
+        return s
+
+    def _rep(m: re.Match) -> str:
+        if m.group(1):
+            return chr(int(m.group(1), 16))
+        if m.group(2):
+            return chr(int(m.group(2), 16))
+        c = m.group(3)
+        return _NT_SIMPLE_ESCAPES.get(c, c)
+
+    return _NT_UNESCAPE_RE.sub(_rep, s)
+
 
 def parse_term(term: str):
     """N-Triples term string → ('iri', v) | ('bnode', label) |
@@ -207,10 +233,20 @@ def to_turtle(triples, prefixes: Optional[dict[str, str]] = None) -> str:
         if s in inlined:   # inlining happened while rendering its own body
             continue
         rendered.append((s, body))
+    def subj_str(t: str) -> str:
+        """Subject-position rendering: bnode labels stay VERBATIM — a
+        free-floating rdf:List head must not render as '( ... )' here,
+        since its first/rest body is emitted right after (the collection
+        form would re-parse as a second, distinct list)."""
+        k = parse_term(t)
+        if k[0] == "iri":
+            return compact_iri(k[1], prefixes) or t
+        return t
+
     for s, body in rendered:
         if s in inlined:
             continue
-        lines.append(f"{term_str(s, 0)}\n    {body} .")
+        lines.append(f"{subj_str(s)}\n    {body} .")
         lines.append("")
     return "\n".join(lines).rstrip() + "\n"
 
@@ -278,7 +314,8 @@ def to_rdfxml(triples, prefixes: Optional[dict[str, str]] = None) -> str:
                 elif dt:
                     a = f' rdf:datatype="{_xml_escape(dt, attr=True)}"'
                 props.append(f"    <{pre}:{local}{a}>"
-                             f"{_xml_escape(lex)}</{pre}:{local}>")
+                             f"{_xml_escape(nt_unescape(lex))}"
+                             f"</{pre}:{local}>")
         body_parts.append(f'  <rdf:Description {attr}>\n'
                           + "\n".join(props) + "\n  </rdf:Description>")
 
@@ -311,6 +348,7 @@ def to_jsonld(triples) -> str:
             val = {"@id": f"_:{ok[1]}"}
         else:
             _k, lex, dt, lang = ok
+            lex = nt_unescape(lex)
             if lang:
                 val = {"@value": lex, "@language": lang}
             elif dt:

@@ -538,8 +538,12 @@ class SparqlEngine:
         # silently truncated result)
         self.path_max_hops = path_max_hops
 
-    def sql(self, query_text: str) -> DataFrame:
-        q = parse_sparql(query_text)
+    def sql(self, query_text) -> DataFrame:
+        """``query_text``: raw SPARQL or an already-parsed SelectQuery
+        (callers that parse for dispatch, e.g. the endpoint, pass the
+        parse instead of paying for a second one)."""
+        q = query_text if isinstance(query_text, SelectQuery) \
+            else parse_sparql(query_text)
         if q.describe is not None:
             return self._describe(q)
         return self.evaluate(q)
@@ -572,8 +576,9 @@ class SparqlEngine:
                                .select("subj", "pred", "obj")
         return out_edges.unionByName(in_edges).distinct()
 
-    def ask(self, query_text: str) -> bool:
-        q = parse_sparql(query_text)
+    def ask(self, query_text) -> bool:
+        q = query_text if isinstance(query_text, SelectQuery) \
+            else parse_sparql(query_text)
         if not q.is_ask:
             raise ValueError("not an ASK query")
         return self._join_group(q.where).limit(1).count() > 0
@@ -920,7 +925,8 @@ class SparqlEngine:
         template applied to every WHERE binding (the reference's
         CONSTRUCT answering, MorphMongoQueryProcessor.scala:118-138 —
         here it's projection + union + distinct)."""
-        q = parse_sparql(query_text)
+        q = query_text if isinstance(query_text, SelectQuery) \
+            else parse_sparql(query_text)
         if q.construct is None:
             raise ValueError("not a CONSTRUCT query")
         bindings = self._join_group(q.where)

@@ -122,7 +122,10 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
                                              GroupStateTimeout)
 
     gap_s = gap_minutes * 60
-    out_schema = ("user_id long, session_start timestamp, "
+    # derive the key column's type from the input — string/int user ids
+    # both work (a hardcoded 'long' breaks at Arrow schema check time)
+    user_type = events.schema[user_col].dataType.simpleString()
+    out_schema = (f"user_id {user_type}, session_start timestamp, "
                   "session_end timestamp, n_events long")
     state_schema = "start long, last long, n long"   # epoch seconds
 
@@ -151,7 +154,10 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # cross-micro-batch disorder: an event older than the
+                # saved high-water mark must not move `last` backwards
+                # (that could split one session in two later)
+                last, n = max(last, t), n + 1
         state.update((start, last, n))
         state.setTimeoutDuration(gap_s * 1000)
         if closed:

@@ -82,3 +82,53 @@ def test_bad_query_is_400(ep):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_accept_wildcard_and_qvalues(ep):
+    # */* → server default (JSON for SELECT)
+    body, ctype = _get(ep, "SELECT ?n WHERE { ?s <http://ex/name> ?n }",
+                       accept="*/*")
+    assert ctype.startswith("application/sparql-results+json")
+    json.loads(body)
+    # application/* matches the application/... offers, beats text/csv
+    _b, ctype = _get(ep, "SELECT ?n WHERE { ?s <http://ex/name> ?n }",
+                     accept="application/*")
+    assert ctype.startswith("application/sparql-results+json")
+    # q-values: XML preferred over JSON
+    _b, ctype = _get(
+        ep, "SELECT ?n WHERE { ?s <http://ex/name> ?n }",
+        accept="application/sparql-results+json;q=0.3, "
+               "application/sparql-results+xml;q=0.9")
+    assert ctype.startswith("application/sparql-results+xml")
+    # q=0 excludes; next acceptable type wins
+    _b, ctype = _get(
+        ep, "SELECT ?n WHERE { ?s <http://ex/name> ?n }",
+        accept="application/sparql-results+json;q=0, text/csv")
+    assert ctype.startswith("text/csv")
+
+
+def test_evaluation_error_is_500(ep, monkeypatch):
+    # parseable query whose evaluation raises → 500, not 400
+    monkeypatch.setattr(ep.engine, "evaluate",
+                        lambda q: (_ for _ in ()).throw(RuntimeError("boom")))
+    url = ep.url + "?query=" + urllib.parse.quote(
+        "SELECT ?n WHERE { ?s <http://ex/name> ?n }")
+    try:
+        urllib.request.urlopen(url)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+
+
+def test_select_row_cap(spark):
+    rows = [(f"<http://ex/s{i}>", "<http://ex/p>", f'"v{i}"', None)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    ep2 = serve(df, cache=False)
+    ep2.max_result_rows = 10
+    try:
+        body, _ = _get(ep2, "SELECT ?s ?o WHERE { ?s <http://ex/p> ?o }")
+        assert len(json.loads(body)["results"]["bindings"]) == 10
+    finally:
+        ep2.stop()

@@ -230,3 +230,35 @@ def test_sparql_xml_and_tsv(spark):
     assert lines[0] == "?x\t?y"
     assert lines[1] == '<http://ex/a>\t"v1"@en'
     assert "<boolean>true</boolean>" in to_ask_xml(True)
+
+
+def test_rdfxml_jsonld_unescape_literals():
+    """ADVICE r2: RDF/XML element text and JSON-LD @value must carry the
+    REAL lexical value, not the N-Triples-escaped form (Jena parity)."""
+    import json as _json
+    from morph_xr2rml_spark import rdf_io
+    rows = [("<http://ex/s>", "<http://ex/p>",
+             '"a\\nb \\"q\\" c\\\\d \\u00e9"')]
+    xml = rdf_io.to_rdfxml(rows)
+    assert "a\nb" in xml and '"q"' in xml and "c\\d" in xml
+    assert "\\n" not in xml.split("<ns0:p")[1]
+    doc = _json.loads(rdf_io.to_jsonld(rows))
+    val = doc["@graph"][0]["http://ex/p"][0]["@value"]
+    assert val == 'a\nb "q" c\\d é'
+    # Turtle keeps the escaped syntax (shared with N-Triples)
+    assert '\\n' in rdf_io.to_turtle(rows)
+
+
+def test_turtle_free_floating_list_not_duplicated():
+    """ADVICE r2: an unreferenced rdf:List head must not render both as
+    '( ... )' subject AND as its explicit first/rest body."""
+    from morph_xr2rml_spark import namespaces as NS
+    from morph_xr2rml_spark import rdf_io
+    rows = [("_:b0", f"<{NS.RDF_FIRST}>", '"a"'),
+            ("_:b0", f"<{NS.RDF_REST}>", "_:b1"),
+            ("_:b1", f"<{NS.RDF_FIRST}>", '"b"'),
+            ("_:b1", f"<{NS.RDF_REST}>", f"<{NS.RDF_NIL}>")]
+    t = rdf_io.to_turtle(rows)
+    assert t.count('"a"') == 1 and t.count('"b"') == 1
+    # subject stays a verbatim bnode label
+    assert "_:b0\n" in t

@@ -216,6 +216,57 @@ SPARQL_QUERIES = {
         WHERE pred = '<http://example.com/segment>'
           AND obj IN ('"BUILDING"', '"MACHINERY"')
         ORDER BY c"""),
+    # FILTER NOT EXISTS → anti-join (round-3 parser tail)
+    "sparql_not_exists": (
+        SPARQL_PREFIX + """
+        SELECT ?c WHERE {
+            ?c a ex:Customer .
+            FILTER NOT EXISTS { ?o ex:placedBy ?c }
+        } ORDER BY ?c""",
+        """
+        SELECT t1.subj AS c
+        FROM triples t1
+        WHERE t1.pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+          AND t1.obj = '<http://example.com/Customer>'
+          AND NOT EXISTS (
+              SELECT 1 FROM triples t2
+              WHERE t2.pred = '<http://example.com/placedBy>'
+                AND t2.obj = t1.subj)
+        ORDER BY c"""),
+    # MINUS → anti-join on the shared variable (SPARQL 1.1 §8.3.3)
+    "sparql_minus": (
+        SPARQL_PREFIX + """
+        SELECT ?c WHERE {
+            ?c ex:segment ?seg
+            MINUS { ?c ex:segment "BUILDING" }
+        } ORDER BY ?c""",
+        """
+        SELECT t1.subj AS c
+        FROM triples t1
+        WHERE t1.pred = '<http://example.com/segment>'
+          AND NOT EXISTS (
+              SELECT 1 FROM triples t2
+              WHERE t2.pred = '<http://example.com/segment>'
+                AND t2.subj = t1.subj AND t2.obj = '"BUILDING"')
+        ORDER BY c"""),
+    # STRSTARTS over the lexical value (round-3 string functions)
+    "sparql_strstarts": (
+        SPARQL_PREFIX + """
+        SELECT ?c ?n WHERE {
+            ?c ex:name ?n .
+            ?c a ex:Customer .
+            FILTER STRSTARTS(STR(?n), "Customer#00000001")
+        } ORDER BY ?c""",
+        """
+        SELECT t1.subj AS c, t1.obj AS n
+        FROM triples t1
+        JOIN triples t2 ON t2.subj = t1.subj
+             AND t2.pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+             AND t2.obj = '<http://example.com/Customer>'
+        WHERE t1.pred = '<http://example.com/name>'
+          AND regexp_extract(t1.obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1)
+              LIKE 'Customer#00000001%'
+        ORDER BY c"""),
     # UNION + DISTINCT
     "sparql_all_names": (
         SPARQL_PREFIX + """

@@ -12,8 +12,14 @@ scan), replacing the reference's condition-translation machinery
 rules R0-R9) with… nothing: predicates on the triple table push down.
 
 Supported subset: SELECT [DISTINCT] with projection / aggregates,
-BGP, FILTER (comparisons, &&, ||, !, regex, bound, isIRI, isLiteral),
-OPTIONAL, UNION, GROUP BY, ORDER BY, LIMIT/OFFSET.
+BGP (object lists, blank-node labels and [ ... ] property lists),
+FILTER (comparisons, &&, ||, !, IN/NOT IN, regex, bound, isIRI,
+isLiteral, isBlank, isNumeric, sameTerm, langMatches, STRSTARTS/
+STRENDS/CONTAINS, UCASE/LCASE/STRLEN/SUBSTR/STRBEFORE/STRAFTER/REPLACE,
+LANG/DATATYPE/STR, EXISTS/NOT EXISTS), MINUS, OPTIONAL, UNION, VALUES,
+BIND, GRAPH, subqueries, property paths (/ | ^ + * ?), GROUP BY,
+ORDER BY (vars and expressions), LIMIT/OFFSET; plus ASK, CONSTRUCT,
+DESCRIBE.
 """
 
 from __future__ import annotations
@@ -45,6 +51,8 @@ class Group:
     binds: list = field(default_factory=list)      # [(var, expr AST)]
     graphs: list = field(default_factory=list)     # [(graph term, Group)]
     subqueries: list = field(default_factory=list)  # [SelectQuery]
+    minuses: list = field(default_factory=list)    # [Group]
+    exists: list = field(default_factory=list)     # [(positive: bool, Group)]
 
 
 @dataclass
@@ -70,11 +78,12 @@ _TOKEN = re.compile(r"""
       (?P<STR>"(?:[^"\\]|\\.)*")
     | (?P<IRI><[^>\s]*>)
     | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
     | (?P<NUM>[+-]?\d+(?:\.\d+)?)
     | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)
     | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP><=|>=|!=|\|\||&&|[=<>!(){}.,;*+/^?|-])
+    | (?P<OP><=|>=|!=|\|\||&&|\[\]|[=<>!(){}\[\].,;*+/^?|-])
     | (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
 """, re.VERBOSE)
@@ -95,6 +104,7 @@ class _P:
         self.toks.append(("EOF", ""))
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._anon = 0   # fresh-variable counter for [] / [ ... ] bnodes
 
     def peek(self, k=0):
         return self.toks[min(self.i + k, len(self.toks) - 1)]
@@ -184,11 +194,11 @@ class _P:
                 if t[1].upper() in ("ASC", "DESC"):
                     asc = self.next()[1].upper() == "ASC"
                     self.expect("(")
-                    var = self.next()[1][1:]
+                    q.order_by.append((self._order_key(), asc))
                     self.expect(")")
-                    q.order_by.append((var, asc))
-                elif t[0] == "VAR":
-                    q.order_by.append((self.next()[1][1:], True))
+                elif t[0] == "VAR" or (t[0] == "KW"
+                                       and self.peek(1)[1] == "("):
+                    q.order_by.append((self._order_key(), True))
                 else:
                     break
         if self.kw("LIMIT"):
@@ -196,6 +206,12 @@ class _P:
         if self.kw("OFFSET"):
             q.offset = int(self.next()[1])
         return q
+
+    def _order_key(self):
+        """ORDER BY key: plain variable (kept as a bare name for the
+        projection-column path) or an expression (operand AST)."""
+        ast = self._operand()
+        return ast[1] if ast[0] == "var" else ast
 
     def _group(self) -> Group:
         self.expect("{")
@@ -207,7 +223,32 @@ class _P:
                 break
             if t[1].upper() == "FILTER":
                 self.next()
-                g.filters.append(self._filter_expr())
+                nxt = self.peek()
+                if nxt[1].upper() == "EXISTS":
+                    self.next()
+                    g.exists.append((True, self._group()))
+                elif nxt[1].upper() == "NOT":
+                    self.next()
+                    self.expect("EXISTS")
+                    g.exists.append((False, self._group()))
+                elif (nxt[1] == "(" and self.peek(1)[1].upper() == "NOT"
+                        and self.peek(2)[1].upper() == "EXISTS"):
+                    # FILTER (NOT EXISTS {...}) — parenthesized form
+                    self.next()
+                    self.next()
+                    self.expect("EXISTS")
+                    g.exists.append((False, self._group()))
+                    self.expect(")")
+                elif (nxt[1] == "(" and self.peek(1)[1].upper() == "EXISTS"):
+                    self.next()
+                    self.next()
+                    g.exists.append((True, self._group()))
+                    self.expect(")")
+                else:
+                    g.filters.append(self._filter_expr())
+            elif t[1].upper() == "MINUS":
+                self.next()
+                g.minuses.append(self._group())
             elif t[1].upper() == "VALUES":
                 self.next()
                 if self.peek()[1] == "(":
@@ -297,19 +338,72 @@ class _P:
             return ("lit", lex)
         if t[0] == "NUM":
             return ("num", t[1])
+        if t[0] == "BNODE":
+            # a blank node in a query pattern is a non-projectable
+            # variable (SPARQL 1.1 §4.1.4); scope it with a column-safe
+            # internal name
+            return ("var", "_bn_" + t[1][2:])
         if t[0] == "KW" and t[1] == "a":
             return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
         raise ValueError(f"SPARQL parse: unexpected term {t!r}")
 
-    def _triples_same_subject(self) -> list[TriplePattern]:
-        s = self._term()
-        out = []
+    def _fresh_anon(self) -> tuple:
+        self._anon += 1
+        return ("var", f"_anon{self._anon}")
+
+    def _node(self, out: list) -> tuple:
+        """A subject/object node: plain term, '[]' anonymous bnode, or a
+        '[ p o ; ... ]' blank-node property list (its triples append to
+        ``out`` with a fresh variable as their subject)."""
+        t = self.peek()
+        if t[1] == "[]":
+            self.next()
+            return self._fresh_anon()
+        if t[1] == "[":
+            self.next()
+            node = self._fresh_anon()
+            while self.peek()[1] != "]":
+                p = self._pred_path()
+                self._objects(node, p, out)
+                if self.peek()[1] == ";":
+                    self.next()
+            self.expect("]")
+            return node
+        return self._term()
+
+    def _objects(self, s: tuple, p, out: list) -> None:
+        """Object list: o1, o2, ... — one triple per object."""
         while True:
-            p = self._pred_path()
-            o = self._term()
+            o = self._node(out)
             out.append(TriplePattern(s, p, o))
+            if self.peek()[1] == ",":
+                self.next()
+                continue
+            break
+
+    def _starts_path(self) -> bool:
+        """Can the next token begin a predicate path?"""
+        t = self.peek()
+        return (t[0] in ("IRI", "PNAME", "VAR")
+                or (t[0] == "KW" and t[1] == "a")
+                or t[1] in ("^", "("))
+
+    def _triples_same_subject(self) -> list[TriplePattern]:
+        out: list[TriplePattern] = []
+        s = self._node(out)
+        while True:
+            if not self._starts_path():   # '[ ... ] .' / '[...] FILTER ...'
+                if not out:
+                    raise ValueError(
+                        f"SPARQL parse: expected predicate after subject "
+                        f"{s!r}, got {self.peek()[1]!r}")
+                break
+            p = self._pred_path()
+            self._objects(s, p, out)
             if self.peek()[1] == ";":
                 self.next()
+                if self.peek()[1] in ("}", ".", ";"):
+                    break   # trailing ';' before group end is legal
                 continue
             break
         return out
@@ -350,10 +444,14 @@ class _P:
 
     # filter expression: precedence || < && < comparison < unary
     def _filter_expr(self):
-        self.expect("(")
-        e = self._or_expr()
-        self.expect(")")
-        return e
+        if self.peek()[1] == "(":
+            self.next()
+            e = self._or_expr()
+            self.expect(")")
+            return e
+        # FILTER BuiltInCall without brackets: FILTER regex(...),
+        # FILTER STRSTARTS(...), FILTER !bound(...)
+        return self._unary_expr()
 
     def _or_expr(self):
         left = self._and_expr()
@@ -379,9 +477,13 @@ class _P:
             e = self._or_expr()
             self.expect(")")
             return e
-        if t[0] == "KW" and t[1].upper() in ("REGEX", "BOUND", "ISIRI",
-                                             "ISLITERAL", "LANGMATCHES"):
+        if t[0] == "KW" and t[1].upper() in (
+                "REGEX", "BOUND", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+                "ISNUMERIC", "SAMETERM", "LANGMATCHES",
+                "STRSTARTS", "STRENDS", "CONTAINS"):
             func = self.next()[1].upper()
+            if func == "ISURI":
+                func = "ISIRI"
             self.expect("(")
             args = [self._operand()]
             while self.peek()[1] == ",":
@@ -476,6 +578,17 @@ class _P:
             self.expect(")")
             return ({"LANG": "langfn", "DATATYPE": "datatypefn",
                      "STR": "strfn"}[func], inner)
+        if t[0] == "KW" and t[1].upper() in (
+                "SUBSTR", "UCASE", "LCASE", "STRLEN", "STRBEFORE",
+                "STRAFTER", "REPLACE"):
+            func = t[1].upper()
+            self.expect("(")
+            args = [self._operand()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self._operand())
+            self.expect(")")
+            return ("strop", func, args)
         raise ValueError(f"SPARQL filter: unexpected operand {t!r}")
 
 
@@ -790,6 +903,32 @@ class SparqlEngine:
                     else df.crossJoin(F.broadcast(vdf))
         for flt in g.filters:
             df = df.where(self._filter_col(flt, df))
+        for positive, sub in g.exists:
+            # FILTER (NOT) EXISTS on shared variables → semi/anti join
+            # (the distributed equivalent of Jena's per-binding probe).
+            # NULL (unbound) keys don't match in a semi/anti join, which
+            # lines up with EXISTS needing a compatible binding.
+            sdf = self._join_group(sub)
+            common = [c for c in sdf.columns if c in df.columns]
+            if common:
+                probe = sdf.select(*common).distinct()
+                df = df.join(probe, common,
+                             "left_semi" if positive else "left_anti")
+            else:
+                # no shared variables: the inner pattern's (non)emptiness
+                # decides for every row at once
+                if positive != (not sdf.isEmpty()):
+                    df = df.limit(0)
+        for sub in g.minuses:
+            # MINUS (SPARQL 1.1 §8.3.3): remove bindings compatible with
+            # some right-side binding on ≥1 shared variable; with NO
+            # shared variables MINUS removes nothing.  left_anti keeps
+            # NULL-keyed rows — matching "disjoint domains stay".
+            sdf = self._join_group(sub)
+            common = [c for c in sdf.columns if c in df.columns]
+            if common:
+                df = df.join(sdf.select(*common).distinct(), common,
+                             "left_anti")
         return df
 
     def _filter_col(self, ast, df: DataFrame) -> Column:
@@ -806,6 +945,21 @@ class SparqlEngine:
             return F.col(ast[1][1]).startswith("<")
         if kind == "isliteral":
             return F.col(ast[1][1]).startswith('"')
+        if kind == "isblank":
+            return self._operand_col(ast[1]).startswith("_:")
+        if kind == "isnumeric":
+            return numeric_value(self._operand_col(ast[1])).isNotNull()
+        if kind == "sameterm":
+            return (self._term_form_col(ast[1])
+                    == self._term_form_col(ast[2]))
+        if kind in ("strstarts", "strends", "contains"):
+            l = self._operand_col(ast[1], lexical=True)
+            r = self._operand_col(ast[2], lexical=True)
+            if kind == "strstarts":
+                return l.startswith(r)
+            if kind == "strends":
+                return l.endswith(r)
+            return l.contains(r)
         if kind == "regex":
             var = ast[1][1]
             pat = ast[2][1]
@@ -884,7 +1038,57 @@ class SparqlEngine:
                      .when(dt != "", dt)
                      .when(lang != "", F.lit(lang_string))
                      .otherwise(F.lit(xsd_string)))
+        if kind == "strop":
+            return self._strop_col(ast)
         raise ValueError(f"unsupported filter operand {ast!r}")
+
+    def _term_form_col(self, ast) -> Column:
+        """Operand → its N-Triples TERM form (for sameTerm): vars are
+        already term strings; constants are wrapped."""
+        kind = ast[0]
+        if kind == "var":
+            return F.col(ast[1])
+        if kind == "iri":
+            return F.lit(f"<{ast[1]}>")
+        if kind == "str":
+            return F.lit(f'"{ast[1]}"')
+        return self._operand_col(ast)
+
+    def _strop_col(self, ast) -> Column:
+        """SPARQL string functions over the lexical value (§17.4.3):
+        UCASE/LCASE/STRLEN/SUBSTR fully dynamic; STRBEFORE/STRAFTER/
+        REPLACE take literal needles (the overwhelmingly common shape)."""
+        _k, func, args = ast
+        base = self._operand_col(args[0], lexical=True)
+        if func == "UCASE":
+            return F.upper(base)
+        if func == "LCASE":
+            return F.lower(base)
+        if func == "STRLEN":
+            return F.length(base)
+        if func == "SUBSTR":
+            def as_int(a):
+                return (F.lit(int(a[1])) if a[0] == "num"
+                        else self._operand_col(a).cast("int"))
+            start = as_int(args[1])
+            length = as_int(args[2]) if len(args) > 2 else F.length(base)
+            return base.substr(start, length)
+        if func in ("STRBEFORE", "STRAFTER"):
+            if args[1][0] != "str":
+                raise ValueError(f"{func} needs a literal second argument")
+            needle = args[1][1]
+            pos = F.instr(base, needle)
+            if func == "STRBEFORE":
+                return F.when(pos > 0, base.substr(F.lit(1), pos - 1)) \
+                        .otherwise(F.lit(""))
+            return F.when(pos > 0,
+                          base.substr(pos + len(needle), F.length(base))) \
+                    .otherwise(F.lit(""))
+        if func == "REPLACE":
+            if args[1][0] != "str" or args[2][0] != "str":
+                raise ValueError("REPLACE needs literal pattern/replacement")
+            return F.regexp_replace(base, args[1][1], args[2][1])
+        raise ValueError(f"unsupported string function {func}")
 
     def _bind_col(self, ast) -> Column:
         """BIND expression → Column.  Arithmetic works on extracted
@@ -917,7 +1121,8 @@ class SparqlEngine:
             lc = numeric_value(F.col(l[1])) if l[0] == "var" else self._bind_col(l)
             rc = numeric_value(F.col(r[1])) if r[0] == "var" else self._bind_col(r)
             return {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
-        raise ValueError(f"unsupported BIND expression {ast!r}")
+        # string functions / accessors shared with the filter path
+        return self._operand_col(ast)
 
     # -- full query -----------------------------------------------------
     def construct(self, query_text: str) -> DataFrame:
@@ -978,10 +1183,20 @@ class SparqlEngine:
             df = df.select(*proj)
         elif q.variables and q.variables != ["*"]:
             df = df.select(*q.variables)
+        else:
+            # SELECT *: blank-node pattern vars and join-arity dummies
+            # are not projectable (SPARQL 1.1 §4.1.4)
+            internal = [c for c in df.columns
+                        if c.startswith(("_bn_", "_anon", "_c", "_p"))]
+            if internal:
+                df = df.drop(*internal)
         if q.distinct:
             df = df.distinct()
         if q.order_by:
-            df = df.orderBy(*[F.col(v).asc() if a else F.col(v).desc()
+            def _okey(v) -> Column:
+                return F.col(v) if isinstance(v, str) else \
+                    self._operand_col(v, lexical=True)
+            df = df.orderBy(*[_okey(v).asc() if a else _okey(v).desc()
                               for v, a in q.order_by])
         if q.offset:
             df = df.offset(q.offset)

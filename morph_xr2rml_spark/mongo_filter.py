@@ -1,11 +1,14 @@
-"""Tiny MongoDB find() filter support.
+"""MongoDB find() filter support.
 
 The reference passes the find filter verbatim to MongoDB
-(MongoDBQuery.scala:67-90); our engine evaluates the (small) filter
-language that actually occurs in mappings: {}, {field: value},
-{field: {$exists: b}}, {$and: [...]}, {field: {$eq/$ne/$gt/$gte/$lt/$lte: v}},
-dotted field paths.  Filters are compiled once; where possible the Spark
-compiler translates them to native Column predicates so they push down.
+(MongoDBQuery.scala:67-90); our engine evaluates the filter language
+that occurs in mappings: {}, {field: value}, {field: {$exists: b}},
+{$and/$or: [...]}, {field: {$eq/$ne/$gt/$gte/$lt/$lte: v}},
+{field: {$in/$nin: [...]}} (numbers included),
+{field: {$regex: pat[, $options: flags]}} (also shell /pat/flags),
+{field: {$elemMatch: {...}}}, dotted field paths.  Filters are compiled
+once; where possible the Spark compiler translates them to native Column
+predicates so they push down.
 """
 
 from __future__ import annotations
@@ -16,6 +19,8 @@ from typing import Any, Callable
 
 _SINGLE_QUOTED = re.compile(r"'((?:[^'\\]|\\.)*)'")
 _UNQUOTED_KEY = re.compile(r"([{,]\s*)([$A-Za-z_][$\w.]*)(\s*:)")
+# shell regex literal in value position: field: /pat/flags
+_REGEX_LITERAL = re.compile(r"(:\s*)/((?:[^/\\]|\\.)*)/([a-z]*)")
 
 
 def normalize_filter_text(text: str) -> str:
@@ -24,6 +29,10 @@ def normalize_filter_text(text: str) -> str:
     if not text:
         return "{}"
     text = _SINGLE_QUOTED.sub(lambda m: json.dumps(m.group(1)), text)
+    text = _REGEX_LITERAL.sub(
+        lambda m: m.group(1) + json.dumps(
+            {"$regex": m.group(2)} if not m.group(3)
+            else {"$regex": m.group(2), "$options": m.group(3)}), text)
     text = _UNQUOTED_KEY.sub(r'\1"\2"\3', text)
     return text
 
@@ -64,6 +73,49 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                 elif op == "$in":
                     conds.append(lambda d, k=key, vs=tuple(operand):
                                  _get_path(d, k)[0] and _get_path(d, k)[1] in vs)
+                elif op == "$nin":
+                    # Mongo: $nin also matches docs where the field is
+                    # MISSING (unlike $in)
+                    conds.append(lambda d, k=key, vs=tuple(operand):
+                                 not (_get_path(d, k)[0]
+                                      and _get_path(d, k)[1] in vs))
+                elif op == "$regex":
+                    flags = re.IGNORECASE if "i" in val.get("$options", "") \
+                        else 0
+                    rx = re.compile(operand, flags)
+                    # Mongo $regex matches string values only (and any
+                    # string element of an array value)
+                    def rex(d, k=key, rx=rx):
+                        ok, x = _get_path(d, k)
+                        if not ok:
+                            return False
+                        if isinstance(x, str):
+                            return rx.search(x) is not None
+                        if isinstance(x, list):
+                            return any(isinstance(e, str) and rx.search(e)
+                                       for e in x)
+                        return False
+                    conds.append(rex)
+                elif op == "$options":
+                    pass   # consumed by the $regex branch
+                elif op == "$elemMatch":
+                    if not isinstance(operand, dict):
+                        raise ValueError("$elemMatch needs an object")
+                    if any(k2.startswith("$") for k2 in operand):
+                        # operator form {$elemMatch: {$gt: 5}}: apply the
+                        # operators to each array ELEMENT
+                        probe = compile_filter({"_e": operand})
+                        elem_match = lambda e, p=probe: p({"_e": e})
+                    else:
+                        # document form: each element is matched as a doc
+                        sub = compile_filter(operand)
+                        elem_match = lambda e, s=sub: \
+                            isinstance(e, dict) and s(e)
+                    def elem(d, k=key, em=elem_match):
+                        ok, x = _get_path(d, k)
+                        return (ok and isinstance(x, list)
+                                and any(em(e) for e in x))
+                    conds.append(elem)
                 elif op in ("$gt", "$gte", "$lt", "$lte"):
                     import operator
                     f = {"$gt": operator.gt, "$gte": operator.ge,

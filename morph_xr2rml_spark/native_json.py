@@ -50,10 +50,24 @@ def _static_path(ref: Optional[str]) -> Optional[list[str]]:
 
 
 def compilable(tm: TriplesMap) -> bool:
-    """True when every path in the TM is static (see module docstring)."""
+    """True when every path in the TM is static (see module docstring)
+    AND the source's find() filter compiles to a native Column predicate
+    — a filter that only the Python fallback can evaluate ($or with
+    numeric branches, $regex, $elemMatch, numeric equality) must route
+    the TM to the document compiler, which applies it; this tier would
+    silently scan UNFILTERED."""
     ls = tm.logical_source
     if ls.kind not in ("query",):
         return False
+    if ls.value.lstrip().startswith("db."):
+        from .model import parse_mongo_query
+        from .sources import mongo_filter_native_ok
+        try:
+            _coll, filter_text = parse_mongo_query(ls.value)
+        except Exception:
+            return False
+        if not mongo_filter_native_ok(filter_text):
+            return False
     if ls.iterator is not None and not _SIMPLE_ITER.match(ls.iterator):
         return False
     for pd in ls.pushdowns:

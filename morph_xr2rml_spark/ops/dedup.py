@@ -18,6 +18,7 @@ has an exact DuckDB oracle (md5-derived hashing is engine-portable).
 
 from __future__ import annotations
 
+from . import track_persist
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MAX_DF = 100          # drop shingles appearing in more docs than this
@@ -201,7 +202,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole shingle→minhash pipeline once per side (measured ~2× the
     stage cost).  Signatures come from the unordered core — a sort
     feeding a band explode + join would be pure wasted work."""
-    from pyspark import StorageLevel
     sigs = _minhash_sigs(spark, sf_dir)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_cols = []
@@ -214,7 +214,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.explode(F.array(*band_cols)).alias("bb"))
                    .select("doc_id", F.col("bb.band").alias("band"),
                            F.col("bb.bh").alias("bh"))
-                   .persist(StorageLevel.MEMORY_AND_DISK))
+                   .transform(track_persist))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                        (F.col("a.bh") == F.col("b.bh")) &
@@ -328,7 +328,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
     Banded: 4×16-bit bands; only pairs sharing a band are compared
     (a pair within distance 3 must share ≥1 exact band; larger distances
     are best-effort, as in production SimHash dedup)."""
-    from pyspark import StorageLevel
     sigs = _simhash_sigs(spark, sf_dir)
     bands = [F.struct(F.lit(b).alias("band"),
                       F.shiftright(F.col("simhash"), b * 16)
@@ -340,7 +339,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str,
                            F.col("bb.band").alias("band"),
                            F.col("bb.bh").alias("bh"))
                    # persisted: both self-join sides reuse one computation
-                   .persist(StorageLevel.MEMORY_AND_DISK))
+                   .transform(track_persist))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                        (F.col("a.bh") == F.col("b.bh")) &

@@ -4,12 +4,14 @@ columns with typed metadata.
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested.  Decoding tiers:
 
-- REAL stdlib decoders for container-friendly formats: WAV audio
-  (``wave`` + ``struct``: sample rate, duration, per-window RMS energy +
-  zero-crossing rate features) and 24-bit BMP images (``struct`` header
-  parse, grid-pooled mean-RGB features — the "resize" step as average
-  pooling).  These run end-to-end in this container, no PIL/cv2 needed.
-- STUBS for codec formats (JPEG/PNG/MP4/...): raise
+- REAL stdlib decoders: WAV audio (``wave`` + ``struct``: sample rate,
+  duration, per-window RMS energy + zero-crossing rate features),
+  24-bit BMP images (``struct`` header parse), and non-interlaced 8-bit
+  PNG (``struct`` chunk walk + ``zlib`` inflate + per-row unfiltering,
+  all five filter types).  Image features are grid-pooled mean RGB —
+  the "resize" step as average pooling.  These run end-to-end in this
+  container, no PIL/cv2 needed.
+- STUBS for heavy codec formats (JPEG/MP4/...): raise
   ``NotImplementedError`` — real codecs need external libraries that are
   not in this environment.  ``fake_feature`` provides a deterministic
   stand-in so downstream stages (similarity, dedup) exercise the same
@@ -138,10 +140,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return width, abs(height), pixels
 
 
-def bmp_feature(payload: bytes, grid: int = 4) -> list[float]:
+def _grid_pool(w: int, h: int, px: list[tuple[int, int, int]],
+               grid: int = 4) -> list[float]:
     """Grid-pooled mean RGB (the resize-to-grid step as average pooling):
-    grid×grid×3 floats in [0,1], from really-decoded pixels."""
-    w, h, px = decode_bmp(payload)
+    grid×grid×3 floats in [0,1]."""
     feats = []
     for gy in range(grid):
         for gx in range(grid):
@@ -158,14 +160,155 @@ def bmp_feature(payload: bytes, grid: int = 4) -> list[float]:
     return feats
 
 
+def bmp_feature(payload: bytes, grid: int = 4) -> list[float]:
+    w, h, px = decode_bmp(payload)
+    return _grid_pool(w, h, px, grid)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib codec (zlib inflate + struct chunk walk + per-row
+# unfiltering) — non-interlaced, 8-bit depth, color types 0/2/3/4/6
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic 8-bit truecolor PNG.  Rows cycle filter types
+    None/Sub/Up so the decoder's unfiltering paths are really exercised."""
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    stride = width * 3
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((x * 13 + seed * 7) % 256,
+                          (y * 29 + seed * 11) % 256,
+                          ((x + y) * 31 + seed * 3) % 256))
+        ft = y % 3
+        raw.append(ft)
+        if ft == 0:                       # None
+            raw += row
+        elif ft == 1:                     # Sub
+            raw += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 255
+                         for i in range(stride))
+        else:                             # Up
+            raw += bytes((row[i] - prior[i]) & 255 for i in range(stride))
+        prior = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """PNG → (width, height, row-major RGB pixels).  Pure stdlib: struct
+    chunk walk + zlib inflate + per-row unfilter (None/Sub/Up/Average/
+    Paeth).  Supports non-interlaced 8-bit gray/truecolor/palette with
+    or without alpha (alpha is dropped); Adam7 interlace and 16-bit
+    depth raise NotImplementedError."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bitd = colt = interlace = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, bitd, colt, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if bitd != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported, got {bitd}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colt)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {colt}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    bpp = channels
+    prior = bytearray(stride)
+    pixels: list[tuple[int, int, int]] = []
+    off = 0
+    for _y in range(height):
+        ft = raw[off]
+        row = bytearray(raw[off + 1:off + 1 + stride])
+        off += 1 + stride
+        if ft == 1:                              # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif ft == 2:                            # Up
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 255
+        elif ft == 3:                            # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prior[i]) >> 1)) & 255
+        elif ft == 4:                            # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                          else c)
+                row[i] = (row[i] + pred) & 255
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prior = row
+        for x in range(width):
+            if colt == 2:                        # truecolor
+                pixels.append((row[x * 3], row[x * 3 + 1], row[x * 3 + 2]))
+            elif colt == 6:                      # truecolor + alpha
+                pixels.append((row[x * 4], row[x * 4 + 1], row[x * 4 + 2]))
+            elif colt == 0:                      # grayscale
+                v = row[x]
+                pixels.append((v, v, v))
+            elif colt == 4:                      # gray + alpha
+                v = row[x * 2]
+                pixels.append((v, v, v))
+            else:                                # palette
+                j = row[x] * 3
+                pixels.append((plte[j], plte[j + 1], plte[j + 2]))
+    return width, height, pixels
+
+
+def png_feature(payload: bytes, grid: int = 4) -> list[float]:
+    w, h, px = decode_png(payload)
+    return _grid_pool(w, h, px, grid)
+
+
 def decode_image(payload: bytes) -> "object":
-    """Codec image formats (JPEG/PNG/...) need pillow/opencv — not in
-    this environment.  24-bit BMP decodes natively: use decode_bmp."""
+    """Image decode dispatch on magic bytes: BMP and PNG decode natively
+    (pure stdlib); JPEG/MP4-style codec formats need pillow/opencv,
+    which are not in this environment."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires pillow/opencv — not in this "
-        "environment; BMP decodes natively, or use fake_feature")
+        "JPEG decoding requires pillow/opencv — not in this environment; "
+        "BMP and PNG decode natively, or use fake_feature")
 
 
 def fake_feature(payload: bytes, dim: int = 16) -> list[float]:
@@ -189,8 +332,12 @@ def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            payload = make_bmp(i)
-            rows.append((i, kind, "image/bmp", 16, 16, None,
+            # alternate the two real stdlib image codecs
+            if (i // 3) % 2 == 0:
+                payload, mime = make_bmp(i), "image/bmp"
+            else:
+                payload, mime = make_png(i), "image/png"
+            rows.append((i, kind, mime, 16, 16, None,
                          bytearray(payload)))
         elif kind == "audio":
             payload = make_wav(i)
@@ -221,6 +368,8 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                     feats.append(wav_feature(b))
                 elif mime == "image/bmp":
                     feats.append(bmp_feature(b))
+                elif mime == "image/png":
+                    feats.append(png_feature(b))
                 else:
                     feats.append(fake_feature(b))
             yield pd.DataFrame({"media_id": ids, "feature": feats,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
+from . import track_persist
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 TOPK = 5
@@ -137,13 +138,12 @@ SIM_ANN_LSH_BUCKETS_SQL = _ann_bucket_sql()
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-K: brute force restricted to same-bucket candidates.
     The scale path — bucket join instead of full cross join."""
-    from pyspark import StorageLevel
     emb = _emb(spark, sf_dir)
     # persisted: the query side and candidate side both derive from sig —
     # without it the 8-plane signature dot products run twice
     sig = emb.select("vec_id", F.col("embedding"),
                      lsh_signature_col(F.col("embedding")).alias("bucket")) \
-             .persist(StorageLevel.MEMORY_AND_DISK)
+             .transform(track_persist)
     q = sig.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("bucket"))
@@ -197,14 +197,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     """Near-dup pairs with quantized cosine ≥ num/den, LSH-bucketed so
     candidates only join within a bucket (the 100-TB path: no all-pairs).
     Integer cross-multiplied comparison — exact DuckDB oracle."""
-    from pyspark import StorageLevel
     emb = _emb(spark, sf_dir)
     sig = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"),
                      lsh_signature_col(F.col("embedding")).alias("bucket"))
     # squared norm computed once per vector, before the self-join;
     # persisted so both self-join sides reuse one signature computation
     sig = sig.withColumn("n2", _idot(F.col("qv"), F.col("qv"))) \
-             .persist(StorageLevel.MEMORY_AND_DISK)
+             .transform(track_persist)
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
                    F.col("n2").alias("na2"), "bucket")
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),

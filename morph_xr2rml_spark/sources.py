@@ -40,6 +40,14 @@ def _spec_to_column(spec: dict, content_col: str):
                 if c is None:
                     return None
                 cond = cond & c
+        elif key == "$or":
+            parts = [_spec_to_column(sub, content_col) for sub in val]
+            if not parts or any(p is None for p in parts):
+                return None
+            ored = parts[0]
+            for p in parts[1:]:
+                ored = ored | p
+            cond = cond & ored
         elif key.startswith("$"):
             return None
         else:
@@ -85,6 +93,49 @@ def _spec_to_column(spec: dict, content_col: str):
                     return None
                 cond = cond & (extracted == F.lit(_json_scalar(val)))
     return cond
+
+
+def mongo_filter_native_ok(filter_text: str) -> bool:
+    """Session-free predicate: would mongo_filter_to_column succeed?
+    (Column construction needs an active SparkContext; routing decisions
+    — native_json.compilable — must not.)  Kept in lockstep with
+    _spec_to_column; test_mongo_filter_breadth asserts parity."""
+    try:
+        spec = json.loads(normalize_filter_text(filter_text))
+    except ValueError:
+        return False
+    return _spec_native_ok(spec)
+
+
+def _spec_native_ok(spec: dict) -> bool:
+    for key, val in spec.items():
+        if key in ("$and", "$or"):
+            if not isinstance(val, list) or not all(
+                    isinstance(s, dict) and _spec_native_ok(s) for s in val):
+                return False
+            if key == "$or" and not val:
+                return False
+        elif key.startswith("$"):
+            return False
+        elif isinstance(val, dict):
+            for op, operand in val.items():
+                if op == "$exists":
+                    continue
+                if op in ("$eq", "$ne"):
+                    if _is_number(operand):
+                        return False
+                elif op in ("$gt", "$gte", "$lt", "$lte"):
+                    if not _is_number(operand):
+                        return False
+                elif op == "$in":
+                    if not isinstance(operand, list) or \
+                            any(_is_number(v) for v in operand):
+                        return False
+                else:
+                    return False
+        elif _is_number(val):
+            return False
+    return True
 
 
 def _is_number(v) -> bool:

@@ -56,3 +56,155 @@ def test_codec_formats_stay_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0jpeg...")
     assert len(fake_feature(b"anything")) == 16
+
+
+# ---------------------------------------------------------------------------
+# Round-3: stdlib PNG codec (VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_matches_bmp_pixels():
+    """make_png and make_bmp use the same seeded pixel formula, so the
+    decoded pixels — and the pooled features — must be identical."""
+    from morph_xr2rml_spark.ops.multimodal import (bmp_feature, decode_bmp,
+                                                   decode_png, make_bmp,
+                                                   make_png, png_feature)
+    for seed in (0, 1, 7):
+        wb, hb, pb = decode_bmp(make_bmp(seed))
+        wp, hp, pp = decode_png(make_png(seed))
+        assert (wb, hb) == (wp, hp) == (16, 16)
+        assert pb == pp
+        assert bmp_feature(make_bmp(seed)) == png_feature(make_png(seed))
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-encode rows with every PNG filter type (incl. Average and
+    Paeth, which the generator doesn't emit) and check exact recovery."""
+    import struct
+    import zlib
+    from morph_xr2rml_spark.ops.multimodal import _PNG_SIG, decode_png
+
+    width, height = 5, 5
+    pix = [[( (x*37+y*11) % 256, (x*5+y*91) % 256, (x*y*3+17) % 256 )
+            for x in range(width)] for y in range(height)]
+    stride = width * 3
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pix[y][x])
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:    # Sub
+            raw += bytes((row[i] - (row[i-3] if i >= 3 else 0)) & 255
+                         for i in range(stride))
+        elif ft == 2:    # Up
+            raw += bytes((row[i] - prior[i]) & 255 for i in range(stride))
+        elif ft == 3:    # Average
+            raw += bytes((row[i] - (((row[i-3] if i >= 3 else 0)
+                                     + prior[i]) >> 1)) & 255
+                         for i in range(stride))
+        else:            # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = row[i-3] if i >= 3 else 0
+                b = prior[i]
+                c = prior[i-3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p-a), abs(p-b), abs(p-c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[i] - pred) & 255)
+            raw += out
+        prior = bytes(row)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    w, h, got = decode_png(payload)
+    assert (w, h) == (width, height)
+    assert got == [pix[y][x] for y in range(height) for x in range(width)]
+
+
+def test_png_grayscale_palette_alpha():
+    import struct
+    import zlib
+    from morph_xr2rml_spark.ops.multimodal import _PNG_SIG, decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def png(colt, rows, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", len(rows[0][1]) //
+                           {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colt],
+                           len(rows), 8, colt, 0, 0, 0)
+        raw = b"".join(bytes([f]) + r for f, r in rows)
+        body = chunk(b"IHDR", ihdr)
+        if plte:
+            body += chunk(b"PLTE", plte)
+        return (_PNG_SIG + body + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    # grayscale 2x1
+    w, h, px = decode_png(png(0, [(0, bytes([10, 200]))]))
+    assert (w, h, px) == (2, 1, [(10, 10, 10), (200, 200, 200)])
+    # truecolor+alpha 1x1 (alpha dropped)
+    w, h, px = decode_png(png(6, [(0, bytes([1, 2, 3, 128]))]))
+    assert px == [(1, 2, 3)]
+    # gray+alpha 1x1
+    w, h, px = decode_png(png(4, [(0, bytes([77, 255]))]))
+    assert px == [(77, 77, 77)]
+    # palette 2x1
+    w, h, px = decode_png(png(3, [(0, bytes([1, 0]))],
+                              plte=bytes([9, 8, 7, 100, 101, 102])))
+    assert px == [(100, 101, 102), (9, 8, 7)]
+
+
+def test_png_unsupported_raise():
+    import struct
+    import zlib
+    import pytest
+    from morph_xr2rml_spark.ops.multimodal import (_PNG_SIG, decode_image,
+                                                   decode_png)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(p)
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(p)
+    # JPEG still honestly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_extract_features_png_rows(spark):
+    """PNG media rows flow through the Arrow mapInPandas path with REAL
+    decoding (feature equals the driver-side computation)."""
+    from morph_xr2rml_spark.ops.multimodal import (extract_features,
+                                                   make_png, png_feature,
+                                                   synthetic_media_df)
+    media = synthetic_media_df(spark, 24)
+    png_ids = [r.media_id for r in
+               media.where("mime = 'image/png'").collect()]
+    assert png_ids, "synthetic table should contain PNG rows"
+    feats = {r.media_id: r.feature
+             for r in extract_features(media).collect()}
+    for mid in png_ids:
+        want = png_feature(make_png(mid))
+        got = feats[mid]
+        assert len(got) == len(want)
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))

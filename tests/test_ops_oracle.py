@@ -79,3 +79,21 @@ def test_pii_scrub_behavior(spark, tmp_path):
     assert "bob@example.com" not in scrubbed and "<EMAIL>" in scrubbed
     assert "10.0.0.1" not in scrubbed and "<IP>" in scrubbed
     assert "555" not in scrubbed and "<PHONE>" in scrubbed
+
+
+def test_ops_cleanup_releases_persisted_frames(spark):
+    """VERDICT r2 item 4: composing ops in one session must not leak
+    executor storage — ops.cleanup() drains every tracked persist."""
+    from morph_xr2rml_spark import ops
+    from morph_xr2rml_spark.ops.dedup import dedup_minhash_lsh
+    from morph_xr2rml_spark.ops.similarity import sim_ann_lsh_topk
+    sf = "/root/testdata/sf0.001"
+    ops.cleanup()   # reset anything earlier tests tracked
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()   # other tests' caches stay
+    dedup_minhash_lsh(spark, sf).count()
+    sim_ann_lsh_topk(spark, sf).count()
+    assert jsc.getPersistentRDDs().size() >= before + 2
+    released = ops.cleanup()
+    assert released >= 2
+    assert jsc.getPersistentRDDs().size() <= before

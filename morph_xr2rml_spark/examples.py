@@ -468,6 +468,13 @@ EXTRA_QUERIES = {
 }
 
 
+def _register_stream_gate() -> None:
+    """stream_kg_lineitem_json is defined below the EXTRA_QUERIES dict;
+    registered at import end (oracle: same triples as the batch run)."""
+    EXTRA_QUERIES["stream_kg_lineitem_json"] = (
+        stream_kg_lineitem_json, kg_lineitem_json_oracle_sql())
+
+
 # ---------------------------------------------------------------------------
 # Document pipeline: lineitems nested in order JSON docs, iterator + pushDown
 # ---------------------------------------------------------------------------
@@ -516,6 +523,41 @@ def kg_lineitem_json_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(spark, mapping, catalog)
 
 
+def stream_kg_lineitem_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gate (VERDICT r2 item 8): the SAME lineitem JSON mapping
+    materialized through Structured Streaming micro-batches — readStream
+    over the order docs written to files, stream_triples per micro-batch
+    (maxFilesPerTrigger=2 forces several), memory sink, then the batch
+    set-dedup compaction.  Must equal the batch engine output, so it
+    shares kg_lineitem_json's DuckDB oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import stream_triples
+
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    base = tempfile.mkdtemp(prefix="mxs_stream_gate_")
+    docs_dir = os.path.join(base, "docs")
+    ckpt = os.path.join(base, "ckpt")
+    # identical input to the batch query, as text files the stream tails
+    orderdocs_df(spark, sf_dir).select("content") \
+        .repartition(8).write.mode("overwrite").text(docs_dir)
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", 2)
+              .load(docs_dir)
+              .withColumnRenamed("value", "content"))
+    out = stream_triples(mapping, stream, content_col="content")
+    qname = "stream_gate_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qname)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    # batch compaction: set semantics over the accumulated micro-batches
+    return (spark.table(qname)
+            .select("subj", "pred", "obj", "graph").distinct())
+
+
 def kg_lineitem_json_oracle_sql() -> str:
     subj = "'<http://example.org/line/' || l_orderkey || '-' || l_linenumber || '>'"
     parts = [
@@ -526,3 +568,6 @@ def kg_lineitem_json_oracle_sql() -> str:
     body = "\nUNION ALL\n".join(parts)
     return (f"SELECT DISTINCT subj, pred, obj, CAST(NULL AS VARCHAR) AS graph "
             f"FROM (\n{body}\n) t(subj, pred, obj)")
+
+
+_register_stream_gate()

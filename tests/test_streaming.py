@@ -64,3 +64,14 @@ def test_stream_rejects_rom_and_batch_df(spark):
     simple = MappingDocument.from_text(SIMPLE_MAPPING)
     with pytest.raises(ValueError, match="streaming"):
         stream_triples(simple, batch_df)
+
+
+def test_stream_gate_matches_batch_oracle(spark):
+    """The streaming gate query (micro-batched materialization of the
+    lineitem JSON mapping) equals the batch engine output at sf0.001."""
+    from morph_xr2rml_spark.examples import (kg_lineitem_json_triples,
+                                             stream_kg_lineitem_json)
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, stream_kg_lineitem_json(spark, sf).collect()))
+    want = sorted(map(tuple, kg_lineitem_json_triples(spark, sf).collect()))
+    assert got == want and len(got) > 0

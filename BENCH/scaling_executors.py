@@ -32,7 +32,7 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import os, sys, time, json
+import os, shutil, sys, time, json
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_SCALE_REP"] = {rep!r}
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
@@ -41,12 +41,31 @@ import bench
 spark = bench.build_spark(4)
 spark.sparkContext.setLogLevel("ERROR")
 sf = {sf_dir!r}
-fn = bench.queries()[{query!r}]
-qdir = sf if {query!r}.startswith("kg_") else bench.ensure_scaled_tables(spark, sf)
-best = None
-for _ in range(2):
-    t0 = time.time(); n = fn(spark, qdir).count(); dt = time.time() - t0
-    best = dt if best is None else min(best, dt)
+query = {query!r}
+if query == "kg_repo_corpus_full":
+    # the COMPLETE pipeline: scan -> translate -> dedup -> parquet sink
+    # (the write is part of the timed region; a real materialization
+    # job ends at the triple store, not at a count).  SG_FULL_OUT picks
+    # the sink medium — /tmp (one shared disk) vs /dev/shm (tmpfs) —
+    # to attribute write-stage contention to the device.
+    fn = bench.queries()["kg_repo_corpus"]
+    out = os.environ.get("SG_FULL_OUT", "/tmp") + "/sg_full_%d" % os.getpid()
+    best = None
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        fn(spark, sf).write.mode("overwrite").parquet(out)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    n = spark.read.parquet(out).count()
+    shutil.rmtree(out, ignore_errors=True)
+else:
+    fn = bench.queries()[query]
+    qdir = sf if query.startswith("kg_") else bench.ensure_scaled_tables(spark, sf)
+    best = None
+    for _ in range(2):
+        t0 = time.time(); n = fn(spark, qdir).count(); dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
 print(json.dumps({{"best": round(best, 3), "rows": n}}))
 spark.stop()
 """
@@ -68,6 +87,32 @@ def last_json(p: subprocess.Popen) -> dict:
     return json.loads(lines[-1])
 
 
+PREP = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_SCALE_REP"] = {rep!r}
+import bench
+spark = bench.build_spark(8)
+spark.sparkContext.setLogLevel("ERROR")
+bench.ensure_corpus(spark, {sf_dir!r})
+bench.ensure_scaled_tables(spark, {sf_dir!r})
+spark.stop()
+print("PREP_DONE")
+"""
+
+
+def ensure_inputs(sf_dir: str, rep: str) -> None:
+    """Materialize the replicated corpus/tables ONCE, before any timed
+    worker starts (concurrent workers would race to build it, and a
+    build overlapping a measurement would pollute it)."""
+    code = PREP.format(repo=REPO, rep=rep, sf_dir=sf_dir)
+    f = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+    f.write(code)
+    f.close()
+    subprocess.run([sys.executable, f.name], check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +120,7 @@ def main() -> None:
     queries = os.environ.get("SPARK_GRAFT_EXEC_QUERIES",
                              "kg_repo_corpus,kg_tpch,dedup_minhash_lsh") \
         .split(",")
+    ensure_inputs(sf_dir, rep)
     results = {}
     for q in queries:
         p = run_worker(q, sf_dir, rep)

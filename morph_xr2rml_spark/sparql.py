@@ -58,11 +58,12 @@ class Group:
 @dataclass
 class SelectQuery:
     variables: list            # ["x", ...] or ["*"]
-    aggregates: list           # [(func, var_or_None, distinct, alias)]
+    aggregates: list           # [(func, var_or_None, distinct, alias, sep)]
     where: Group = None
     distinct: bool = False
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)   # [(var, asc)]
+    having: list = field(default_factory=list)     # filter ASTs over aggs
     limit: Optional[int] = None
     offset: Optional[int] = None
     is_ask: bool = False
@@ -139,10 +140,17 @@ class _P:
             return q
         if self.kw("CONSTRUCT"):
             q = SelectQuery(variables=["*"], aggregates=[])
-            tmpl_group = self._group()
-            q.construct = tmpl_group.patterns
-            self.expect("WHERE")
-            q.where = self._group()
+            if self.peek()[1].upper() == "WHERE":
+                # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.3):
+                # the pattern doubles as the template
+                self.next()
+                q.where = self._group()
+                q.construct = q.where.patterns
+            else:
+                tmpl_group = self._group()
+                q.construct = tmpl_group.patterns
+                self.expect("WHERE")
+                q.where = self._group()
             if self.kw("LIMIT"):
                 q.limit = int(self.next()[1])
             return q
@@ -174,11 +182,17 @@ class _P:
                 distinct = self.kw("DISTINCT")
                 inner = self.next()
                 var = None if inner[1] == "*" else inner[1][1:]
+                sep = " "
+                if self.peek()[1] == ";":   # GROUP_CONCAT separator
+                    self.next()
+                    self.expect("SEPARATOR")
+                    self.expect("=")
+                    sep = self.next()[1][1:-1]
                 self.expect(")")
                 self.expect("AS")
                 alias = self.next()[1][1:]
                 self.expect(")")
-                q.aggregates.append((func, var, distinct, alias))
+                q.aggregates.append((func, var, distinct, alias, sep))
             else:
                 break
         self.expect("WHERE")
@@ -187,6 +201,8 @@ class _P:
             self.expect("BY")
             while self.peek()[0] == "VAR":
                 q.group_by.append(self.next()[1][1:])
+        while self.kw("HAVING"):
+            q.having.append(self._filter_expr())
         if self.kw("ORDER"):
             self.expect("BY")
             while True:
@@ -345,6 +361,8 @@ class _P:
             return ("var", "_bn_" + t[1][2:])
         if t[0] == "KW" and t[1] == "a":
             return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        if t[0] == "KW" and t[1].upper() == "UNDEF":
+            return ("undef", None)   # VALUES wildcard
         raise ValueError(f"SPARQL parse: unexpected term {t!r}")
 
     def _fresh_anon(self) -> tuple:
@@ -386,7 +404,7 @@ class _P:
         t = self.peek()
         return (t[0] in ("IRI", "PNAME", "VAR")
                 or (t[0] == "KW" and t[1] == "a")
-                or t[1] in ("^", "("))
+                or t[1] in ("^", "(", "!"))
 
     def _triples_same_subject(self) -> list[TriplePattern]:
         out: list[TriplePattern] = []
@@ -432,6 +450,31 @@ class _P:
         return ("seq", elts)
 
     def _path_elt(self):
+        if self.peek()[1] == "!":
+            # negated property set: !iri or !(iri1|iri2|...) — forward
+            # members only (inverse members ^iri are not supported)
+            self.next()
+            iris = []
+            if self.peek()[1] == "(":
+                self.next()
+                while True:
+                    t = self._term()
+                    if t[0] != "iri":
+                        raise ValueError(
+                            "negated property sets support IRI members only")
+                    iris.append(t[1])
+                    if self.peek()[1] == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+            else:
+                t = self._term()
+                if t[0] != "iri":
+                    raise ValueError(
+                        "negated property sets support IRI members only")
+                iris.append(t[1])
+            return ("negset", iris)
         inverse = False
         if self.peek()[1] == "^":
             self.next()
@@ -578,6 +621,34 @@ class _P:
             self.expect(")")
             return ({"LANG": "langfn", "DATATYPE": "datatypefn",
                      "STR": "strfn"}[func], inner)
+        if t[0] == "KW" and t[1].upper() in (
+                "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT",
+                "SAMPLE") and self.peek()[1] == "(":
+            # aggregate reference inside HAVING
+            func = t[1].upper()
+            self.expect("(")
+            distinct = self.kw("DISTINCT")
+            inner = self.next()
+            var = None if inner[1] == "*" else inner[1][1:]
+            self.expect(")")
+            return ("aggref", func, var, distinct)
+        if t[0] == "KW" and t[1].upper() == "COALESCE":
+            self.expect("(")
+            args = [self._operand()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self._operand())
+            self.expect(")")
+            return ("coalesce", args)
+        if t[0] == "KW" and t[1].upper() == "IF":
+            self.expect("(")
+            cond = self._or_expr()
+            self.expect(",")
+            then = self._operand()
+            self.expect(",")
+            other = self._operand()
+            self.expect(")")
+            return ("iffn", cond, then, other)
         if t[0] == "KW" and t[1].upper() in (
                 "SUBSTR", "UCASE", "LCASE", "STRLEN", "STRBEFORE",
                 "STRAFTER", "REPLACE"):
@@ -729,6 +800,13 @@ class SparqlEngine:
             for alt in pred[1][1:]:
                 out = out.unionByName(self._path_pairs(alt))
             return out.distinct()
+        if kind == "negset":
+            df = self.triples.where(
+                ~F.col("pred").isin([f"<{i}>" for i in pred[1]]))
+            if self.dedup_source:
+                df = df.dropDuplicates(["subj", "obj"])
+            return df.select(F.col("subj").alias("ps"),
+                             F.col("obj").alias("po"))
         if kind == "opt":
             base = self._iri_pairs(pred[1])
             return base.unionByName(self._all_nodes_identity()).distinct()
@@ -801,7 +879,7 @@ class SparqlEngine:
     # -- algebra -----------------------------------------------------------
     def _pattern_df(self, tp: TriplePattern, idx: int,
                     graph_term=None) -> DataFrame:
-        if tp.p[0] in ("seq", "plus", "star", "inv", "alt", "opt"):
+        if tp.p[0] in ("seq", "plus", "star", "inv", "alt", "opt", "negset"):
             return self._path_pattern_df(tp)
         if graph_term is None:
             df = self.triples
@@ -885,22 +963,42 @@ class SparqlEngine:
         for vars_, rows in g.values:
             def term_lex(term) -> Optional[str]:
                 kind, val = term
+                if kind == "undef":
+                    return None          # wildcard binding
                 if kind == "iri":
                     return f"<{val}>"
                 if kind in ("lit", "lit_exact"):
                     return val
                 return str(val)
+            lex_rows = [tuple(term_lex(t) for t in row) for row in rows]
             if len(vars_) == 1:
-                # single-var: membership constraint, no join needed
-                df = df.where(F.col(vars_[0]).isin(
-                    [term_lex(r[0]) for r in rows]))
+                if any(r[0] is None for r in lex_rows):
+                    pass   # an UNDEF row matches everything: no constraint
+                else:
+                    # single-var: membership constraint, no join needed
+                    df = df.where(F.col(vars_[0]).isin(
+                        [r[0] for r in lex_rows]))
             else:
                 vdf = df.sparkSession.createDataFrame(
-                    [tuple(term_lex(t) for t in row) for row in rows],
-                    ", ".join(f"{v} string" for v in vars_))
+                    lex_rows, ", ".join(f"{v} string" for v in vars_))
                 common = [c for c in vars_ if c in df.columns]
-                df = df.join(F.broadcast(vdf), common) if common \
-                    else df.crossJoin(F.broadcast(vdf))
+                if not common:
+                    df = df.crossJoin(F.broadcast(vdf))
+                elif not any(r[vars_.index(c)] is None
+                             for r in lex_rows for c in common):
+                    df = df.join(F.broadcast(vdf), common)
+                else:
+                    # UNDEF on a shared var: NULL in the VALUES row is a
+                    # wildcard — join on (value IS NULL OR equal), keep
+                    # the pattern side's binding
+                    ren = {c: f"_val_{c}" for c in common}
+                    for c, r in ren.items():
+                        vdf = vdf.withColumnRenamed(c, r)
+                    cond = F.lit(True)
+                    for c, r in ren.items():
+                        cond = cond & (F.col(r).isNull()
+                                       | (F.col(c) == F.col(r)))
+                    df = df.join(F.broadcast(vdf), cond).drop(*ren.values())
         for flt in g.filters:
             df = df.where(self._filter_col(flt, df))
         for positive, sub in g.exists:
@@ -1040,6 +1138,15 @@ class SparqlEngine:
                      .otherwise(F.lit(xsd_string)))
         if kind == "strop":
             return self._strop_col(ast)
+        if kind == "coalesce":
+            return F.coalesce(*[self._operand_col(a, lexical=lexical)
+                                for a in ast[1]])
+        if kind == "iffn":
+            return F.when(self._filter_col(ast[1], None),
+                          self._operand_col(ast[2], lexical=lexical)) \
+                    .otherwise(self._operand_col(ast[3], lexical=lexical))
+        if kind == "aggref":
+            raise ValueError("aggregate calls are only valid in HAVING")
         raise ValueError(f"unsupported filter operand {ast!r}")
 
     def _term_form_col(self, ast) -> Column:
@@ -1160,9 +1267,33 @@ class SparqlEngine:
 
     def evaluate(self, q: SelectQuery) -> DataFrame:
         df = self._join_group(q.where)
-        if q.aggregates:
+        if q.aggregates or q.having:
+            specs = [tuple(a) for a in q.aggregates]
+            visible = [a[3] for a in specs]
+            # HAVING may reference aggregates not in the projection:
+            # compute them as hidden columns, filter, then drop
+            agg_alias = {(f, v, d): a for f, v, d, a, _s in specs}
+
+            def _collect_aggrefs(x):
+                if isinstance(x, tuple):
+                    if x[0] == "aggref":
+                        key = (x[1], x[2], x[3])
+                        if key not in agg_alias:
+                            alias = f"_hav{len(specs)}"
+                            specs.append((x[1], x[2], x[3], alias, " "))
+                            agg_alias[key] = alias
+                    else:
+                        for e in x:
+                            _collect_aggrefs(e)
+                elif isinstance(x, list):
+                    for e in x:
+                        _collect_aggrefs(e)
+
+            for h in q.having:
+                _collect_aggrefs(h)
+
             aggs = []
-            for func, var, distinct, alias in q.aggregates:
+            for func, var, distinct, alias, sep in specs:
                 if func == "COUNT" and var is None:
                     aggs.append(F.count(F.lit(1)).alias(alias))
                     continue
@@ -1170,6 +1301,17 @@ class SparqlEngine:
                 if func == "COUNT":
                     aggs.append((F.count_distinct(col) if distinct
                                  else F.count(col)).alias(alias))
+                elif func == "GROUP_CONCAT":
+                    vals = lexical_value(col)
+                    coll = F.collect_set(vals) if distinct \
+                        else F.collect_list(vals)
+                    # SPARQL leaves member order undefined; sorting makes
+                    # the result deterministic (and oracle-comparable)
+                    aggs.append(F.array_join(F.sort_array(coll), sep)
+                                .alias(alias))
+                elif func == "SAMPLE":
+                    # implementation-defined pick — min is deterministic
+                    aggs.append(F.min(col).alias(alias))
                 else:
                     ncol = numeric_value(col)
                     fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min,
@@ -1179,7 +1321,22 @@ class SparqlEngine:
                 df = df.groupBy(*q.group_by).agg(*aggs)
             else:
                 df = df.agg(*aggs)
-            proj = q.group_by + [a[3] for a in q.aggregates]
+
+            def _resolve(x):
+                if isinstance(x, tuple):
+                    if x[0] == "aggref":
+                        return ("var", agg_alias[(x[1], x[2], x[3])])
+                    return tuple(_resolve(e) for e in x)
+                if isinstance(x, list):
+                    return [_resolve(e) for e in x]
+                return x
+
+            for h in q.having:
+                df = df.where(self._filter_col(_resolve(h), df))
+            proj = q.group_by + visible
+            if not proj:
+                raise ValueError("HAVING needs GROUP BY or a projected "
+                                 "aggregate")
             df = df.select(*proj)
         elif q.variables and q.variables != ["*"]:
             df = df.select(*q.variables)
@@ -1210,9 +1367,13 @@ class SparqlEngine:
 # MorphMongoQueryProcessor.scala:45-150 — XML/JSON/CSV for SELECT/ASK)
 # ---------------------------------------------------------------------------
 
-def _term_to_binding(term: Optional[str]) -> Optional[dict]:
+def _term_to_binding(term) -> Optional[dict]:
     if term is None:
         return None
+    if not isinstance(term, str):
+        # aggregate / BIND-produced plain value (count → long, avg →
+        # double): a plain literal binding
+        return {"type": "literal", "value": str(term)}
     if term.startswith("<"):
         return {"type": "uri", "value": term[1:-1]}
     if term.startswith("_:"):

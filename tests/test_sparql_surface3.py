@@ -150,3 +150,82 @@ def test_parse_errors_still_raise():
         parse_sparql("SELECT ?x WHERE { ?x }")
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?x WHERE { ?x <p> ?y FILTER BOGUSFN(?y) }")
+
+
+def test_having(eng):
+    # segments with more than one member; COUNT referenced only in HAVING
+    got = q(eng, "SELECT ?s (COUNT(?x) AS ?n) WHERE "
+                 "{ ?x <http://ex/name> ?s } GROUP BY ?s "
+                 "HAVING (COUNT(?x) >= 1) ORDER BY ?s")
+    assert len(got) == 4
+    got = q(eng, "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+                 "GROUP BY ?o HAVING (COUNT(?s) > 1)")
+    assert got == []  # every object unique in the fixture... verify below
+    # aggregate alias form
+    got = q(eng, "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+                 "GROUP BY ?p HAVING (?n >= 2) ORDER BY ?p")
+    preds = [r[0] for r in got]
+    assert "<http://ex/name>" in preds and "<http://ex/age>" in preds
+    assert "<http://ex/knows>" not in preds
+
+
+def test_group_concat_and_sample(eng):
+    got = q(eng, 'SELECT ?p (GROUP_CONCAT(?n; SEPARATOR="|") AS ?all) '
+                 "WHERE { ?s ?p ?n FILTER isLiteral(?n) "
+                 "FILTER(?p = <http://ex/name>) } GROUP BY ?p")
+    assert got == [("<http://ex/name>", "Alice|Anon|Bob|Carol")]
+    got = q(eng, "SELECT (SAMPLE(?n) AS ?one) WHERE "
+                 "{ ?s <http://ex/name> ?n }")
+    assert len(got) == 1 and got[0][0] == '"Alice"'  # deterministic min
+
+
+def test_coalesce_and_if(eng):
+    got = q(eng, "SELECT ?s ?v WHERE { ?s <http://ex/name> ?n "
+                 "OPTIONAL { ?s <http://ex/age> ?a } "
+                 'BIND(COALESCE(?a, "none") AS ?v) '
+                 "FILTER(?v = \"none\") }")
+    assert len(got) == 2   # carol + anon have no age
+    got = q(eng, "SELECT ?n ?f WHERE { ?s <http://ex/name> ?n . "
+                 "?s <http://ex/age> ?a "
+                 'BIND(IF(?a > 26, "old", "young") AS ?f) } ORDER BY ?n')
+    assert got == sorted([('"Alice"', "old"), ('"Bob"', "young")])
+
+
+def test_values_undef(eng):
+    # multi-var VALUES with UNDEF as wildcard on a shared var
+    got = q(eng, "SELECT ?s ?n WHERE { ?s <http://ex/name> ?n "
+                 "VALUES (?s ?n) { (<http://ex/a> UNDEF) "
+                 '(UNDEF "Bob") } } ORDER BY ?s')
+    assert got == [("<http://ex/a>", '"Alice"'), ("<http://ex/b>", '"Bob"')]
+    # single-var VALUES containing UNDEF constrains nothing
+    got = q(eng, "SELECT ?n WHERE { ?s <http://ex/name> ?n "
+                 'VALUES ?n { "Bob" UNDEF } }')
+    assert len(got) == 4
+
+
+def test_negated_property_set(eng):
+    # a's triples: name "Alice", knows b, age 30 → !knows keeps 2
+    got = q(eng, "SELECT ?o WHERE "
+                 "{ <http://ex/a> !<http://ex/knows> ?o }")
+    assert ("<http://ex/b>",) not in got and len(got) == 2
+    got = q(eng, "SELECT ?o WHERE { <http://ex/a> "
+                 "!(<http://ex/knows>|<http://ex/age>) ?o }")
+    assert got == [('"Alice"',)]
+
+
+def test_construct_where_shorthand(eng):
+    got = sorted(map(tuple, eng.construct(
+        "CONSTRUCT WHERE { ?s <http://ex/knows> ?o }").collect()))
+    assert got == [("<http://ex/a>", "<http://ex/knows>", "<http://ex/b>")]
+
+
+def test_aggregate_results_serialize(eng):
+    """COUNT produces a long column — the JSON/XML serializers must
+    handle non-string binding values (regression: .startswith on int)."""
+    from morph_xr2rml_spark.sparql import to_sparql_json, to_sparql_xml
+    df = eng.sql("SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } "
+                 "GROUP BY ?p ORDER BY ?p")
+    doc = to_sparql_json(df)
+    assert all(b["n"]["value"].isdigit()
+               for b in doc["results"]["bindings"])
+    assert "<literal>" in to_sparql_xml(df)

@@ -375,3 +375,93 @@ ORDER BY doc_a, doc_b
 
 
 DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   max_iters: int = 50) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected components
+    over the MinHash-LSH candidate-pair graph, cluster id = min doc_id in
+    the component (the canonical "keep one per cluster" dedup shape).
+
+    Algorithm: iterative min-label propagation to FIXPOINT — each round
+    every node takes min(own label, neighbors' labels); converges in
+    O(diameter) rounds (near-dup components are shallow).  Each round is
+    one shuffle (join + groupBy-min) and the frontier is
+    ``localCheckpoint``-ed like the SPARQL path closure
+    (sparql.py::_path_pairs) so lineage stays flat.  The same shape runs
+    on 10^12 edges: labels and edges are both partitioned by node id, no
+    driver-side state, and the round count is data-diameter-bound, not
+    data-size-bound."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    labels = (sym.select(F.col("doc_a").alias("node")).distinct()
+                 .withColumn("label", F.col("node"))
+                 .localCheckpoint())
+    for _ in range(max_iters):
+        nb = (sym.join(labels, sym["doc_b"] == labels["node"])
+                 .groupBy(sym["doc_a"].alias("nnode"))
+                 .agg(F.min("label").alias("nb_min")))
+        new = (labels.join(nb, labels["node"] == nb["nnode"], "left")
+                     .select(labels["node"].alias("node"),
+                             F.least(labels["label"],
+                                     F.coalesce(F.col("nb_min"),
+                                                labels["label"]))
+                             .alias("label"))
+                     .localCheckpoint())
+        changed = (new.alias("n")
+                      .join(labels.alias("o"), "node")
+                      .where(F.col("n.label") != F.col("o.label"))
+                      .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "raise max_iters (component diameter exceeds the cap)")
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+                  .orderBy("doc_id"))
+
+
+def _clusters_sql() -> str:
+    """Connected components as a DuckDB recursive CTE: reach(node, root)
+    closes over the symmetric pair graph; min(root) per node = min doc_id
+    in the component — exactly the Spark fixpoint's answer."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        concat = " || '-' || ".join(
+            f"CAST(sig_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sigs")
+    buckets = "\nUNION ALL\n".join(band_selects)
+    core = _minhash_sql_core().replace("WITH ", "WITH RECURSIVE ", 1)
+    return core + f""",
+buckets AS (
+{buckets}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, root) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.t, r.root FROM reach r JOIN edges e ON e.s = r.node)
+SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+DEDUP_CLUSTERS_SQL = _clusters_sql()

@@ -22,6 +22,7 @@ def queries():
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.simhash_signatures,
         # similarity
         "sim_cosine_topk": similarity.sim_cosine_topk,
@@ -45,6 +46,7 @@ def oracle_sql():
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_LSH_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "dedup_simhash": dedup.SIMHASH_SIGNATURES_SQL,
         "sim_cosine_topk": similarity.SIM_COSINE_TOPK_SQL,
         "sim_ann_lsh_buckets": similarity.SIM_ANN_LSH_BUCKETS_SQL,
@@ -59,6 +61,7 @@ def bench_queries():
     return {
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.simhash_signatures,
         "text_quality": text.text_quality,
         "sim_cosine_topk": similarity.sim_cosine_topk,

@@ -6,16 +6,16 @@ signatures) is real and tested.  Decoding tiers:
 
 - REAL stdlib decoders: WAV audio (``wave`` + ``struct``: sample rate,
   duration, per-window RMS energy + zero-crossing rate features),
-  24-bit BMP images (``struct`` header parse), and non-interlaced 8-bit
-  PNG (``struct`` chunk walk + ``zlib`` inflate + per-row unfiltering,
-  all five filter types).  Image features are grid-pooled mean RGB —
-  the "resize" step as average pooling.  These run end-to-end in this
-  container, no PIL/cv2 needed.
-- STUBS for heavy codec formats (JPEG/MP4/...): raise
-  ``NotImplementedError`` — real codecs need external libraries that are
-  not in this environment.  ``fake_feature`` provides a deterministic
-  stand-in so downstream stages (similarity, dedup) exercise the same
-  plan shape.
+  24-bit BMP images (``struct`` header parse), non-interlaced 8-bit PNG
+  (``struct`` chunk walk + ``zlib`` inflate + per-row unfiltering, all
+  five filter types), and baseline JPEG (ops/jpeg.py: huffman + DCT,
+  4:4:4; progressive/subsampled raise NotImplementedError).  Image
+  features are grid-pooled mean RGB — the "resize" step as average
+  pooling.  These run end-to-end in this container, no PIL/cv2 needed.
+- STUB for video codecs (MP4/...): real video decode needs external
+  libraries that are not in this environment.  ``fake_feature``
+  provides a deterministic stand-in so downstream stages (similarity,
+  dedup) exercise the same plan shape.
 """
 
 from __future__ import annotations
@@ -298,17 +298,39 @@ def png_feature(payload: bytes, grid: int = 4) -> list[float]:
     return _grid_pool(w, h, px, grid)
 
 
+def make_jpeg(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic baseline JPEG (same seeded pixel formula as BMP/PNG;
+    lossy, so features are asserted within tolerance, not equality)."""
+    from .jpeg import encode_jpeg
+    pix = [((x * 13 + seed * 7) % 256,
+            (y * 29 + seed * 11) % 256,
+            ((x + y) * 31 + seed * 3) % 256)
+           for y in range(height) for x in range(width)]
+    return encode_jpeg(width, height, pix)
+
+
+def jpeg_feature(payload: bytes, grid: int = 4) -> list[float]:
+    from .jpeg import decode_jpeg
+    w, h, px = decode_jpeg(payload)
+    return _grid_pool(w, h, px, grid)
+
+
 def decode_image(payload: bytes) -> "object":
-    """Image decode dispatch on magic bytes: BMP and PNG decode natively
-    (pure stdlib); JPEG/MP4-style codec formats need pillow/opencv,
-    which are not in this environment."""
+    """Image decode dispatch on magic bytes: BMP, PNG and baseline JPEG
+    all decode natively (pure stdlib — see ops/jpeg.py for the JPEG
+    scope; progressive/subsampled JPEG raises NotImplementedError
+    there).  Video codecs (MP4/...) remain stubbed: fake_feature."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG decoding requires pillow/opencv — not in this environment; "
-        "BMP and PNG decode natively, or use fake_feature")
+        "unrecognized image format — BMP/PNG/baseline-JPEG decode "
+        "natively; other codecs need external libraries not in this "
+        "environment (use fake_feature)")
 
 
 def fake_feature(payload: bytes, dim: int = 16) -> list[float]:
@@ -332,11 +354,14 @@ def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            # alternate the two real stdlib image codecs
-            if (i // 3) % 2 == 0:
+            # rotate through the three real stdlib image codecs
+            sel = (i // 3) % 3
+            if sel == 0:
                 payload, mime = make_bmp(i), "image/bmp"
-            else:
+            elif sel == 1:
                 payload, mime = make_png(i), "image/png"
+            else:
+                payload, mime = make_jpeg(i), "image/jpeg"
             rows.append((i, kind, mime, 16, 16, None,
                          bytearray(payload)))
         elif kind == "audio":
@@ -370,6 +395,8 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                     feats.append(bmp_feature(b))
                 elif mime == "image/png":
                     feats.append(png_feature(b))
+                elif mime == "image/jpeg":
+                    feats.append(jpeg_feature(b))
                 else:
                     feats.append(fake_feature(b))
             yield pd.DataFrame({"media_id": ids, "feature": feats,

@@ -52,9 +52,13 @@ def test_bmp_feature_grid():
     assert (w, h) == (16, 16)
 
 
-def test_codec_formats_stay_stubbed():
+def test_unknown_codecs_stay_stubbed():
+    # r3: JPEG is now a real decoder (a malformed JPEG is a ValueError,
+    # not a stub); unrecognized/video payloads remain honestly stubbed
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg...")   # JPEG with no SOF0
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jpeg...")
+        decode_image(b"\x00\x00\x00\x18ftypmp42")  # MP4 container
     assert len(fake_feature(b"anything")) == 16
 
 
@@ -186,8 +190,8 @@ def test_png_unsupported_raise():
     p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(p)
-    # JPEG still honestly stubbed
-    with pytest.raises(NotImplementedError):
+    # malformed JPEG (no SOF0) is now a parse error from the real codec
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
@@ -207,4 +211,76 @@ def test_extract_features_png_rows(spark):
         want = png_feature(make_png(mid))
         got = feats[mid]
         assert len(got) == len(want)
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
+
+
+# ---------------------------------------------------------------------------
+# Round-3: baseline JPEG codec (pure stdlib, ops/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_roundtrip_smooth():
+    from morph_xr2rml_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    W = H = 16
+    pix = [(x * 8, y * 8, 128) for y in range(H) for x in range(W)]
+    data = encode_jpeg(W, H, pix)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    w, h, got = decode_jpeg(data)
+    assert (w, h) == (W, H)
+    err = sum(abs(a - b) for p, q in zip(pix, got)
+              for a, b in zip(p, q)) / (W * H * 3)
+    assert err < 4, err   # Q50 loss on a smooth gradient is tiny
+
+
+def test_jpeg_flat_color_near_exact():
+    from morph_xr2rml_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    W = H = 16
+    flat = [(100, 150, 200)] * (W * H)
+    _w, _h, got = decode_jpeg(encode_jpeg(W, H, flat))
+    err = sum(abs(a - b) for p, q in zip(flat, got)
+              for a, b in zip(p, q)) / (W * H * 3)
+    assert err < 2, err
+
+
+def test_jpeg_feature_close_to_png_feature():
+    """Same seeded image through the lossless PNG and lossy JPEG paths:
+    grid-pooled features agree within JPEG quantization tolerance."""
+    from morph_xr2rml_spark.ops.multimodal import (jpeg_feature, make_jpeg,
+                                                   make_png, png_feature)
+    for seed in (0, 3):
+        fj = jpeg_feature(make_jpeg(seed))
+        fp = png_feature(make_png(seed))
+        assert len(fj) == len(fp) == 48
+        # the seeded pattern has wrap discontinuities → ringing; pooled
+        # means still track within a loose tolerance
+        assert max(abs(a - b) for a, b in zip(fj, fp)) < 0.25
+
+
+def test_jpeg_unsupported_raise():
+    import pytest
+    from morph_xr2rml_spark.ops.jpeg import decode_jpeg
+    with pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    # progressive (SOF2) must raise, not mis-decode
+    import struct
+    sof2 = (b"\xFF\xD8"
+            + struct.pack(">HH", 0xFFC2, 11)
+            + struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+            + b"\xFF\xD9")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+
+
+def test_extract_features_jpeg_rows(spark):
+    from morph_xr2rml_spark.ops.multimodal import (extract_features,
+                                                   jpeg_feature, make_jpeg,
+                                                   synthetic_media_df)
+    media = synthetic_media_df(spark, 36)
+    jpeg_ids = [r.media_id for r in
+                media.where("mime = 'image/jpeg'").collect()]
+    assert jpeg_ids, "synthetic table should contain JPEG rows"
+    feats = {r.media_id: r.feature
+             for r in extract_features(media).collect()}
+    for mid in jpeg_ids:
+        want = jpeg_feature(make_jpeg(mid))
+        got = feats[mid]
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))

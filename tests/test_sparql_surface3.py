@@ -229,3 +229,25 @@ def test_aggregate_results_serialize(eng):
     assert all(b["n"]["value"].isdigit()
                for b in doc["results"]["bindings"])
     assert "<literal>" in to_sparql_xml(df)
+
+
+def test_exists_partition_invariant(spark):
+    """Algebraic invariant on random graphs: FILTER EXISTS and FILTER
+    NOT EXISTS partition the base solution set."""
+    import random
+    rnd = random.Random(42)
+    rows = [(f"<http://ex/n{rnd.randrange(12)}>",
+             f"<http://ex/p{rnd.randrange(3)}>",
+             f"<http://ex/n{rnd.randrange(12)}>") for _ in range(60)]
+    df = spark.createDataFrame(sorted(set(rows)),
+                               "subj string, pred string, obj string")
+    e2 = SparqlEngine(df)
+    base = "SELECT ?s WHERE { ?s <http://ex/p0> ?o %s }"
+    n_base = e2.sql(base % "").count()
+    n_ex = e2.sql(base % "FILTER EXISTS { ?s <http://ex/p1> ?x }").count()
+    n_nex = e2.sql(base %
+                   "FILTER NOT EXISTS { ?s <http://ex/p1> ?x }").count()
+    assert n_ex + n_nex == n_base
+    # MINUS agrees with NOT EXISTS when the shared var is always bound
+    n_minus = e2.sql(base % "MINUS { ?s <http://ex/p1> ?x }").count()
+    assert n_minus == n_nex

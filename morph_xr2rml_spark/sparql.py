@@ -479,6 +479,15 @@ class _P:
         if self.peek()[1] == "^":
             self.next()
             inverse = True
+        if self.peek()[1] == "(":
+            # parenthesized path group: (p1/p2)+, ^(p|q), ...
+            self.next()
+            t = self._pred_path()
+            self.expect(")")
+            if self.peek()[1] in ("+", "*", "?"):
+                mod = self.next()[1]
+                t = ({"+": "plus", "*": "star", "?": "opt"}[mod], t)
+            return ("inv", t) if inverse else t
         t = self._term()
         if t[0] == "iri" and self.peek()[1] in ("+", "*", "?"):
             mod = self.next()[1]
@@ -534,7 +543,7 @@ class _P:
                 args.append(self._operand())
             self.expect(")")
             return (func.lower(), *args)
-        left = self._operand()
+        left = self._additive()
         nxt = self.peek()
         if nxt[0] == "KW" and nxt[1].upper() == "IN":
             self.next()
@@ -546,8 +555,25 @@ class _P:
         op = self.next()[1]
         if op not in ("=", "!=", "<", ">", "<=", ">="):
             raise ValueError(f"SPARQL filter: bad operator {op!r}")
-        right = self._operand()
+        right = self._additive()
         return ("cmp", op, left, right)
+
+    def _additive(self):
+        """Comparison operand with arithmetic: ?a + 1, ?x * 2 - ?y …
+        (the tokenizer folds a sign into a following number literal;
+        unfold it like _bind_expr does)."""
+        left = self._operand()
+        while True:
+            t = self.peek()
+            if t[1] in ("+", "-", "*", "/"):
+                op = self.next()[1]
+                left = ("arith", op, left, self._operand())
+            elif t[0] == "NUM" and t[1][0] in "+-":
+                self.next()
+                left = ("arith", t[1][0], left, ("num", float(t[1][1:])))
+            else:
+                break
+        return left
 
     def _term_list(self) -> list:
         """Parenthesized operand list for IN / NOT IN."""
@@ -808,7 +834,7 @@ class SparqlEngine:
             return df.select(F.col("subj").alias("ps"),
                              F.col("obj").alias("po"))
         if kind == "opt":
-            base = self._iri_pairs(pred[1])
+            base = self._mod_base(pred[1])
             return base.unionByName(self._all_nodes_identity()).distinct()
         if kind in ("plus", "star"):
             # semi-naive evaluation TO FIXPOINT.  Each frontier is
@@ -816,7 +842,7 @@ class SparqlEngine:
             # materialized once, its lineage truncated (no exponential
             # plan growth over hops), and nothing stays in the cache
             # manager once the frontier DataFrames are dropped.
-            base = self._iri_pairs(pred[1]).distinct().localCheckpoint()
+            base = self._mod_base(pred[1]).distinct().localCheckpoint()
             closure = base
             frontier = base
             hops = 0
@@ -848,6 +874,13 @@ class SparqlEngine:
                     self._all_nodes_identity()).distinct()
             return closure
         raise ValueError(f"unsupported property path {pred!r}")
+
+    def _mod_base(self, inner) -> DataFrame:
+        """Base pair set for a +/*/? modifier: a bare IRI (stored as its
+        string) or a parenthesized sub-path (stored as its AST)."""
+        if isinstance(inner, str):
+            return self._iri_pairs(inner)
+        return self._path_pairs(inner)
 
     def _all_nodes_identity(self) -> DataFrame:
         """(n, n) for every node in the default graph — the reflexive
@@ -1093,8 +1126,9 @@ class SparqlEngine:
             ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
                    "<": lambda a, b: a < b, ">": lambda a, b: a > b,
                    "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
-            # numeric compare if either side is a number literal
-            if (left[0] == "num") or (right[0] == "num"):
+            # numeric compare if either side is a number literal or an
+            # arithmetic expression
+            if left[0] in ("num", "arith") or right[0] in ("num", "arith"):
                 lcol = numeric_value(F.col(left[1])) if left[0] == "var" \
                     else self._operand_col(left)
                 rcol = numeric_value(F.col(right[1])) if right[0] == "var" \
@@ -1138,6 +1172,8 @@ class SparqlEngine:
                      .otherwise(F.lit(xsd_string)))
         if kind == "strop":
             return self._strop_col(ast)
+        if kind == "arith":
+            return self._bind_col(ast)
         if kind == "coalesce":
             return F.coalesce(*[self._operand_col(a, lexical=lexical)
                                 for a in ast[1]])

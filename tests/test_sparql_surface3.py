@@ -251,3 +251,33 @@ def test_exists_partition_invariant(spark):
     # MINUS agrees with NOT EXISTS when the shared var is always bound
     n_minus = e2.sql(base % "MINUS { ?s <http://ex/p1> ?x }").count()
     assert n_minus == n_nex
+
+
+def test_parenthesized_path_groups(eng):
+    # (knows/name) sequence in a group, then + on a group
+    got = q(eng, "SELECT ?n WHERE "
+                 "{ <http://ex/a> (<http://ex/knows>/<http://ex/name>) ?n }")
+    assert got == [('"Bob"',)]
+    got = q(eng, "SELECT ?o WHERE "
+                 "{ <http://ex/a> (<http://ex/knows>)+ ?o }")
+    assert got == [("<http://ex/b>",)]
+    # inverse of a group
+    got = q(eng, "SELECT ?s WHERE "
+                 "{ <http://ex/b> ^(<http://ex/knows>) ?s }")
+    assert got == [("<http://ex/a>",)]
+    # alternation group with modifier parses and evaluates
+    got = q(eng, "SELECT ?o WHERE { <http://ex/a> "
+                 "(<http://ex/knows>|<http://ex/age>)+ ?o }")
+    assert ("<http://ex/b>",) in got
+
+
+def test_arithmetic_in_filters(eng):
+    got = q(eng, "SELECT ?n WHERE { ?s <http://ex/name> ?n . "
+                 "?s <http://ex/age> ?a FILTER(?a + 5 > 32) }")
+    assert got == [('"Alice"',)]
+    got = q(eng, "SELECT ?n WHERE { ?s <http://ex/name> ?n . "
+                 "?s <http://ex/age> ?a FILTER(?a * 2 = 50) }")
+    assert got == [('"Bob"',)]
+    got = q(eng, "SELECT ?n WHERE { ?s <http://ex/name> ?n . "
+                 "?s <http://ex/age> ?a FILTER(35 - ?a >= 10) }")
+    assert got == [('"Bob"',)]

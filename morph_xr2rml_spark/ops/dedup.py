@@ -403,6 +403,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     labels = (sym.select(F.col("doc_a").alias("node")).distinct()
                  .withColumn("label", F.col("node"))
                  .localCheckpoint())
+    # convergence check: labels only ever DECREASE (min-propagation), so
+    # the fixpoint is reached exactly when sum(label) stops falling —
+    # one cheap aggregate per round instead of a self-join diff
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         nb = (sym.join(labels, sym["doc_b"] == labels["node"])
                  .groupBy(sym["doc_a"].alias("nnode"))
@@ -414,13 +418,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                                                 labels["label"]))
                              .alias("label"))
                      .localCheckpoint())
-        changed = (new.alias("n")
-                      .join(labels.alias("o"), "node")
-                      .where(F.col("n.label") != F.col("o.label"))
-                      .limit(1).count())
+        new_sum = new.agg(F.sum("label")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} rounds — "

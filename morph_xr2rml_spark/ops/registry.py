@@ -61,7 +61,9 @@ def bench_queries():
     return {
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_clusters": dedup.dedup_clusters,
+        # dedup_clusters is gate-only: at bench scale its wall time is
+        # per-round job constants (2 rounds over 1300 edges), not work —
+        # nothing a throughput bench can read from it
         "dedup_simhash": dedup.simhash_signatures,
         "text_quality": text.text_quality,
         "sim_cosine_topk": similarity.sim_cosine_topk,

@@ -82,7 +82,7 @@ _TOKEN = re.compile(r"""
     | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
     | (?P<NUM>[+-]?\d+(?:\.\d+)?)
     | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)
-    | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+    | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP><=|>=|!=|\|\||&&|\[\]|[=<>!(){}\[\].,;*+/^?|-])
     | (?P<WS>\s+)

@@ -281,3 +281,13 @@ def test_arithmetic_in_filters(eng):
     got = q(eng, "SELECT ?n WHERE { ?s <http://ex/name> ?n . "
                  "?s <http://ex/age> ?a FILTER(35 - ?a >= 10) }")
     assert got == [('"Bob"',)]
+
+
+def test_default_empty_prefix(spark):
+    """PREFIX : <...> — the default prefix a migrating user's first
+    query very often uses."""
+    df = spark.createDataFrame(ROWS, "subj string, pred string, obj string")
+    e2 = SparqlEngine(df)
+    got = sorted(tuple(r) for r in e2.sql(
+        "PREFIX : <http://ex/> SELECT ?n WHERE { :a :name ?n }").collect())
+    assert got == [('"Alice"',)]

@@ -217,10 +217,13 @@ class _P:
                     q.order_by.append((self._order_key(), True))
                 else:
                     break
-        if self.kw("LIMIT"):
-            q.limit = int(self.next()[1])
-        if self.kw("OFFSET"):
-            q.offset = int(self.next()[1])
+        while True:   # LIMIT/OFFSET appear in either order (SPARQL §18.2)
+            if self.kw("LIMIT"):
+                q.limit = int(self.next()[1])
+            elif self.kw("OFFSET"):
+                q.offset = int(self.next()[1])
+            else:
+                break
         return q
 
     def _order_key(self):
@@ -363,6 +366,9 @@ class _P:
             return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
         if t[0] == "KW" and t[1].upper() == "UNDEF":
             return ("undef", None)   # VALUES wildcard
+        if t[0] == "KW" and t[1] in ("true", "false"):
+            return ("lit_exact",
+                    f'"{t[1]}"^^<http://www.w3.org/2001/XMLSchema#boolean>')
         raise ValueError(f"SPARQL parse: unexpected term {t!r}")
 
     def _fresh_anon(self) -> tuple:
@@ -631,6 +637,8 @@ class _P:
         t = self.next()
         if t[0] == "VAR":
             return ("var", t[1][1:])
+        if t[0] == "KW" and t[1] in ("true", "false"):
+            return ("boollit", t[1])
         if t[0] == "NUM":
             return ("num", float(t[1]))
         if t[0] == "STR":
@@ -1152,6 +1160,10 @@ class SparqlEngine:
             return F.lit(ast[1])
         if kind in ("str", "iri"):
             return F.lit(ast[1])
+        if kind == "boollit":
+            # xsd:boolean literal: lexical form for value compares, full
+            # term form via _term_form_col for sameTerm
+            return F.lit(ast[1])
         if kind == "strfn":
             return lexical_value(self._operand_col(ast[1]))
         if kind == "langfn":
@@ -1195,6 +1207,9 @@ class SparqlEngine:
             return F.lit(f"<{ast[1]}>")
         if kind == "str":
             return F.lit(f'"{ast[1]}"')
+        if kind == "boollit":
+            return F.lit(f'"{ast[1]}"^^'
+                         "<http://www.w3.org/2001/XMLSchema#boolean>")
         return self._operand_col(ast)
 
     def _strop_col(self, ast) -> Column:

@@ -291,3 +291,27 @@ def test_default_empty_prefix(spark):
     got = sorted(tuple(r) for r in e2.sql(
         "PREFIX : <http://ex/> SELECT ?n WHERE { :a :name ?n }").collect())
     assert got == [('"Alice"',)]
+
+
+def test_boolean_literals_and_modifier_order(spark):
+    rows = ROWS + [
+        ("<http://ex/a>", "<http://ex/active>",
+         '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'),
+        ("<http://ex/b>", "<http://ex/active>",
+         '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    e2 = SparqlEngine(df)
+    # boolean literal in object position (exact typed-term match)
+    got = sorted(tuple(r) for r in e2.sql(
+        "SELECT ?s WHERE { ?s <http://ex/active> true }").collect())
+    assert got == [("<http://ex/a>",)]
+    # boolean literal in FILTER comparison (value compare)
+    got = sorted(tuple(r) for r in e2.sql(
+        "SELECT ?s WHERE { ?s <http://ex/active> ?v "
+        "FILTER(?v = false) }").collect())
+    assert got == [("<http://ex/b>",)]
+    # OFFSET before LIMIT parses (either order is legal)
+    got = e2.sql("SELECT ?n WHERE { ?s <http://ex/name> ?n } "
+                 "ORDER BY ?n OFFSET 1 LIMIT 2").collect()
+    assert len(got) == 2 and got[0][0] == '"Anon"'

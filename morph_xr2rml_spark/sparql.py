@@ -80,7 +80,7 @@ _TOKEN = re.compile(r"""
     | (?P<IRI><[^>\s]*>)
     | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
-    | (?P<NUM>[+-]?\d+(?:\.\d+)?)
+    | (?P<NUM>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)
     | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_-]*)?:[A-Za-z0-9_.-]*)
     | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)

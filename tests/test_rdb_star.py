@@ -168,3 +168,49 @@ def test_spark_parity_rdb_star(spark):
     got = {tuple(r) for r in materialize(spark, mapping, cat).collect()}
     want = _local()
     assert got == want
+
+
+def test_mysql_rewriting_example_query(spark):
+    """example_mysql_rewriting end-to-end: the reference's mapping (with
+    rr:sqlQuery parent source) materialized through Spark, then its
+    query.sparql shape answered over the result — reference: SPARQL→SQL
+    rewriting; here: materialize-then-query.  Hobbies come from the
+    JSONPath reference over the comments column."""
+    from morph_xr2rml_spark.engine import materialize
+    from morph_xr2rml_spark.sources import SourceCatalog
+    from morph_xr2rml_spark.sparql import SparqlEngine
+
+    # NOTE: the reference's shipped mapping has a DANGLING
+    # rr:parentTriplesMap <#Sport> (the TM is named <#TMSport>) — its
+    # query translator only resolves POMs a query needs, so the broken
+    # reference goes unnoticed there; a materializer must resolve every
+    # POM, so fix the name before loading.
+    text = open(
+        "/root/reference/morph-xr2rml-dist/example_mysql_rewriting/"
+        "mapping.ttl").read().replace("<#Sport>", "<#TMSport>")
+    mapping = MappingDocument.from_text(text)
+    cat = SourceCatalog()
+    cat.register_table("student", spark.createDataFrame(
+        [(d.get("id"), d.get("comments"), d.get("name"), d.get("sport"),
+          d.get("webpage"), d.get("email")) for d in STUDENTS],
+        "id string, comments string, name string, sport long, "
+        "webpage string, email string"))
+    cat.register_table("sport", spark.createDataFrame(
+        [(d.get("id"), d.get("name"), d.get("code"), d.get("shirt_colors"))
+         for d in SPORTS],
+        "id long, name string, code string, shirt_colors string"))
+    triples = materialize(spark, mapping, cat)
+    eng = SparqlEngine(triples.cache())
+    rows = eng.sql("""
+        PREFIX ex: <http://example.com/>
+        SELECT ?s ?h WHERE { ?s a ex:Student ; ex:hobbies ?h . }
+        """).collect()
+    got = {(r.s, r.h) for r in rows}
+    # THIS mapping's ex:hobbies is a plain Column reference ("comments"),
+    # so the term is the raw column string (unlike example_mysql's
+    # mixed-syntax JSONPath extraction); subjects are student/{id}
+    subjects = {s for s, _h in got}
+    assert subjects == {f"<http://example.org/student/B{i}>"
+                        for i in (1, 2, 3, 4)}
+    b1 = [h for s, h in got if s.endswith("/B1>")]
+    assert len(b1) == 1 and "Swimming" in b1[0] and "Soccer" in b1[0]

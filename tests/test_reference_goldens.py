@@ -93,3 +93,67 @@ def test_pr_against_reference_golden(mapping_file, golden_file, sources):
     # these two fixtures should in fact be exact
     assert precision == 1.0 and recall == 1.0, \
         f"{golden_file}: P={precision} R={recall}"
+
+
+def test_reference_rewriting_example_query(spark):
+    """End-to-end parity with example_mongo_rewriting: materialize the
+    reference's OWN mapping (RdfSeq container, JSONPath-ref join) over
+    its OWN test documents, then answer its OWN query.sparql shape
+    (the uncommented SELECT) — the full migrate-a-user path.
+
+    Reference artifacts: example_mongo_rewriting/{mapping.ttl,
+    testdb_dump.json, query.sparql}; the reference answers it by
+    SPARQL→MongoDB rewriting, we materialize-then-query (SURVEY §7
+    stage 5) — same bindings either way."""
+    import json as _json
+
+    from morph_xr2rml_spark.api import materialize_auto
+    from morph_xr2rml_spark.sources import SourceCatalog
+    from morph_xr2rml_spark.sparql import SparqlEngine
+
+    mapping = MappingDocument.from_file(
+        "/root/reference/morph-xr2rml-dist/example_mongo_rewriting/"
+        "mapping.ttl")
+    directors = [
+        {"name": "Woody Allen", "directed": ["Manhattan", "Annie Hall"]},
+        {"name": "Wong Kar-wai",
+         "directed": ["2046", "In the Mood for Love"]},
+    ]
+    movies = [
+        {"name": "2046", "code": "m2046", "actors": ["T. Leung", "G. Li"]},
+        {"name": "In the Mood for Love", "code": "Mood",
+         "actors": ["M. Cheung"]},
+        {"name": "Manhattan", "code": "Manh",
+         "actors": ["Woody Allen", "Diane Keaton"]},
+        {"name": "Interiors", "code": "Int01",
+         "actors": ["D. Keaton", "G. Page"]},
+    ]
+    cat = SourceCatalog()
+    cat.register_collection("directors2", spark.createDataFrame(
+        [(_json.dumps(d),) for d in directors], "content string"))
+    cat.register_collection("movies2", spark.createDataFrame(
+        [(_json.dumps(m),) for m in movies], "content string"))
+    triples = materialize_auto(spark, mapping, cat)
+    eng = SparqlEngine(triples.cache())
+    rows = eng.sql("""
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?y ?actor1 ?actor2 WHERE {
+            ?x ex:directed ?y .
+            ?y ex:starringList ?z .
+            ?z a rdf:Seq .
+            ?z rdf:_1 ?actor1 .
+            optional { ?z rdf:_2 ?actor2 . }
+        }""").collect()
+    got = {(r.x, r.y, r.actor1, r.actor2) for r in rows}
+    assert got == {
+        ("<http://example.org/dir/Woody%20Allen>",
+         "<http://example.org/movie/Manh>",
+         '"Woody Allen"', '"Diane Keaton"'),
+        ("<http://example.org/dir/Wong%20Kar-wai>",
+         "<http://example.org/movie/m2046>",
+         '"T. Leung"', '"G. Li"'),
+        ("<http://example.org/dir/Wong%20Kar-wai>",
+         "<http://example.org/movie/Mood>",
+         '"M. Cheung"', None),
+    }

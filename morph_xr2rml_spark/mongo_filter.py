@@ -98,6 +98,11 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                     conds.append(rex)
                 elif op == "$options":
                     pass   # consumed by the $regex branch
+                elif op == "$size":
+                    conds.append(lambda d, k=key, n=int(operand):
+                                 (lambda ok_x: ok_x[0]
+                                  and isinstance(ok_x[1], list)
+                                  and len(ok_x[1]) == n)(_get_path(d, k)))
                 elif op == "$elemMatch":
                     if not isinstance(operand, dict):
                         raise ValueError("$elemMatch needs an object")

@@ -157,3 +157,16 @@ def test_json_native_routing_respects_filter(spark):
     assert not compilable(tm_for("{a: {$regex: 'x'}}"))
     assert not compilable(tm_for("{a: 3}"))
     assert not compilable(tm_for("{$or: [{a: 1}, {b: 'y'}]}"))
+
+
+def test_size_operator():
+    # shape from the reference's example dump:
+    # db.movies2.find({actors: {$size: 2, $elemMatch: {$eq: "T. Leung"}}})
+    f = _f('{actors: {$size: 2, $elemMatch: {$eq: "T. Leung"}}}')
+    assert f({"actors": ["T. Leung", "G. Li"]})
+    assert not f({"actors": ["M. Cheung"]})            # wrong size
+    assert not f({"actors": ["A", "B"]})               # no match
+    assert not f({"actors": "T. Leung"}) and not f({})
+    # $size stays on the Python path
+    from morph_xr2rml_spark.sources import mongo_filter_native_ok
+    assert not mongo_filter_native_ok("{a: {$size: 2}}")

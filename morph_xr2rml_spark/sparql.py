@@ -59,6 +59,7 @@ class Group:
 class SelectQuery:
     variables: list            # ["x", ...] or ["*"]
     aggregates: list           # [(func, var_or_None, distinct, alias, sep)]
+    select_exprs: list = field(default_factory=list)  # [(alias, expr AST)]
     where: Group = None
     distinct: bool = False
     group_by: list = field(default_factory=list)
@@ -177,22 +178,36 @@ class _P:
                 q.variables.append(self.next()[1][1:])
             elif t[1] == "(":
                 self.next()
-                func = self.next()[1].upper()
-                self.expect("(")
-                distinct = self.kw("DISTINCT")
-                inner = self.next()
-                var = None if inner[1] == "*" else inner[1][1:]
-                sep = " "
-                if self.peek()[1] == ";":   # GROUP_CONCAT separator
-                    self.next()
-                    self.expect("SEPARATOR")
-                    self.expect("=")
-                    sep = self.next()[1][1:-1]
-                self.expect(")")
-                self.expect("AS")
-                alias = self.next()[1][1:]
-                self.expect(")")
-                q.aggregates.append((func, var, distinct, alias, sep))
+                nxt = self.peek()
+                if nxt[0] == "KW" and nxt[1].upper() in (
+                        "COUNT", "SUM", "AVG", "MIN", "MAX",
+                        "GROUP_CONCAT", "SAMPLE") \
+                        and self.peek(1)[1] == "(":
+                    func = self.next()[1].upper()
+                    self.expect("(")
+                    distinct = self.kw("DISTINCT")
+                    inner = self.next()
+                    var = None if inner[1] == "*" else inner[1][1:]
+                    sep = " "
+                    if self.peek()[1] == ";":   # GROUP_CONCAT separator
+                        self.next()
+                        self.expect("SEPARATOR")
+                        self.expect("=")
+                        sep = self.next()[1][1:-1]
+                    self.expect(")")
+                    self.expect("AS")
+                    alias = self.next()[1][1:]
+                    self.expect(")")
+                    q.aggregates.append((func, var, distinct, alias, sep))
+                else:
+                    # SELECT expression: (expr AS ?alias) — arithmetic,
+                    # string functions, COALESCE/IF over pattern vars
+                    expr = self._additive()
+                    self.expect("AS")
+                    alias = self.next()[1][1:]
+                    self.expect(")")
+                    q.select_exprs.append((alias, expr))
+                    q.variables.append(alias)
             else:
                 break
         self.expect("WHERE")
@@ -1318,6 +1333,11 @@ class SparqlEngine:
 
     def evaluate(self, q: SelectQuery) -> DataFrame:
         df = self._join_group(q.where)
+        for alias, expr in q.select_exprs:
+            # SELECT expressions compute before projection (and may feed
+            # GROUP BY keys); aggregate calls inside them are rejected by
+            # the operand compiler
+            df = df.withColumn(alias, self._operand_col(expr))
         if q.aggregates or q.having:
             specs = [tuple(a) for a in q.aggregates]
             visible = [a[3] for a in specs]

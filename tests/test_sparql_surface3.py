@@ -315,3 +315,19 @@ def test_boolean_literals_and_modifier_order(spark):
     got = e2.sql("SELECT ?n WHERE { ?s <http://ex/name> ?n } "
                  "ORDER BY ?n OFFSET 1 LIMIT 2").collect()
     assert len(got) == 2 and got[0][0] == '"Anon"'
+
+
+def test_select_expressions(eng):
+    got = q(eng, "SELECT ?n (UCASE(?n) AS ?u) WHERE "
+                 "{ <http://ex/b> <http://ex/name> ?n }")
+    assert got == [('"Bob"', "BOB")]
+    got = q(eng, "SELECT (?a + 10 AS ?plus) WHERE "
+                 "{ <http://ex/b> <http://ex/age> ?a }")
+    assert got == [(35.0,)]
+    got = q(eng, 'SELECT ?n (IF(STRLEN(?n) > 3, "long", "short") AS ?k) '
+                 "WHERE { ?s <http://ex/name> ?n } ORDER BY ?n")
+    assert ('"Bob"', "short") in got and ('"Alice"', "long") in got
+    # SELECT expression feeding GROUP BY
+    got = q(eng, "SELECT ?k (COUNT(?s) AS ?c) WHERE { ?s ?p ?o "
+                 "BIND(STRLEN(STR(?p)) AS ?k) } GROUP BY ?k ORDER BY ?k")
+    assert len(got) >= 2

@@ -255,6 +255,9 @@ class _P:
             if t[1] == "}":
                 self.next()
                 break
+            if t[1] == ".":   # stray separator after BIND/FILTER/'}'
+                self.next()
+                continue
             if t[1].upper() == "FILTER":
                 self.next()
                 nxt = self.peek()
@@ -681,6 +684,26 @@ class _P:
             var = None if inner[1] == "*" else inner[1][1:]
             self.expect(")")
             return ("aggref", func, var, distinct)
+        if t[0] == "KW" and t[1].upper() == "CONCAT":
+            self.expect("(")
+            args = [self._operand()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self._operand())
+            self.expect(")")
+            return ("concat", args)
+        if t[0] == "KW" and t[1].upper() in ("IRI", "URI", "STRDT",
+                                             "STRLANG", "BNODE"):
+            func = "IRI" if t[1].upper() == "URI" else t[1].upper()
+            self.expect("(")
+            args = []
+            if self.peek()[1] != ")":
+                args.append(self._operand())
+                while self.peek()[1] == ",":
+                    self.next()
+                    args.append(self._operand())
+            self.expect(")")
+            return ("termctor", func, args)
         if t[0] == "KW" and t[1].upper() == "COALESCE":
             self.expect("(")
             args = [self._operand()]
@@ -1015,7 +1038,15 @@ class SparqlEngine:
                 common = [c for c in sdf.columns if c in df.columns]
                 df = df.join(sdf, common) if common else df.crossJoin(sdf)
         for var, expr in g.binds:
-            df = df.withColumn(var, self._bind_col(expr))
+            c = self._bind_col(expr)
+            if var in df.columns:
+                # the var is also pattern-bound: patterns evaluate first
+                # here, so emulate sequential scope (BIND introduces the
+                # var, later patterns join on it) with an equality —
+                # same solutions as bind-then-join
+                df = df.where(F.col(var) == c)
+            else:
+                df = df.withColumn(var, c)
         for vars_, rows in g.values:
             def term_lex(term) -> Optional[str]:
                 kind, val = term
@@ -1199,7 +1230,7 @@ class SparqlEngine:
                      .otherwise(F.lit(xsd_string)))
         if kind == "strop":
             return self._strop_col(ast)
-        if kind == "arith":
+        if kind in ("arith", "concat"):
             return self._bind_col(ast)
         if kind == "coalesce":
             return F.coalesce(*[self._operand_col(a, lexical=lexical)
@@ -1208,9 +1239,38 @@ class SparqlEngine:
             return F.when(self._filter_col(ast[1], None),
                           self._operand_col(ast[2], lexical=lexical)) \
                     .otherwise(self._operand_col(ast[3], lexical=lexical))
+        if kind == "termctor":
+            return self._termctor_col(ast)
         if kind == "aggref":
             raise ValueError("aggregate calls are only valid in HAVING")
         raise ValueError(f"unsupported filter operand {ast!r}")
+
+    def _termctor_col(self, ast) -> Column:
+        """Term constructors (§17.4.2): IRI/URI, STRDT, STRLANG, BNODE —
+        produce full N-Triples TERM strings, so constructed terms join
+        and serialize exactly like pattern-matched ones."""
+        _k, func, args = ast
+        if func == "IRI":
+            return F.concat(F.lit("<"),
+                            self._operand_col(args[0], lexical=True),
+                            F.lit(">"))
+        if func == "STRDT":
+            if args[1][0] != "iri":
+                raise ValueError("STRDT needs an IRI datatype argument")
+            return F.concat(F.lit('"'),
+                            self._operand_col(args[0], lexical=True),
+                            F.lit(f'"^^<{args[1][1]}>'))
+        if func == "STRLANG":
+            if args[1][0] != "str":
+                raise ValueError("STRLANG needs a literal language tag")
+            return F.concat(F.lit('"'),
+                            self._operand_col(args[0], lexical=True),
+                            F.lit(f'"@{args[1][1]}'))
+        # BNODE([expr]): deterministic content-derived label (same design
+        # as the engine's content-hash bnodes — distributable dedup)
+        inner = (self._operand_col(args[0], lexical=True) if args
+                 else F.lit(""))
+        return F.concat(F.lit("_:b"), F.md5(inner.cast("string")))
 
     def _term_form_col(self, ast) -> Column:
         """Operand → its N-Triples TERM form (for sameTerm): vars are

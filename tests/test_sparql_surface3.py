@@ -331,3 +331,27 @@ def test_select_expressions(eng):
     got = q(eng, "SELECT ?k (COUNT(?s) AS ?c) WHERE { ?s ?p ?o "
                  "BIND(STRLEN(STR(?p)) AS ?k) } GROUP BY ?k ORDER BY ?k")
     assert len(got) >= 2
+
+
+def test_term_constructors(eng):
+    got = q(eng, 'SELECT ?i WHERE { ?s <http://ex/name> ?n '
+                 'BIND(IRI(CONCAT("http://ex/p/", STR(?n))) AS ?i) '
+                 'FILTER(?n = "Bob") }')
+    assert got == [("<http://ex/p/Bob>",)]
+    got = q(eng, 'SELECT ?t WHERE { ?s <http://ex/name> ?n '
+                 'BIND(STRDT(STR(?n), <http://www.w3.org/2001/XMLSchema#'
+                 'string>) AS ?t) FILTER(?n = "Bob") }')
+    assert got == [('"Bob"^^<http://www.w3.org/2001/XMLSchema#string>',)]
+    got = q(eng, 'SELECT ?t WHERE { ?s <http://ex/name> ?n '
+                 'BIND(STRLANG(STR(?n), "en") AS ?t) FILTER(?n = "Bob") }')
+    assert got == [('"Bob"@en',)]
+    # constructed IRI joins back against pattern-matched terms
+    got = q(eng, 'SELECT ?n2 WHERE { ?s <http://ex/name> ?n '
+                 'BIND(IRI("http://ex/b") AS ?b) . '
+                 '?b <http://ex/name> ?n2 FILTER(?n = "Alice") }')
+    assert got == [('"Bob"',)]
+    # BNODE is deterministic per input
+    rows = q(eng, 'SELECT ?z WHERE { ?s <http://ex/name> ?n '
+                  'BIND(BNODE(STR(?n)) AS ?z) }')
+    assert len({r[0] for r in rows}) == 4
+    assert all(r[0].startswith("_:b") for r in rows)

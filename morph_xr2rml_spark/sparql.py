@@ -1037,6 +1037,10 @@ class SparqlEngine:
             else:
                 common = [c for c in sdf.columns if c in df.columns]
                 df = df.join(sdf, common) if common else df.crossJoin(sdf)
+        if df is None:
+            # empty group pattern: ONE empty solution μ0 (SPARQL §18.5) —
+            # the unit relation; VALUES/BIND-only groups build on it
+            df = self.triples.sparkSession.range(1).select()
         for var, expr in g.binds:
             c = self._bind_col(expr)
             if var in df.columns:
@@ -1058,11 +1062,11 @@ class SparqlEngine:
                     return val
                 return str(val)
             lex_rows = [tuple(term_lex(t) for t in row) for row in rows]
-            if len(vars_) == 1:
+            if len(vars_) == 1 and vars_[0] in df.columns:
                 if any(r[0] is None for r in lex_rows):
                     pass   # an UNDEF row matches everything: no constraint
                 else:
-                    # single-var: membership constraint, no join needed
+                    # single-var over a bound var: membership constraint
                     df = df.where(F.col(vars_[0]).isin(
                         [r[0] for r in lex_rows]))
             else:

@@ -355,3 +355,15 @@ def test_term_constructors(eng):
                   'BIND(BNODE(STR(?n)) AS ?z) }')
     assert len({r[0] for r in rows}) == 4
     assert all(r[0].startswith("_:b") for r in rows)
+
+
+def test_empty_group_unit_solution(eng):
+    """Empty/pattern-free groups yield the unit solution (SPARQL §18.5):
+    ASK {} is true, VALUES-only and BIND-only groups evaluate."""
+    assert len(eng.sql("SELECT * WHERE { }").collect()) == 1
+    assert eng.ask("ASK { }") is True
+    got = sorted(r.x for r in eng.sql(
+        'SELECT ?x WHERE { VALUES ?x { "a" "b" } }').collect())
+    assert got == ['"a"', '"b"']
+    got = eng.sql("SELECT ?y WHERE { BIND(2 + 3 AS ?y) }").collect()
+    assert got[0].y == 5.0

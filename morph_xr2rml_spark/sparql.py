@@ -268,20 +268,10 @@ class _P:
                     self.next()
                     self.expect("EXISTS")
                     g.exists.append((False, self._group()))
-                elif (nxt[1] == "(" and self.peek(1)[1].upper() == "NOT"
-                        and self.peek(2)[1].upper() == "EXISTS"):
-                    # FILTER (NOT EXISTS {...}) — parenthesized form
-                    self.next()
-                    self.next()
-                    self.expect("EXISTS")
-                    g.exists.append((False, self._group()))
-                    self.expect(")")
-                elif (nxt[1] == "(" and self.peek(1)[1].upper() == "EXISTS"):
-                    self.next()
-                    self.next()
-                    g.exists.append((True, self._group()))
-                    self.expect(")")
                 else:
+                    # parenthesized (NOT) EXISTS — alone or inside a
+                    # compound boolean — routes through the expression
+                    # machinery (existsexpr marker columns)
                     g.filters.append(self._filter_expr())
             elif t[1].upper() == "MINUS":
                 self.next()
@@ -548,6 +538,17 @@ class _P:
         if t[1] == "!":
             self.next()
             return ("not", self._unary_expr())
+        if t[0] == "KW" and t[1].upper() == "EXISTS" \
+                and self.peek(1)[1] == "{":
+            # EXISTS inside a compound boolean expression (the simple
+            # whole-FILTER forms are intercepted in _group)
+            self.next()
+            return ("existsexpr", self._group())
+        if t[0] == "KW" and t[1].upper() == "NOT" \
+                and self.peek(1)[1].upper() == "EXISTS":
+            self.next()
+            self.next()
+            return ("not", ("existsexpr", self._group()))
         if t[1] == "(":
             self.next()
             e = self._or_expr()
@@ -1091,7 +1092,10 @@ class SparqlEngine:
                                        | (F.col(c) == F.col(r)))
                     df = df.join(F.broadcast(vdf), cond).drop(*ren.values())
         for flt in g.filters:
+            df, flt, markers = self._attach_exists_markers(df, flt)
             df = df.where(self._filter_col(flt, df))
+            if markers:
+                df = df.drop(*markers)
         for positive, sub in g.exists:
             # FILTER (NOT) EXISTS on shared variables → semi/anti join
             # (the distributed equivalent of Jena's per-binding probe).
@@ -1120,8 +1124,49 @@ class SparqlEngine:
                              "left_anti")
         return df
 
+    def _attach_exists_markers(self, df: DataFrame, ast):
+        """EXISTS inside a compound filter expression: rewrite each
+        ("existsexpr", group) node to a boolean marker column computed
+        by a left join on the shared variables (no shared vars → a
+        constant).  Returns (df', ast', [marker col names])."""
+        markers: list[str] = []
+
+        def walk(node, df):
+            if not isinstance(node, tuple):
+                return node, df
+            if node[0] == "existsexpr":
+                sdf = self._join_group(node[1])
+                common = [c for c in sdf.columns if c in df.columns]
+                if not common:
+                    return ("const", not sdf.isEmpty()), df
+                m = f"_exists{len(markers)}"
+                markers.append(m)
+                probe = sdf.select(*common).distinct() \
+                           .withColumn(m, F.lit(True))
+                df = df.join(probe, common, "left")
+                return ("existsflag", m), df
+            out = []
+            for e in node:
+                if isinstance(e, tuple):
+                    e, df = walk(e, df)
+                elif isinstance(e, list):
+                    newl = []
+                    for x in e:
+                        x2, df = walk(x, df)
+                        newl.append(x2)
+                    e = newl
+                out.append(e)
+            return tuple(out), df
+
+        ast, df = walk(ast, df)
+        return df, ast, markers
+
     def _filter_col(self, ast, df: DataFrame) -> Column:
         kind = ast[0]
+        if kind == "existsflag":
+            return F.coalesce(F.col(ast[1]), F.lit(False))
+        if kind == "const":
+            return F.lit(bool(ast[1]))
         if kind == "or":
             return self._filter_col(ast[1], df) | self._filter_col(ast[2], df)
         if kind == "and":

@@ -367,3 +367,20 @@ def test_empty_group_unit_solution(eng):
     assert got == ['"a"', '"b"']
     got = eng.sql("SELECT ?y WHERE { BIND(2 + 3 AS ?y) }").collect()
     assert got[0].y == 5.0
+
+
+def test_exists_in_compound_filter(eng):
+    """(NOT) EXISTS composes inside boolean filter expressions via
+    marker-column left joins."""
+    got = q(eng, 'SELECT ?n WHERE { ?s <http://ex/name> ?n '
+                 'FILTER(EXISTS { ?s <http://ex/age> ?a } '
+                 '|| ?n = "Carol") }')
+    assert got == [('"Alice"',), ('"Bob"',), ('"Carol"',)]
+    got = q(eng, 'SELECT ?n WHERE { ?s <http://ex/name> ?n '
+                 'FILTER(NOT EXISTS { ?s <http://ex/age> ?a } '
+                 '&& STRSTARTS(STR(?n), "C")) }')
+    assert got == [('"Carol"',)]
+    # marker columns must not leak into the projection
+    df = eng.sql('SELECT * WHERE { ?s <http://ex/name> ?n '
+                 'FILTER(EXISTS { ?s <http://ex/age> ?a } || bound(?n)) }')
+    assert not [c for c in df.columns if c.startswith("_exists")]

@@ -267,6 +267,45 @@ SPARQL_QUERIES = {
           AND regexp_extract(t1.obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1)
               LIKE 'Customer#00000001%'
         ORDER BY c"""),
+    # SPARQL 1.1 builtin tail (round-4): YEAR() datetime accessor +
+    # ROUND() numeric builtin feeding GROUP BY / SUM.  ROUND is applied
+    # per row (not over AVG) so both sides aggregate exact integers —
+    # float-summation order can't flip a rounding boundary.
+    "sparql_year_round": (
+        SPARQL_PREFIX + """
+        SELECT ?yr (COUNT(?o) AS ?n) (SUM(?pr) AS ?sum_rounded) WHERE {
+            ?o ex:orderDate ?d .
+            ?o ex:totalPrice ?p .
+            BIND(YEAR(?d) AS ?yr)
+            BIND(ROUND(?p) AS ?pr)
+        } GROUP BY ?yr ORDER BY ?yr""",
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) + 0.5)
+                             AS BIGINT)) AS DOUBLE) AS sum_rounded
+        FROM orders GROUP BY yr ORDER BY yr"""),
+    # hash builtins + ENCODE_FOR_URI over customer names (oracle encodes
+    # independently: the only non-unreserved char in c_name is '#')
+    "sparql_builtin_hash": (
+        SPARQL_PREFIX + """
+        SELECT ?c (MD5(STR(?n)) AS ?h_md5) (SHA256(STR(?n)) AS ?h_sha)
+               (ENCODE_FOR_URI(STR(?n)) AS ?enc) WHERE {
+            ?c a ex:Customer .
+            ?c ex:name ?n .
+        } ORDER BY ?c""",
+        """
+        SELECT t1.subj AS c,
+               md5(regexp_extract(t1.obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1)) AS h_md5,
+               sha256(regexp_extract(t1.obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1)) AS h_sha,
+               replace(regexp_extract(t1.obj, '^"((?:[^"\\\\]|\\\\.)*)"', 1),
+                       '#', '%23') AS enc
+        FROM triples t1
+        JOIN triples t2 ON t2.subj = t1.subj
+             AND t2.pred = '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+             AND t2.obj = '<http://example.com/Customer>'
+        WHERE t1.pred = '<http://example.com/name>'
+        ORDER BY c"""),
     # UNION + DISTINCT
     "sparql_all_names": (
         SPARQL_PREFIX + """

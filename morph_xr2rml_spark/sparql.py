@@ -16,6 +16,9 @@ BGP (object lists, blank-node labels and [ ... ] property lists),
 FILTER (comparisons, &&, ||, !, IN/NOT IN, regex, bound, isIRI,
 isLiteral, isBlank, isNumeric, sameTerm, langMatches, STRSTARTS/
 STRENDS/CONTAINS, UCASE/LCASE/STRLEN/SUBSTR/STRBEFORE/STRAFTER/REPLACE,
+ENCODE_FOR_URI, ABS/CEIL/FLOOR/ROUND, YEAR/MONTH/DAY/HOURS/MINUTES/
+SECONDS/TZ, MD5/SHA1/SHA256/SHA384/SHA512, UUID/STRUUID, NOW,
+xsd:TYPE(expr) constructor casts,
 LANG/DATATYPE/STR, EXISTS/NOT EXISTS), MINUS, OPTIONAL, UNION, VALUES,
 BIND, GRAPH, subqueries, property paths (/ | ^ + * ?), GROUP BY,
 ORDER BY (vars and expressions), LIMIT/OFFSET; plus ASK, CONSTRUCT,
@@ -29,6 +32,8 @@ from dataclasses import dataclass, field
 from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 
 # ---------------------------------------------------------------------------
 # Query model
@@ -663,10 +668,17 @@ class _P:
         if t[0] == "STR":
             return ("str", t[1][1:-1])
         if t[0] == "IRI":
-            return ("iri", t[1][1:-1])
+            iri = t[1][1:-1]
+            if iri.startswith(_XSD_NS) and self.peek()[1] == "(":
+                return self._xsd_cast(iri[len(_XSD_NS):])
+            return ("iri", iri)
         if t[0] == "PNAME":
             prefix, _, local = t[1].partition(":")
-            return ("iri", self.prefixes[prefix] + local)
+            iri = self.prefixes[prefix] + local
+            if iri.startswith(_XSD_NS) and self.peek()[1] == "(":
+                # xsd constructor cast: xsd:integer(?x) etc. (§17.5)
+                return self._xsd_cast(iri[len(_XSD_NS):])
+            return ("iri", iri)
         if t[0] == "KW" and t[1].upper() in ("LANG", "DATATYPE", "STR"):
             func = t[1].upper()
             self.expect("(")
@@ -724,7 +736,7 @@ class _P:
             return ("iffn", cond, then, other)
         if t[0] == "KW" and t[1].upper() in (
                 "SUBSTR", "UCASE", "LCASE", "STRLEN", "STRBEFORE",
-                "STRAFTER", "REPLACE"):
+                "STRAFTER", "REPLACE", "ENCODE_FOR_URI"):
             func = t[1].upper()
             self.expect("(")
             args = [self._operand()]
@@ -733,7 +745,46 @@ class _P:
                 args.append(self._operand())
             self.expect(")")
             return ("strop", func, args)
+        # SPARQL 1.1 builtin tail (the reference gets these free from Jena
+        # late evaluation, MorphMongoQueryProcessor.scala:52-147): numeric,
+        # datetime accessors, hashes, UUIDs, NOW
+        if t[0] == "KW" and t[1].upper() in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            func = t[1].upper()
+            self.expect("(")
+            arg = self._additive()
+            self.expect(")")
+            return ("numop", func, arg)
+        if t[0] == "KW" and t[1].upper() in (
+                "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+            func = t[1].upper()
+            self.expect("(")
+            arg = self._operand()
+            self.expect(")")
+            return ("dtop", func, arg)
+        if t[0] == "KW" and t[1].upper() in (
+                "MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            func = t[1].upper()
+            self.expect("(")
+            arg = self._operand()
+            self.expect(")")
+            return ("hashop", func, arg)
+        if t[0] == "KW" and t[1].upper() in ("UUID", "STRUUID"):
+            func = t[1].upper()
+            self.expect("(")
+            self.expect(")")
+            return ("uuidop", func)
+        if t[0] == "KW" and t[1].upper() == "NOW":
+            self.expect("(")
+            self.expect(")")
+            return ("nowfn",)
         raise ValueError(f"SPARQL filter: unexpected operand {t!r}")
+
+    def _xsd_cast(self, local: str):
+        """xsd:TYPE(expr) constructor-cast call — the '(' is pending."""
+        self.expect("(")
+        arg = self._additive()
+        self.expect(")")
+        return ("xsdcast", local, arg)
 
 
 def parse_sparql(text: str) -> SelectQuery:
@@ -1229,14 +1280,12 @@ class SparqlEngine:
             ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
                    "<": lambda a, b: a < b, ">": lambda a, b: a > b,
                    "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
-            # numeric compare if either side is a number literal or an
-            # arithmetic expression
-            if left[0] in ("num", "arith") or right[0] in ("num", "arith"):
-                lcol = numeric_value(F.col(left[1])) if left[0] == "var" \
-                    else self._operand_col(left)
-                rcol = numeric_value(F.col(right[1])) if right[0] == "var" \
-                    else self._operand_col(right)
-                return ops[op](lcol, rcol)
+            # numeric compare if either side is a number literal, an
+            # arithmetic expression, or a numeric builtin
+            if left[0] in ("num", "arith", "numop") \
+                    or right[0] in ("num", "arith", "numop"):
+                return ops[op](self._numeric_operand(left),
+                               self._numeric_operand(right))
             lcol = self._operand_col(left, lexical=True)
             rcol = self._operand_col(right, lexical=True)
             return ops[op](lcol, rcol)
@@ -1290,9 +1339,110 @@ class SparqlEngine:
                     .otherwise(self._operand_col(ast[3], lexical=lexical))
         if kind == "termctor":
             return self._termctor_col(ast)
+        if kind == "numop":
+            return self._numop_col(ast)
+        if kind == "dtop":
+            return self._dtop_col(ast)
+        if kind == "hashop":
+            base = self._operand_col(ast[2], lexical=True).cast("string")
+            if ast[1] == "MD5":
+                return F.md5(base)
+            if ast[1] == "SHA1":
+                return F.sha1(base)
+            return F.sha2(base, int(ast[1][3:]))
+        if kind == "uuidop":
+            u = F.expr("uuid()")
+            return u if ast[1] == "STRUUID" else \
+                F.concat(F.lit("<urn:uuid:"), u, F.lit(">"))
+        if kind == "nowfn":
+            return F.concat(
+                F.lit('"'),
+                F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit(f'"^^<{_XSD_NS}dateTime>'))
+        if kind == "xsdcast":
+            return self._xsdcast_col(ast)
         if kind == "aggref":
             raise ValueError("aggregate calls are only valid in HAVING")
         raise ValueError(f"unsupported filter operand {ast!r}")
+
+    def _numeric_operand(self, ast) -> Column:
+        """Operand coerced to its numeric value (SPARQL §17.1 operand
+        rules): typed-literal terms parse their lexical form, plain
+        (BIND/aggregate-produced) values cast directly."""
+        if ast[0] == "var":
+            return numeric_value(F.col(ast[1]))
+        if ast[0] == "num":
+            return F.lit(ast[1])
+        if ast[0] in ("arith", "numop"):
+            return self._operand_col(ast)   # already numeric
+        return numeric_value(self._operand_col(ast))
+
+    def _numop_col(self, ast) -> Column:
+        """Numeric builtins (§17.4.4).  ROUND follows XPath fn:round —
+        ties round toward positive infinity (round(-2.5) = -2), which is
+        floor(x + 0.5), NOT Spark's HALF_UP F.round."""
+        _k, func, arg = ast
+        n = self._numeric_operand(arg)
+        if func == "ABS":
+            return F.abs(n)
+        if func == "CEIL":
+            return F.ceil(n)
+        if func == "FLOOR":
+            return F.floor(n)
+        return F.floor(n + F.lit(0.5))
+
+    # dateTime component patterns over the LEXICAL form — pure string ops
+    # (no timestamp cast), so no session-timezone shift can corrupt the
+    # accessor values and xsd:date works as well as xsd:dateTime
+    _DT_PATTERNS = {
+        "YEAR": r"^(-?\d{4,})",
+        "MONTH": r"^-?\d{4,}-(\d{2})",
+        "DAY": r"^-?\d{4,}-\d{2}-(\d{2})",
+        "HOURS": r"T(\d{2})",
+        "MINUTES": r"T\d{2}:(\d{2})",
+        "SECONDS": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+    }
+
+    def _dtop_col(self, ast) -> Column:
+        """Datetime accessors (§17.4.5): component extraction from the
+        literal's lexical form; no match → NULL (type error → unbound)."""
+        _k, func, arg = ast
+        s = self._operand_col(arg, lexical=True).cast("string")
+        if func == "TZ":
+            return F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        v = F.regexp_extract(s, self._DT_PATTERNS[func], 1)
+        return v.try_cast("double" if func == "SECONDS" else "int")
+
+    def _xsdcast_col(self, ast) -> Column:
+        """xsd constructor casts (§17.5, XPath casting): produce full
+        typed-literal TERM strings so cast results join/serialize like
+        pattern-matched terms.  Numeric lexical forms use Spark's cast
+        rendering (sufficient for the values that occur in mappings;
+        scientific-notation canonicalization is out of scope)."""
+        _k, local, arg = ast
+        dt = _XSD_NS + local
+        if local == "string":
+            return F.concat(F.lit('"'),
+                            self._operand_col(arg, lexical=True), F.lit('"'))
+        if local == "boolean":
+            lex = F.lower(self._operand_col(arg, lexical=True).cast("string"))
+            v = (F.when(lex.isin("true", "1"), F.lit("true"))
+                  .when(lex.isin("false", "0"), F.lit("false")))
+            return F.when(v.isNotNull(),
+                          F.concat(F.lit('"'), v, F.lit(f'"^^<{dt}>')))
+        if local in ("dateTime", "date"):
+            lex = self._operand_col(arg, lexical=True)
+            return F.when(lex.isNotNull(),
+                          F.concat(F.lit('"'), lex, F.lit(f'"^^<{dt}>')))
+        n = self._numeric_operand(arg)
+        if local in ("integer", "int", "long", "short", "byte",
+                     "nonNegativeInteger", "positiveInteger",
+                     "unsignedInt", "unsignedLong"):
+            v = n.cast("long").cast("string")
+        else:   # decimal / double / float
+            v = n.cast("string")
+        return F.when(v.isNotNull(),
+                      F.concat(F.lit('"'), v, F.lit(f'"^^<{dt}>')))
 
     def _termctor_col(self, ast) -> Column:
         """Term constructors (§17.4.2): IRI/URI, STRDT, STRLANG, BNODE —
@@ -1370,6 +1520,16 @@ class SparqlEngine:
             if args[1][0] != "str" or args[2][0] != "str":
                 raise ValueError("REPLACE needs literal pattern/replacement")
             return F.regexp_replace(base, args[1][1], args[2][1])
+        if func == "ENCODE_FOR_URI":
+            # §17.4.3.4 unreserved set = ALPHA DIGIT - . _ ~ with uppercase
+            # %XX UTF-8 escapes.  F.url_encode (java URLEncoder) differs in
+            # exactly three ways: space→'+', '*' kept, '~'→%7E; a literal
+            # '+' or '*' in the input is itself escaped first, so the
+            # post-fixups below cannot collide with input characters.
+            enc = F.url_encode(base)
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            return F.replace(enc, F.lit("%7E"), F.lit("~"))
         raise ValueError(f"unsupported string function {func}")
 
     def _bind_col(self, ast) -> Column:

@@ -255,10 +255,32 @@ def queries():
     return q
 
 
+def _spin_ms(n: int = 4_000_000) -> float:
+    """Single-thread CPU calibration: wall time of a fixed pure-Python
+    loop.  On an idle box this is stable to a few %; a shared-host load
+    burst (the r3 ghost regression: 20.9s vs 11.3s on identical code)
+    inflates it visibly."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(n):
+        s += i
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def host_load_probe() -> dict:
+    return {"loadavg": [round(x, 2) for x in os.getloadavg()],
+            "spin_ms": round(_spin_ms(), 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # host-noise self-labeling (VERDICT r3 item 2): sample load BEFORE any
+    # of our own work starts, and a spin calibration before/after —
+    # external load bursts on this shared box have produced 2-3× ghost
+    # regressions with zero local CPU consumers
+    load_before = host_load_probe()
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     ensure_corpus(spark, sf_dir)
@@ -278,6 +300,12 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
 
+    load_after = host_load_probe()
+    # noisy = the box was already busy before we started (load that isn't
+    # ours), or single-thread speed degraded >40% across the run
+    noisy = (load_before["loadavg"][0] > 4.0
+             or load_after["spin_ms"] > 1.4 * load_before["spin_ms"])
+
     total = round(sum(times.values()), 3)
     headline_tps = (round(counts["kg_repo_corpus"] / times["kg_repo_corpus"])
                     if times.get("kg_repo_corpus") else None)
@@ -290,6 +318,9 @@ def main() -> None:
         "cpus": cpus,
         "triples": counts,
         "triples_per_sec_headline": headline_tps,
+        "host_load_before": load_before,
+        "host_load_after": load_after,
+        "host_noise_suspected": noisy,
     }))
     spark.stop()
 

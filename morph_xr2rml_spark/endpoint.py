@@ -102,11 +102,17 @@ class SparqlEndpoint:
             def log_message(self, *a):  # quiet
                 pass
 
-            def _reply(self, code: int, ctype: str, body: str):
+            def _reply(self, code: int, ctype: str, body: str,
+                       truncated: bool = False):
                 data = body.encode("utf-8")
                 self.send_response(code)
                 self.send_header("Content-Type", ctype + "; charset=utf-8")
                 self.send_header("Content-Length", str(len(data)))
+                if truncated:
+                    # the result was cut at max_result_rows — clients must
+                    # be able to tell a capped answer from a complete one
+                    # (ADVICE r3)
+                    self.send_header("X-Sparql-Results-Truncated", "true")
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -122,12 +128,12 @@ class SparqlEndpoint:
                     self._reply(400, "text/plain", f"malformed query: {e}")
                     return
                 try:
-                    body, ctype = endpoint.answer(
+                    body, ctype, truncated = endpoint.answer(
                         q, self.headers.get("Accept", ""))
                 except Exception as e:
                     self._reply(500, "text/plain", f"evaluation error: {e}")
                     return
-                self._reply(200, ctype, body)
+                self._reply(200, ctype, body, truncated=truncated)
 
             def do_GET(self):
                 u = urlparse(self.path)
@@ -155,8 +161,19 @@ class SparqlEndpoint:
         self._thread: Optional[threading.Thread] = None
 
     # -- query answering ---------------------------------------------------
-    def answer(self, query, accept: str = "") -> tuple[str, str]:
-        """Evaluate and serialize; returns (body, content_type).
+    def _capped(self, df):
+        """Apply the driver-OOM row cap; returns (df, truncated).  Fetches
+        cap+1 rows to distinguish an exactly-cap-sized result from a
+        truncated one (ADVICE r3: silent truncation looked complete)."""
+        if self.max_result_rows is None:
+            return df, False
+        probe = df.limit(self.max_result_rows + 1)
+        truncated = probe.count() > self.max_result_rows
+        return (probe.limit(self.max_result_rows) if truncated else probe), \
+            truncated
+
+    def answer(self, query, accept: str = "") -> tuple[str, str, bool]:
+        """Evaluate and serialize; returns (body, content_type, truncated).
         ``query`` is raw SPARQL text or an already-parsed query (the HTTP
         handler parses once to split 400/500, then passes the parse)."""
         q = query if not isinstance(query, str) else parse_sparql(query)
@@ -165,31 +182,29 @@ class SparqlEndpoint:
             t = _best_type(accept, ["application/sparql-results+json",
                                     "application/sparql-results+xml"])
             if t.endswith("xml"):
-                return to_ask_xml(result), t
-            return json.dumps({"head": {}, "boolean": result}), t
+                return to_ask_xml(result), t, False
+            return json.dumps({"head": {}, "boolean": result}), t, False
         if q.construct is not None or q.describe is not None:
             df = (self.engine.construct(q)
                   if q.construct is not None else self.engine.sql(q))
-            if self.max_result_rows is not None:
-                df = df.limit(self.max_result_rows)
+            df, truncated = self._capped(df)
             t = _best_type(accept, ["text/turtle", "application/n-triples"])
             from .rdf_io import to_ntriples, to_turtle
             body = to_ntriples(df) if t == "application/n-triples" \
                 else to_turtle(df)
-            return body, t
+            return body, t, truncated
         df = self.engine.sql(q)
-        if self.max_result_rows is not None:
-            df = df.limit(self.max_result_rows)
+        df, truncated = self._capped(df)
         t = _best_type(accept, ["application/sparql-results+json",
                                 "application/sparql-results+xml",
                                 "text/csv", "text/tab-separated-values"])
         if t == "application/sparql-results+xml":
-            return to_sparql_xml(df), t
+            return to_sparql_xml(df), t, truncated
         if t == "text/csv":
-            return to_sparql_csv(df), t
+            return to_sparql_csv(df), t, truncated
         if t == "text/tab-separated-values":
-            return to_sparql_tsv(df), t
-        return json.dumps(to_sparql_json(df)), t
+            return to_sparql_tsv(df), t, truncated
+        return json.dumps(to_sparql_json(df)), t, truncated
 
     # -- lifecycle ----------------------------------------------------------
     @property

@@ -23,17 +23,39 @@ _UNQUOTED_KEY = re.compile(r"([{,]\s*)([$A-Za-z_][$\w.]*)(\s*:)")
 _REGEX_LITERAL = re.compile(r"(:\s*)/((?:[^/\\]|\\.)*)/([a-z]*)")
 
 
+_DQUOTED_SPAN = re.compile(r'"(?:[^"\\]|\\.)*"')
+
+
+def _sub_outside_strings(pattern: re.Pattern, repl, text: str) -> str:
+    """Apply pattern.sub only to the segments of ``text`` that lie
+    outside double-quoted JSON strings — a shell-regex or colon inside a
+    quoted VALUE (e.g. {note: "see: /tmp/x"}) must never be rewritten
+    (ADVICE r3)."""
+    out = []
+    pos = 0
+    for m in _DQUOTED_SPAN.finditer(text):
+        out.append(pattern.sub(repl, text[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, text[pos:]))
+    return "".join(out)
+
+
 def normalize_filter_text(text: str) -> str:
-    """Mongo-shell-style filter → strict JSON."""
+    """Mongo-shell-style filter → strict JSON.  Single-quoted strings are
+    converted to JSON strings first; the shell-regex and unquoted-key
+    rewrites then only apply outside string values."""
     text = text.strip()
     if not text:
         return "{}"
-    text = _SINGLE_QUOTED.sub(lambda m: json.dumps(m.group(1)), text)
-    text = _REGEX_LITERAL.sub(
+    text = _sub_outside_strings(
+        _SINGLE_QUOTED, lambda m: json.dumps(m.group(1)), text)
+    text = _sub_outside_strings(
+        _REGEX_LITERAL,
         lambda m: m.group(1) + json.dumps(
             {"$regex": m.group(2)} if not m.group(3)
             else {"$regex": m.group(2), "$options": m.group(3)}), text)
-    text = _UNQUOTED_KEY.sub(r'\1"\2"\3', text)
+    text = _sub_outside_strings(_UNQUOTED_KEY, r'\1"\2"\3', text)
     return text
 
 

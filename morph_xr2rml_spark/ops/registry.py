@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from . import dedup, events, similarity, text
+from . import dedup, events, multimodal, similarity, text
 
 
 def queries():
@@ -30,6 +30,10 @@ def queries():
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "sim_ann_lsh_topk": similarity.sim_ann_lsh_topk,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        # multimodal: real stdlib WAV/BMP/PNG/JPEG decode + grid-pool
+        # features through Arrow mapInPandas (video rows: documented
+        # deterministic stand-in)
+        "multimodal_features": multimodal.multimodal_features_gate,
     }
 
 
@@ -53,6 +57,7 @@ def oracle_sql():
         "dedup_simhash_pairs": dedup.DEDUP_SIMHASH_PAIRS_SQL,
         "sim_ann_lsh_topk": similarity.SIM_ANN_LSH_TOPK_SQL,
         "dedup_embedding_cosine": similarity.DEDUP_EMBEDDING_COSINE_SQL,
+        "multimodal_features": multimodal.multimodal_features_oracle_sql(),
     }
 
 

@@ -204,6 +204,7 @@ class _P:
                     alias = self.next()[1][1:]
                     self.expect(")")
                     q.aggregates.append((func, var, distinct, alias, sep))
+                    q.variables.append(alias)   # preserve SELECT order
                 else:
                     # SELECT expression: (expr AS ?alias) — arithmetic,
                     # string functions, COALESCE/IF over pattern vars
@@ -374,7 +375,7 @@ class _P:
             # a blank node in a query pattern is a non-projectable
             # variable (SPARQL 1.1 §4.1.4); scope it with a column-safe
             # internal name
-            return ("var", "_bn_" + t[1][2:])
+            return ("var", "#bn_" + t[1][2:])
         if t[0] == "KW" and t[1] == "a":
             return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
         if t[0] == "KW" and t[1].upper() == "UNDEF":
@@ -386,7 +387,7 @@ class _P:
 
     def _fresh_anon(self) -> tuple:
         self._anon += 1
-        return ("var", f"_anon{self._anon}")
+        return ("var", f"#anon{self._anon}")
 
     def _node(self, out: list) -> tuple:
         """A subject/object node: plain term, '[]' anonymous bnode, or a
@@ -470,30 +471,37 @@ class _P:
 
     def _path_elt(self):
         if self.peek()[1] == "!":
-            # negated property set: !iri or !(iri1|iri2|...) — forward
-            # members only (inverse members ^iri are not supported)
+            # negated property set: !iri, !^iri, !(iri1|^iri2|...) —
+            # forward and inverse members (SPARQL 1.1 §18.2.2.3: the
+            # forward part matches preds outside the forward set, the
+            # inverse part matches REVERSE edges with preds outside the
+            # inverse set; a side with no members contributes nothing)
             self.next()
-            iris = []
+            fwd: list[str] = []
+            inv: list[str] = []
+
+            def member():
+                inverse = self.peek()[1] == "^"
+                if inverse:
+                    self.next()
+                t = self._term()
+                if t[0] != "iri":
+                    raise ValueError(
+                        "negated property sets support IRI members only")
+                (inv if inverse else fwd).append(t[1])
+
             if self.peek()[1] == "(":
                 self.next()
                 while True:
-                    t = self._term()
-                    if t[0] != "iri":
-                        raise ValueError(
-                            "negated property sets support IRI members only")
-                    iris.append(t[1])
+                    member()
                     if self.peek()[1] == "|":
                         self.next()
                         continue
                     break
                 self.expect(")")
             else:
-                t = self._term()
-                if t[0] != "iri":
-                    raise ValueError(
-                        "negated property sets support IRI members only")
-                iris.append(t[1])
-            return ("negset", iris)
+                member()
+            return ("negset", fwd, inv)
         inverse = False
         if self.peek()[1] == "^":
             self.next()
@@ -914,10 +922,10 @@ class SparqlEngine:
             elts = pred[1]
             out = self._path_pairs(elts[0])
             for elt in elts[1:]:
-                nxt = self._path_pairs(elt).withColumnRenamed("ps", "_mid") \
-                                           .withColumnRenamed("po", "_po2")
-                out = (out.join(nxt, out["po"] == nxt["_mid"])
-                          .select(F.col("ps"), F.col("_po2").alias("po")))
+                nxt = self._path_pairs(elt).withColumnRenamed("ps", "#mid") \
+                                           .withColumnRenamed("po", "#po2")
+                out = (out.join(nxt, out["po"] == nxt["#mid"])
+                          .select(F.col("ps"), F.col("#po2").alias("po")))
             return out
         if kind == "alt":
             out = self._path_pairs(pred[1][0])
@@ -925,12 +933,28 @@ class SparqlEngine:
                 out = out.unionByName(self._path_pairs(alt))
             return out.distinct()
         if kind == "negset":
-            df = self.triples.where(
-                ~F.col("pred").isin([f"<{i}>" for i in pred[1]]))
-            if self.dedup_source:
-                df = df.dropDuplicates(["subj", "obj"])
-            return df.select(F.col("subj").alias("ps"),
-                             F.col("obj").alias("po"))
+            fwd, inv = pred[1], pred[2]
+            parts = []
+            if fwd:
+                df = self.triples.where(
+                    ~F.col("pred").isin([f"<{i}>" for i in fwd]))
+                if self.dedup_source:
+                    df = df.dropDuplicates(["subj", "obj"])
+                parts.append(df.select(F.col("subj").alias("ps"),
+                                       F.col("obj").alias("po")))
+            if inv:
+                # inverse members: REVERSE edges whose pred is outside
+                # the inverse set
+                df = self.triples.where(
+                    ~F.col("pred").isin([f"<{i}>" for i in inv]))
+                if self.dedup_source:
+                    df = df.dropDuplicates(["subj", "obj"])
+                parts.append(df.select(F.col("obj").alias("ps"),
+                                       F.col("subj").alias("po")))
+            out = parts[0]
+            if len(parts) > 1:
+                out = out.unionByName(parts[1]).distinct()
+            return out
         if kind == "opt":
             base = self._mod_base(pred[1])
             return base.unionByName(self._all_nodes_identity()).distinct()
@@ -1005,7 +1029,7 @@ class SparqlEngine:
         if tp.s[0] == "var" and tp.o[0] == "var" and tp.s[1] == tp.o[1]:
             pairs = pairs.where(F.col("ps") == F.col("po"))
             sel = [F.col("ps").alias(tp.s[1])]
-        return pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("_p"))
+        return pairs.select(*sel) if sel else pairs.select(F.lit(1).alias("#p"))
 
     # -- algebra -----------------------------------------------------------
     def _pattern_df(self, tp: TriplePattern, idx: int,
@@ -1047,7 +1071,7 @@ class SparqlEngine:
             # set semantics per pattern, applied AFTER the constant
             # filters so pushdown/pruning has already happened
             df = df.dropDuplicates()
-        return df.select(*sel) if sel else df.select(F.lit(1).alias(f"_c{idx}"))
+        return df.select(*sel) if sel else df.select(F.lit(1).alias(f"#c{idx}"))
 
     def _join_group(self, g: Group, graph_term=None) -> DataFrame:
         df: Optional[DataFrame] = None
@@ -1134,7 +1158,7 @@ class SparqlEngine:
                     # UNDEF on a shared var: NULL in the VALUES row is a
                     # wildcard — join on (value IS NULL OR equal), keep
                     # the pattern side's binding
-                    ren = {c: f"_val_{c}" for c in common}
+                    ren = {c: f"#val_{c}" for c in common}
                     for c, r in ren.items():
                         vdf = vdf.withColumnRenamed(c, r)
                     cond = F.lit(True)
@@ -1148,32 +1172,112 @@ class SparqlEngine:
             if markers:
                 df = df.drop(*markers)
         for positive, sub in g.exists:
-            # FILTER (NOT) EXISTS on shared variables → semi/anti join
-            # (the distributed equivalent of Jena's per-binding probe).
-            # NULL (unbound) keys don't match in a semi/anti join, which
-            # lines up with EXISTS needing a compatible binding.
-            sdf = self._join_group(sub)
-            common = [c for c in sdf.columns if c in df.columns]
-            if common:
-                probe = sdf.select(*common).distinct()
-                df = df.join(probe, common,
-                             "left_semi" if positive else "left_anti")
-            else:
-                # no shared variables: the inner pattern's (non)emptiness
-                # decides for every row at once
-                if positive != (not sdf.isEmpty()):
-                    df = df.limit(0)
+            df = self._exists_join(df, self._join_group(sub), positive)
         for sub in g.minuses:
-            # MINUS (SPARQL 1.1 §8.3.3): remove bindings compatible with
-            # some right-side binding on ≥1 shared variable; with NO
-            # shared variables MINUS removes nothing.  left_anti keeps
-            # NULL-keyed rows — matching "disjoint domains stay".
-            sdf = self._join_group(sub)
-            common = [c for c in sdf.columns if c in df.columns]
-            if common:
-                df = df.join(sdf.select(*common).distinct(), common,
-                             "left_anti")
+            df = self._minus_join(df, self._join_group(sub))
         return df
+
+    # -- compatibility joins (EXISTS / MINUS) ------------------------------
+    #
+    # SPARQL substitution semantics (§8.3.3 / Jena): an UNBOUND outer
+    # variable is compatible with ANY inner binding — a NULL key on the
+    # outer side must act as a wildcard, not as a never-matching key the
+    # way a plain hash semi/anti join treats it (ADVICE r3).  Strategy:
+    # decompose the outer side by its null-pattern over the shared
+    # columns; each branch hash-joins on exactly its bound subset, so
+    # the hot all-bound branch stays a plain shuffled/broadcast hash
+    # join.  Beyond _NULL_DECOMP_MAX shared columns the 2^n branch count
+    # loses to a single nested-loop compatibility join against the
+    # (distinct'd, small) probe side.
+    #
+    # Known divergence, both ops: an unbound shared variable on the
+    # INNER side (OPTIONAL inside the EXISTS/MINUS pattern) is treated
+    # as non-matching in the decomposed fast path; the nested-loop
+    # fallback applies full compatibility on both sides.
+
+    _NULL_DECOMP_MAX = 3
+
+    def _null_pattern_parts(self, df: DataFrame,
+                            common: list) -> list[tuple[DataFrame, list]]:
+        """(branch, bound-subset) pairs partitioning df by which of the
+        shared columns are non-null.  The all-bound branch comes first."""
+        parts = []
+        for mask in range((1 << len(common)) - 1, -1, -1):
+            bound = [c for i, c in enumerate(common) if mask >> i & 1]
+            cond = F.lit(True)
+            for i, c in enumerate(common):
+                cond = cond & (F.col(c).isNotNull() if mask >> i & 1
+                               else F.col(c).isNull())
+            parts.append((df.where(cond), bound))
+        return parts
+
+    @staticmethod
+    def _union_all(parts: list) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _exists_join(self, df: DataFrame, sdf: DataFrame,
+                     positive: bool) -> DataFrame:
+        common = [c for c in sdf.columns if c in df.columns]
+        how = "left_semi" if positive else "left_anti"
+        if not common:
+            # no shared variables: the inner pattern's (non)emptiness
+            # decides for every row at once — lazily, via a 1-row probe
+            if positive != (not sdf.isEmpty()):
+                return df.limit(0)
+            return df
+        probe = sdf.select(*common).distinct()
+        if len(common) > self._NULL_DECOMP_MAX:
+            ren = {c: "#ex_" + c for c in common}
+            p2 = probe
+            for c, r in ren.items():
+                p2 = p2.withColumnRenamed(c, r)
+            cond = F.lit(True)
+            for c, r in ren.items():
+                cond = cond & (F.col(c).isNull() | F.col(r).isNull()
+                               | (F.col(c) == F.col(r)))
+            return df.join(p2, cond, how)
+        parts = []
+        for part, bound in self._null_pattern_parts(df, common):
+            if bound:
+                parts.append(part.join(probe.select(*bound).distinct(),
+                                       bound, how))
+            else:
+                # every shared var unbound: EXISTS ⇔ inner non-empty
+                parts.append(part.join(probe.limit(1), F.lit(True), how))
+        return self._union_all(parts)
+
+    def _minus_join(self, df: DataFrame, sdf: DataFrame) -> DataFrame:
+        # MINUS (§8.3.3): remove μ1 when some right binding is compatible
+        # AND shares ≥1 bound-in-both variable; NO shared columns (or an
+        # all-unbound row) → disjoint domains → the row stays.
+        common = [c for c in sdf.columns if c in df.columns]
+        if not common:
+            return df
+        probe = sdf.select(*common).distinct()
+        if len(common) > self._NULL_DECOMP_MAX:
+            ren = {c: "#mn_" + c for c in common}
+            p2 = probe
+            for c, r in ren.items():
+                p2 = p2.withColumnRenamed(c, r)
+            compat = F.lit(True)
+            overlap = F.lit(False)
+            for c, r in ren.items():
+                compat = compat & (F.col(c).isNull() | F.col(r).isNull()
+                                   | (F.col(c) == F.col(r)))
+                overlap = overlap | (F.col(c).isNotNull()
+                                     & F.col(r).isNotNull())
+            return df.join(p2, compat & overlap, "left_anti")
+        parts = []
+        for part, bound in self._null_pattern_parts(df, common):
+            if bound:
+                parts.append(part.join(probe.select(*bound).distinct(),
+                                       bound, "left_anti"))
+            else:
+                parts.append(part)   # no dom overlap possible: keep
+        return self._union_all(parts)
 
     def _attach_exists_markers(self, df: DataFrame, ast):
         """EXISTS inside a compound filter expression: rewrite each
@@ -1190,11 +1294,36 @@ class SparqlEngine:
                 common = [c for c in sdf.columns if c in df.columns]
                 if not common:
                     return ("const", not sdf.isEmpty()), df
-                m = f"_exists{len(markers)}"
+                m = f"#exists{len(markers)}"
                 markers.append(m)
-                probe = sdf.select(*common).distinct() \
-                           .withColumn(m, F.lit(True))
-                df = df.join(probe, common, "left")
+                probe = sdf.select(*common).distinct()
+                if len(common) > self._NULL_DECOMP_MAX:
+                    # compatibility split: semi/anti keeps the row set
+                    # duplicate-free (a condition left-join would fan out)
+                    ren = {c: "#ex_" + c for c in common}
+                    p2 = probe
+                    for c, r in ren.items():
+                        p2 = p2.withColumnRenamed(c, r)
+                    cond = F.lit(True)
+                    for c, r in ren.items():
+                        cond = cond & (F.col(c).isNull() | F.col(r).isNull()
+                                       | (F.col(c) == F.col(r)))
+                    df = df.join(p2, cond, "left_semi") \
+                           .withColumn(m, F.lit(True)) \
+                           .unionByName(df.join(p2, cond, "left_anti")
+                                          .withColumn(m, F.lit(False)))
+                    return ("existsflag", m), df
+                parts = []
+                for part, bound in self._null_pattern_parts(df, common):
+                    if bound:
+                        pb = probe.select(*bound).distinct() \
+                                  .withColumn(m, F.lit(True))
+                        parts.append(part.join(pb, bound, "left"))
+                    else:
+                        parts.append(part.join(
+                            probe.limit(1).select(F.lit(True).alias(m)),
+                            F.lit(True), "left"))
+                df = self._union_all(parts)
                 return ("existsflag", m), df
             out = []
             for e in node:
@@ -1602,12 +1731,18 @@ class SparqlEngine:
 
     def evaluate(self, q: SelectQuery) -> DataFrame:
         df = self._join_group(q.where)
-        for alias, expr in q.select_exprs:
-            # SELECT expressions compute before projection (and may feed
-            # GROUP BY keys); aggregate calls inside them are rejected by
-            # the operand compiler
+        has_aggs = bool(q.aggregates or q.having)
+        # SELECT expressions that feed GROUP BY keys compute pre-grouping;
+        # in an aggregate query the rest compute POST-aggregation over the
+        # group keys / aggregate aliases (ADVICE r3: they used to be
+        # silently dropped by the groupBy)
+        pre_exprs = [(a, e) for a, e in q.select_exprs
+                     if not has_aggs or a in q.group_by]
+        post_exprs = [(a, e) for a, e in q.select_exprs
+                      if has_aggs and a not in q.group_by]
+        for alias, expr in pre_exprs:
             df = df.withColumn(alias, self._operand_col(expr))
-        if q.aggregates or q.having:
+        if has_aggs:
             specs = [tuple(a) for a in q.aggregates]
             visible = [a[3] for a in specs]
             # HAVING may reference aggregates not in the projection:
@@ -1619,7 +1754,7 @@ class SparqlEngine:
                     if x[0] == "aggref":
                         key = (x[1], x[2], x[3])
                         if key not in agg_alias:
-                            alias = f"_hav{len(specs)}"
+                            alias = f"#hav{len(specs)}"
                             specs.append((x[1], x[2], x[3], alias, " "))
                             agg_alias[key] = alias
                     else:
@@ -1673,7 +1808,16 @@ class SparqlEngine:
 
             for h in q.having:
                 df = df.where(self._filter_col(_resolve(h), df))
-            proj = q.group_by + visible
+            for alias, expr in post_exprs:
+                # recompute over group keys / aggregate aliases; a
+                # reference to a non-grouped variable fails analysis with
+                # Spark's column-not-found error (SPARQL also forbids it)
+                df = df.withColumn(alias, self._operand_col(expr))
+            # SELECT-clause order (q.variables carries plain vars, expr
+            # aliases AND aggregate aliases in source order); group keys
+            # not explicitly selected keep their legacy trailing spot
+            proj = list(dict.fromkeys(
+                [v for v in q.variables if v != "*"] + q.group_by + visible))
             if not proj:
                 raise ValueError("HAVING needs GROUP BY or a projected "
                                  "aggregate")
@@ -1683,8 +1827,10 @@ class SparqlEngine:
         else:
             # SELECT *: blank-node pattern vars and join-arity dummies
             # are not projectable (SPARQL 1.1 §4.1.4)
-            internal = [c for c in df.columns
-                        if c.startswith(("_bn_", "_anon", "_c", "_p"))]
+            # internal columns all use the '#' prefix, which the VAR
+            # token (\?[A-Za-z_]\w*) can never produce — user variables
+            # like ?_c1 or ?_price are safe (ADVICE r3)
+            internal = [c for c in df.columns if c.startswith("#")]
             if internal:
                 df = df.drop(*internal)
         if q.distinct:

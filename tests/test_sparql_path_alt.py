@@ -47,3 +47,37 @@ def test_alt_with_plus(eng):
                    "SELECT ?s ?o WHERE { ?s ex:p+|ex:r ?o }").collect()
     assert {(r.s, r.o) for r in rows} == {("<urn:a>", "<urn:b>"),
                                           ("<urn:c>", "<urn:d>")}
+
+
+def test_negated_set_forward(eng):
+    # !ex:p : any forward edge whose pred isn't p
+    rows = eng.sql(PREFIX + "SELECT ?s ?o WHERE { ?s !ex:p ?o }").collect()
+    assert {(r.s, r.o) for r in rows} == {("<urn:b>", "<urn:c>"),
+                                          ("<urn:c>", "<urn:d>")}
+
+
+def test_negated_set_inverse_member(eng):
+    # !(^ex:q) : REVERSE edges whose pred isn't q — p and r reversed
+    rows = eng.sql(PREFIX +
+                   "SELECT ?s ?o WHERE { ?s !(^ex:q) ?o }").collect()
+    assert {(r.s, r.o) for r in rows} == {("<urn:b>", "<urn:a>"),
+                                          ("<urn:d>", "<urn:c>")}
+
+
+def test_negated_set_mixed_members(eng):
+    # !(ex:p|^ex:q) : forward edges not-p (q: b→c, r: c→d) UNION reverse
+    # edges not-q (p rev: b→a, r rev: d→c)
+    rows = eng.sql(PREFIX +
+                   "SELECT ?s ?o WHERE { ?s !(ex:p|^ex:q) ?o }").collect()
+    assert {(r.s, r.o) for r in rows} == {("<urn:b>", "<urn:c>"),
+                                          ("<urn:c>", "<urn:d>"),
+                                          ("<urn:b>", "<urn:a>"),
+                                          ("<urn:d>", "<urn:c>")}
+
+
+def test_bare_inverse_negated_member(eng):
+    # !^ex:q without parens
+    rows = eng.sql(PREFIX +
+                   "SELECT ?s ?o WHERE { ?s !^ex:q ?o }").collect()
+    assert {(r.s, r.o) for r in rows} == {("<urn:b>", "<urn:a>"),
+                                          ("<urn:d>", "<urn:c>")}

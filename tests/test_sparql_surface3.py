@@ -383,4 +383,4 @@ def test_exists_in_compound_filter(eng):
     # marker columns must not leak into the projection
     df = eng.sql('SELECT * WHERE { ?s <http://ex/name> ?n '
                  'FILTER(EXISTS { ?s <http://ex/age> ?a } || bound(?n)) }')
-    assert not [c for c in df.columns if c.startswith("_exists")]
+    assert not [c for c in df.columns if c.startswith("#exists")]

@@ -496,8 +496,56 @@ ORDER BY subj, pred, obj
 """
 
 
+# ---------------------------------------------------------------------------
+# Source-pushdown SPARQL answering (round-4; the cheap analogue of the
+# reference's query-rewriting mode — genCond,
+# MorphBaseQueryTranslator.scala:227-305): the constant subject is
+# inverted through the subject templates into source filters, so the
+# point query scans one filtered table / collection instead of
+# materializing the whole KG.  tests/test_pushdown_query.py audits the
+# physical plan (PushedFilters on orders, no nation/region scan).
+# ---------------------------------------------------------------------------
+
+def sparql_pushdown_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          "SELECT ?p ?o WHERE "
+                          "{ <http://example.org/order/1> ?p ?o } "
+                          "ORDER BY ?p ?o")
+
+
+def sparql_pushdown_point_oracle_sql() -> str:
+    return kg_tpch_triples_cte() + """
+SELECT pred AS p, obj AS o FROM triples
+WHERE subj = '<http://example.org/order/1>'
+ORDER BY p, o"""
+
+
+def sparql_pushdown_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .rewrite import answer_documents
+    from .sources import SourceCatalog
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    catalog = SourceCatalog().register_collection(
+        "orderdocs", orderdocs_df(spark, sf_dir))
+    return answer_documents(spark, mapping, catalog, SPARQL_PREFIX + """
+        SELECT ?q ?part WHERE {
+            <http://example.org/line/7-1> ex:qty ?q ; ex:part ?part .
+        }""")
+
+
+SPARQL_PUSHDOWN_DOC_SQL = f"""
+SELECT '"' || CAST(l_quantity AS BIGINT) || '"^^<{_XSD}integer>' AS q,
+       '<http://example.org/part/' || l_partkey || '>' AS part
+FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
+    "sparql_pushdown_point": (sparql_pushdown_point,
+                              sparql_pushdown_point_oracle_sql()),
+    "sparql_pushdown_doc": (sparql_pushdown_doc, SPARQL_PUSHDOWN_DOC_SQL),
     "sparql_path_deep": (sparql_path_deep, SPARQL_PATH_DEEP_SQL),
     "sparql_lang_filter": (sparql_lang_filter, SPARQL_LANG_FILTER_SQL),
     "sparql_typed_lit": (sparql_typed_lit_pattern, SPARQL_TYPED_LIT_SQL),

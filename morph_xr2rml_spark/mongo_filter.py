@@ -63,6 +63,13 @@ def parse_filter(text: str) -> dict:
     return json.loads(normalize_filter_text(text))
 
 
+def _json_lex(v: Any) -> str:
+    """The JSON lexical form get_json_object would return for a scalar."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _get_path(doc: Any, path: str) -> tuple[bool, Any]:
     cur = doc
     for part in path.split("."):
@@ -95,6 +102,13 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                 elif op == "$in":
                     conds.append(lambda d, k=key, vs=tuple(operand):
                                  _get_path(d, k)[0] and _get_path(d, k)[1] in vs)
+                elif op == "$lexIn":
+                    # internal pushdown operator (see sources.py): JSON
+                    # lexical form of the value is in the list
+                    def lex_in(d, k=key, vs=tuple(str(v) for v in operand)):
+                        ok, x = _get_path(d, k)
+                        return ok and _json_lex(x) in vs
+                    conds.append(lex_in)
                 elif op == "$nin":
                     # Mongo: $nin also matches docs where the field is
                     # MISSING (unlike $in)

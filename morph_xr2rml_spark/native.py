@@ -135,7 +135,9 @@ class NativeCompiler:
                  cfg: Optional[EngineConfig] = None,
                  term_style: str = "ntriples",
                  broadcast_parents: bool = False,
-                 fuse_projections: bool = True):
+                 fuse_projections: bool = True,
+                 tm_row_filters: Optional[dict] = None,
+                 tm_skip: Optional[set] = None):
         """term_style: 'ntriples' → canonical lexical forms (engine
         output); 'plain' → raw value strings (oracle-comparable).
 
@@ -144,7 +146,13 @@ class NativeCompiler:
         False → one union branch per predicate-object map with a CONSTANT
         pred per branch, which lets Catalyst constant-fold away branches
         that a downstream pred filter can't match — best when querying the
-        un-materialized pipeline (SPARQL over the plan)."""
+        un-materialized pipeline (SPARQL over the plan).
+
+        tm_row_filters: {tm_name: [ {col: lexical_value, ...}, ... ]} —
+        OR-of-conjunctions row constraints derived by rewrite.py's
+        subject-constant pushdown, applied to the TM's OWN scan only (a
+        ROM parent scan stays complete).  tm_skip: TMs proven unable to
+        contribute any matching triple — their sources are never read."""
         self.spark = spark
         self.mapping = mapping
         self.tables = tables
@@ -152,6 +160,8 @@ class NativeCompiler:
         self.term_style = term_style
         self.broadcast_parents = broadcast_parents
         self.fuse_projections = fuse_projections
+        self.tm_row_filters = tm_row_filters or {}
+        self.tm_skip = frozenset(tm_skip or ())
 
     # -- term expressions ----------------------------------------------
     def _source_df(self, tm: TriplesMap) -> DataFrame:
@@ -256,6 +266,9 @@ class NativeCompiler:
         elimination (AbstractQueryAtomicMongo.scala:331-349): N predicate-
         object maps cost one pass over the source, not N."""
         df = self._source_df(tm)
+        flt = self.tm_row_filters.get(tm.name)
+        if flt:
+            df = df.where(self._constraint_col(df, flt))
         subj = self.term_expr(df, tm.subject_map).alias("subj")
 
         rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
@@ -331,8 +344,39 @@ class NativeCompiler:
                              F.col("_psubj").alias("obj"),
                              F.lit(None).cast("string").alias("graph"))
 
+    def _constraint_col(self, df: DataFrame, constraints: list) -> Column:
+        """OR of equality conjunctions, with values converted to the
+        column's native type so the comparison reaches the parquet scan
+        as a PushedFilter (a cast-to-string compare would not)."""
+        def typed_eq(col: str, value: str) -> Column:
+            dtype = df.schema[col].dataType
+            try:
+                if isinstance(dtype, (T.ByteType, T.ShortType,
+                                      T.IntegerType, T.LongType)):
+                    return F.col(col) == int(value)
+                if isinstance(dtype, (T.FloatType, T.DoubleType,
+                                      T.DecimalType)):
+                    return F.col(col) == float(value)
+            except ValueError:
+                return F.lit(False)   # non-numeric lexical: no row matches
+            if isinstance(dtype, T.StringType):
+                return F.col(col) == value
+            return _col_as_string(df, col) == value
+        ored = None
+        for conj in constraints:
+            c = F.lit(True)
+            for col, value in conj.items():
+                c = c & typed_eq(col, value)
+            ored = c if ored is None else (ored | c)
+        return ored if ored is not None else F.lit(True)
+
     def triples(self, dedup: bool = True) -> DataFrame:
-        parts = [self.tm_triples(tm) for tm in self.mapping.triples_maps.values()]
+        parts = [self.tm_triples(tm)
+                 for name, tm in self.mapping.triples_maps.items()
+                 if name not in self.tm_skip]
+        if not parts:
+            from .engine import TRIPLE_SCHEMA
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -1,0 +1,389 @@
+"""Source-level pushdown for SPARQL answering — the cheap analogue of
+the reference's query-rewriting mode.
+
+The reference translates a SPARQL pattern's constants into conditions on
+the underlying database query (genCond,
+MorphBaseQueryTranslator.scala:227-305; JsonPathToMongoTranslator
+R0-R9).  The materialize-then-query design replaces the rewriters with
+the DataFrame SPARQL evaluator, but a selective point query should not
+scan every source first.  This module closes that gap:
+
+1. every triple pattern with a CONSTANT subject IRI (directly, via
+   FILTER(?s = <iri>), or via a single-var VALUES block) is inverted
+   through each triples map's subject template into equality constraints
+   on the source columns / document fields;
+2. a TM whose subject template cannot produce any required constant —
+   and that no unconstrained pattern can touch — is eliminated from the
+   plan entirely (its source is never scanned);
+3. the surviving constraints become native `.where` predicates on the
+   tabular scans (pushed to parquet as PushedFilters) or composed into
+   the mapping's `find()` filter for document sources.
+
+Soundness: the derived filters only PRUNE source rows that provably
+cannot generate any pattern-matching triple; the SPARQL evaluator then
+re-applies the exact constants on the restricted triple set, so
+ambiguous template inversions (a captured value containing a template
+separator, a percent-encoded value, an empty capture) simply fall back
+to "unconstrained" rather than risk dropping rows.  Object-position
+constants and property-path patterns never constrain (paths need the
+full graph for their closures).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import re
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import namespaces as NS
+from .functions.templates import get_template_groups
+from .model import (COLUMN, CONSTANT, TEMPLATE, MappingDocument,
+                    TriplesMap, parse_mongo_query)
+from .sparql import Group, SelectQuery, SparqlEngine, parse_sparql
+
+# sentinel: inversion failed in a way that must disable pushdown for the
+# pattern (ambiguous parse / encoded value) — full scan, still correct
+AMBIGUOUS = object()
+
+
+# ---------------------------------------------------------------------------
+# Template inversion
+# ---------------------------------------------------------------------------
+
+def invert_template(template: str, value: str):
+    """Match ``value`` against the template; return {group: captured}
+    when the inversion is exact, None when the value cannot be produced,
+    AMBIGUOUS when it matches but the parse may not be unique (captured
+    value contains a fixed separator / '%' escape / empty capture)."""
+    groups = get_template_groups(template)
+    if not groups:
+        return {} if template == value else None
+    pat = "^"
+    fixed_parts = []
+    rest = template
+    for i, g in enumerate(groups):
+        fixed, _, rest = rest.partition("{" + g + "}")
+        fixed_parts.append(fixed)
+        pat += re.escape(fixed) + f"(?P<g{i}>.*?)"
+    fixed_parts.append(rest)
+    pat += re.escape(rest) + "$"
+    m = re.match(pat, value)
+    if not m:
+        return None
+    seps = [p for p in fixed_parts[1:] if p]   # separators after groups
+    out = {}
+    for i, g in enumerate(groups):
+        v = m.group(f"g{i}")
+        if v == "" or "%" in v:
+            return AMBIGUOUS
+        if any(s in v for s in seps):
+            return AMBIGUOUS
+        out[g] = v
+    return out
+
+
+def invert_subject(tm: TriplesMap, iri: str):
+    """Constant subject IRI → source-level equality dict for this TM, or
+    None (TM cannot produce it) / AMBIGUOUS (cannot safely push)."""
+    sm = tm.subject_map
+    if sm.infer_term_type() != NS.RR_IRI:
+        return None                 # IRI pattern can't match bnode subjects
+    if sm.kind == CONSTANT:
+        if sm.constant is not None and sm.constant[0] == "iri" \
+                and sm.constant[1] == iri:
+            return AMBIGUOUS        # matches every row: no row constraint
+        return None
+    if sm.kind == COLUMN:
+        return {sm.column: iri}     # raw column holds the full IRI
+    if sm.kind == TEMPLATE:
+        return invert_template(sm.template, iri)
+    return AMBIGUOUS                # reference/dynamic subject: full scan
+
+
+# ---------------------------------------------------------------------------
+# Pattern collection
+# ---------------------------------------------------------------------------
+
+def _path_iris(pred) -> Optional[set]:
+    """IRIs mentioned by a property-path AST; None = unknowable (negated
+    set ⇒ any predicate)."""
+    kind = pred[0]
+    if kind == "iri":
+        return {pred[1]}
+    if kind == "var":
+        return None
+    if kind == "negset":
+        return None
+    if kind == "inv":
+        return (_path_iris(pred[1]) if isinstance(pred[1], tuple)
+                else {pred[1]})
+    if kind in ("plus", "star", "opt"):
+        inner = pred[1]
+        return _path_iris(inner) if isinstance(inner, tuple) else {inner}
+    if kind in ("seq", "alt"):
+        out: set = set()
+        for elt in pred[1]:
+            sub = _path_iris(elt)
+            if sub is None:
+                return None
+            out |= sub
+        return out
+    return None
+
+
+def _collect(group: Group, out: list) -> None:
+    """Recursively collect (subject_term, pred_iris | None) pairs.  Every
+    nested group (OPTIONAL/UNION/GRAPH/MINUS/EXISTS/subquery) contributes:
+    retaining MORE source rows than needed is always sound."""
+    if group is None:
+        return
+    # constant bindings for subject vars in this group: FILTER(?v = <iri>)
+    # and single-variable VALUES blocks over IRIs
+    var_consts: dict[str, list] = {}
+    for flt in group.filters:
+        if isinstance(flt, tuple) and flt[0] == "cmp" and flt[1] == "=":
+            sides = (flt[2], flt[3])
+            for a, b in (sides, sides[::-1]):
+                if a[0] == "var" and b[0] == "iri":
+                    var_consts.setdefault(a[1], []).append(b[1])
+    for vars_, rows in group.values:
+        if len(vars_) == 1 and rows and all(r[0][0] == "iri" for r in rows):
+            var_consts.setdefault(vars_[0], []).extend(
+                r[0][1] for r in rows)
+    for tp in group.patterns:
+        is_path = tp.p[0] not in ("iri", "var")
+        if is_path:
+            # closures walk intermediate nodes: never constrain subjects
+            out.append((("var", "*"), _path_iris(tp.p)))
+            continue
+        preds = {tp.p[1]} if tp.p[0] == "iri" else None
+        subjects = [tp.s]
+        if tp.s[0] == "var" and tp.s[1] in var_consts:
+            subjects = [("iri", v) for v in var_consts[tp.s[1]]]
+        for s in subjects:
+            out.append((s, preds))
+    for sub in group.optionals + group.minuses:
+        _collect(sub, out)
+    for left, right in group.unions:
+        _collect(left, out)
+        _collect(right, out)
+    for _gterm, sub in group.graphs:
+        _collect(sub, out)
+    for _pos, sub in group.exists:
+        _collect(sub, out)
+    for sq in group.subqueries:
+        _collect(sq.where, out)
+    # EXISTS embedded in compound filters
+    def walk_exists(node):
+        if isinstance(node, tuple):
+            if node[0] == "existsexpr":
+                _collect(node[1], out)
+            else:
+                for e in node:
+                    walk_exists(e)
+        elif isinstance(node, list):
+            for e in node:
+                walk_exists(e)
+    for flt in group.filters:
+        walk_exists(flt)
+
+
+def tm_pred_iris(tm: TriplesMap) -> Optional[set]:
+    """Constant predicate IRIs a TM can emit; None when a predicate map
+    is dynamic (template/column/reference) so any predicate is possible."""
+    preds = set()
+    if tm.class_uris:
+        preds.add(NS.RDF_TYPE)
+    for pom in tm.predicate_object_maps:
+        for pm in pom.predicate_maps:
+            if pm.kind == CONSTANT and pm.constant is not None \
+                    and pm.constant[0] == "iri":
+                preds.add(pm.constant[1])
+            else:
+                return None
+    return preds
+
+
+def derive_tm_constraints(mapping: MappingDocument,
+                          q: Union[str, SelectQuery]) -> dict:
+    """Per-TM source constraints for a parsed query:
+       None           → unconstrained (full scan)
+       []             → TM generates no pattern-matching triple: eliminate
+       [dict, ...]    → OR of column/ref→value equality conjunctions."""
+    if isinstance(q, str):
+        q = parse_sparql(q)
+    if q.describe is not None:
+        # DESCRIBE matches the resource in OBJECT position too — object
+        # inversion is out of scope, so never constrain
+        return {name: None for name in mapping.triples_maps}
+    pats: list = []
+    _collect(q.where, pats)
+    if q.construct:
+        pass    # CONSTRUCT template doesn't read sources
+    out = {}
+    for name, tm in mapping.triples_maps.items():
+        emits = tm_pred_iris(tm)
+        constraints: list[dict] = []
+        seen = set()
+        unconstrained = False
+        for s_term, preds in pats:
+            if preds is not None and emits is not None and not (preds & emits):
+                continue            # this pattern can't match TM triples
+            if s_term[0] != "iri":
+                unconstrained = True
+                break
+            c = invert_subject(tm, s_term[1])
+            if c is None:
+                continue            # TM can't produce this subject
+            if c is AMBIGUOUS or not c:
+                unconstrained = True
+                break
+            key = frozenset(c.items())
+            if key not in seen:
+                seen.add(key)
+                constraints.append(c)
+        out[name] = None if unconstrained else constraints
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tabular (native-compiler) answering
+# ---------------------------------------------------------------------------
+
+def answer_tabular(spark: SparkSession, mapping: MappingDocument,
+                   tables: dict[str, DataFrame], query_text,
+                   cfg=None, **engine_kw) -> DataFrame:
+    """Answer SPARQL over an R2RML/tabular mapping with subject-constant
+    pushdown: derived constraints become `.where` predicates on the TM
+    scans (visible as parquet PushedFilters) and fully-excluded TMs are
+    dropped from the plan, so a point query touches one table instead of
+    materializing the whole KG."""
+    from .native import NativeCompiler
+    q = query_text if isinstance(query_text, SelectQuery) \
+        else parse_sparql(query_text)
+    constraints = derive_tm_constraints(mapping, q)
+    tm_row_filters = {n: c for n, c in constraints.items()
+                      if c is not None and c}
+    tm_skip = {n for n, c in constraints.items()
+               if c is not None and not c}
+    compiler = NativeCompiler(spark, mapping, tables, cfg,
+                              fuse_projections=False,
+                              tm_row_filters=tm_row_filters,
+                              tm_skip=tm_skip)
+    eng = SparqlEngine(compiler.triples(dedup=False), dedup_source=True,
+                       **engine_kw)
+    if q.construct is not None:
+        return eng.construct(q)
+    return eng.sql(q)
+
+
+# ---------------------------------------------------------------------------
+# Document (find-filter) answering
+# ---------------------------------------------------------------------------
+
+def _doc_field_for_ref(tm: TriplesMap, ref: str) -> Optional[str]:
+    """Template reference → document-level field path usable in find(),
+    or None when the reference is iterator-relative (not pushable)."""
+    ls = tm.logical_source
+    if ls.iterator:
+        # inside an iterator the only doc-level references are the
+        # xrr:pushDown aliases: {$.<alias>} ← pushDown [xrr:reference
+        # "$.<field>"; xrr:as "<alias>"]
+        for pd in ls.pushdowns:
+            if ref == "$." + pd.target_field:
+                return pd.key
+        return None
+    if ref.startswith("$.") and not any(ch in ref for ch in "*[]()@"):
+        return ref[2:]
+    return None
+
+
+def _lex_variants(value: str) -> list[str]:
+    """JSON lexical forms under which a template-rendered value can be
+    stored: '7' may come from number 7, 7.0 or string "7"."""
+    variants = [value]
+    try:
+        variants.append(str(float(int(value))))   # "7" → "7.0"
+    except ValueError:
+        pass
+    return list(dict.fromkeys(variants))
+
+
+def _conj_to_find(tm: TriplesMap, conj: dict) -> Optional[dict]:
+    """Constraint conjunction → find() sub-filter over the pushable
+    document-level fields (a partial conjunction is still sound); None
+    when nothing is pushable.  Uses the internal type-blind $lexIn
+    operator so the composed filter stays NATIVELY compilable
+    (sources.py: Mongo's type-sensitive numeric equality is not)."""
+    clauses = []
+    for ref, value in conj.items():
+        field = _doc_field_for_ref(tm, ref)
+        if field is None:
+            continue
+        clauses.append({field: {"$lexIn": _lex_variants(value)}})
+    if not clauses:
+        return None
+    if len(clauses) == 1:
+        return clauses[0]
+    return {"$and": clauses}
+
+
+def constrained_mapping(mapping: MappingDocument,
+                        constraints: dict) -> MappingDocument:
+    """Deep-copied mapping with derived constraints composed into each
+    TM's find() filter; fully-excluded TMs are removed.  TMs referenced
+    as ROM parents keep their full scan (the parent side of a join must
+    stay complete) — same reason the tabular path filters only the
+    child scan."""
+    m2 = copy.deepcopy(mapping)
+    rom_parents = {rom.parent_tm
+                   for tm in m2.triples_maps.values()
+                   for pom in tm.predicate_object_maps
+                   for rom in pom.ref_object_maps}
+    for name in list(m2.triples_maps):
+        c = constraints.get(name)
+        if c is None or name in rom_parents:
+            continue
+        tm = m2.triples_maps[name]
+        if tm.logical_source.kind != "query":
+            continue
+        if not c:
+            del m2.triples_maps[name]
+            continue
+        ors = [f for f in (_conj_to_find(tm, conj) for conj in c)
+               if f is not None]
+        if not ors or len(ors) != len(c):
+            continue    # some disjunct not pushable → full scan stays sound
+        derived = ors[0] if len(ors) == 1 else {"$or": ors}
+        coll, ftext = parse_mongo_query(tm.logical_source.value)
+        from .mongo_filter import parse_filter
+        orig = parse_filter(ftext)
+        new = derived if not orig else {"$and": [orig, derived]}
+        tm.logical_source.value = f"db.{coll}.find({json.dumps(new)})"
+    return m2
+
+
+def answer_documents(spark: SparkSession, mapping: MappingDocument,
+                     catalog, query_text, cfg=None,
+                     **engine_kw) -> DataFrame:
+    """Answer SPARQL over a document mapping with find()-filter pushdown:
+    the restricted mapping routes through materialize_auto (json-native
+    tier keeps the composed filter as Column predicates on the scan)."""
+    from .api import materialize_auto
+    q = query_text if isinstance(query_text, SelectQuery) \
+        else parse_sparql(query_text)
+    constraints = derive_tm_constraints(mapping, q)
+    m2 = constrained_mapping(mapping, constraints)
+    if not m2.triples_maps:
+        from .engine import TRIPLE_SCHEMA
+        triples = spark.createDataFrame([], TRIPLE_SCHEMA)
+    else:
+        triples = materialize_auto(spark, m2, catalog=catalog, cfg=cfg,
+                                   dedup=False)
+    eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
+    if q.construct is not None:
+        return eng.construct(q)
+    return eng.sql(q)

@@ -86,6 +86,15 @@ def _spec_to_column(spec: dict, content_col: str):
                             return None
                         cond = cond & extracted.isin(
                             [_json_scalar(v) for v in operand])
+                    elif op == "$lexIn" and isinstance(operand, list):
+                        # INTERNAL pushdown operator (rewrite.py): matches
+                        # when the field's JSON lexical form is in the
+                        # list — deliberately type-blind (number 7 and
+                        # string "7" both have lexical '7'), which makes
+                        # it natively compilable where Mongo's
+                        # type-sensitive numeric equality is not
+                        cond = cond & extracted.isin(
+                            [str(v) for v in operand])
                     else:
                         return None
             else:
@@ -130,6 +139,9 @@ def _spec_native_ok(spec: dict) -> bool:
                 elif op == "$in":
                     if not isinstance(operand, list) or \
                             any(_is_number(v) for v in operand):
+                        return False
+                elif op == "$lexIn":
+                    if not isinstance(operand, list):
                         return False
                 else:
                     return False

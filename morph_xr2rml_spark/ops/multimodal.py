@@ -6,9 +6,10 @@ signatures) is real and tested.  Decoding tiers:
 
 - REAL stdlib decoders: WAV audio (``wave`` + ``struct``: sample rate,
   duration, per-window RMS energy + zero-crossing rate features),
-  24-bit BMP images (``struct`` header parse), non-interlaced 8-bit PNG
-  (``struct`` chunk walk + ``zlib`` inflate + per-row unfiltering, all
-  five filter types), and baseline JPEG (ops/jpeg.py: huffman + DCT,
+  24-bit BMP images (``struct`` header parse), 8/16-bit PNG incl.
+  Adam7 interlace (``struct`` chunk walk + ``zlib`` inflate + per-row
+  unfiltering, all five filter types), and baseline JPEG (ops/jpeg.py:
+  huffman + DCT,
   4:4:4; progressive/subsampled raise NotImplementedError).  Image
   features are grid-pooled mean RGB — the "resize" step as average
   pooling.  These run end-to-end in this container, no PIL/cv2 needed.
@@ -185,83 +186,79 @@ def bmp_feature(payload: bytes, grid: int = 4) -> list[float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def make_png(seed: int, width: int = 16, height: int = 16) -> bytes:
-    """Deterministic 8-bit truecolor PNG.  Rows cycle filter types
-    None/Sub/Up so the decoder's unfiltering paths are really exercised."""
+def make_png(seed: int, width: int = 16, height: int = 16,
+             interlace: bool = False, bit_depth: int = 8) -> bytes:
+    """Deterministic truecolor PNG.  Rows cycle filter types None/Sub/Up
+    so the decoder's unfiltering paths are really exercised; optional
+    Adam7 interlacing (each pass filtered independently) and 16-bit
+    depth (low byte is seeded noise the decoder must ignore)."""
     import zlib
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    stride = width * 3
-    raw = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
+    ss = bit_depth // 8
+    bpp = 3 * ss
+
+    def pixel_row(xs, y) -> bytearray:
         row = bytearray()
-        for x in range(width):
-            row += bytes(((x * 13 + seed * 7) % 256,
-                          (y * 29 + seed * 11) % 256,
-                          ((x + y) * 31 + seed * 3) % 256))
-        ft = y % 3
-        raw.append(ft)
-        if ft == 0:                       # None
-            raw += row
-        elif ft == 1:                     # Sub
-            raw += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 255
-                         for i in range(stride))
-        else:                             # Up
-            raw += bytes((row[i] - prior[i]) & 255 for i in range(stride))
-        prior = bytes(row)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        for x in xs:
+            for v in ((x * 13 + seed * 7) % 256,
+                      (y * 29 + seed * 11) % 256,
+                      ((x + y) * 31 + seed * 3) % 256):
+                row.append(v)
+                if ss == 2:
+                    row.append((v * 7 + 3) % 256)   # 16-bit low byte
+        return row
+
+    def filter_rows(rows) -> bytearray:
+        out = bytearray()
+        prior = bytes(len(rows[0])) if rows else b""
+        for i, row in enumerate(rows):
+            ft = i % 3
+            out.append(ft)
+            if ft == 0:                   # None
+                out += row
+            elif ft == 1:                 # Sub
+                out += bytes((row[j] - (row[j - bpp] if j >= bpp else 0))
+                             & 255 for j in range(len(row)))
+            else:                         # Up
+                out += bytes((row[j] - prior[j]) & 255
+                             for j in range(len(row)))
+            prior = bytes(row)
+        return out
+
+    raw = bytearray()
+    if not interlace:
+        raw += filter_rows([pixel_row(range(width), y)
+                            for y in range(height)])
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            xs = list(range(x0, width, dx))
+            ys = list(range(y0, height, dy))
+            if xs and ys:
+                raw += filter_rows([pixel_row(xs, y) for y in ys])
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 2, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """PNG → (width, height, row-major RGB pixels).  Pure stdlib: struct
-    chunk walk + zlib inflate + per-row unfilter (None/Sub/Up/Average/
-    Paeth).  Supports non-interlaced 8-bit gray/truecolor/palette with
-    or without alpha (alpha is dropped); Adam7 interlace and 16-bit
-    depth raise NotImplementedError."""
-    import zlib
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = 8
-    width = height = bitd = colt = interlace = None
-    plte = b""
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        ln = struct.unpack_from(">I", payload, pos)[0]
-        typ = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            width, height, bitd, colt, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if bitd != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported, got {bitd}")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colt)
-    if channels is None:
-        raise ValueError(f"bad PNG color type {colt}")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    bpp = channels
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
+                   bpp: int) -> tuple[list[bytearray], int]:
+    """Unfilter n_rows scanlines (None/Sub/Up/Average/Paeth) starting at
+    ``off``; returns (rows, new offset).  ``bpp`` = bytes per complete
+    pixel (the filter distance)."""
     prior = bytearray(stride)
-    pixels: list[tuple[int, int, int]] = []
-    off = 0
-    for _y in range(height):
+    rows: list[bytearray] = []
+    for _y in range(n_rows):
         ft = raw[off]
         row = bytearray(raw[off + 1:off + 1 + stride])
         off += 1 + stride
@@ -288,20 +285,86 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         elif ft != 0:
             raise ValueError(f"bad PNG filter type {ft}")
         prior = row
-        for x in range(width):
-            if colt == 2:                        # truecolor
-                pixels.append((row[x * 3], row[x * 3 + 1], row[x * 3 + 2]))
-            elif colt == 6:                      # truecolor + alpha
-                pixels.append((row[x * 4], row[x * 4 + 1], row[x * 4 + 2]))
-            elif colt == 0:                      # grayscale
-                v = row[x]
-                pixels.append((v, v, v))
-            elif colt == 4:                      # gray + alpha
-                v = row[x * 2]
-                pixels.append((v, v, v))
-            else:                                # palette
-                j = row[x] * 3
-                pixels.append((plte[j], plte[j + 1], plte[j + 2]))
+        rows.append(row)
+    return rows, off
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """PNG → (width, height, row-major RGB pixels).  Pure stdlib: struct
+    chunk walk + zlib inflate + per-row unfilter (None/Sub/Up/Average/
+    Paeth).  Supports 8- and 16-bit gray/truecolor/palette with or
+    without alpha (alpha is dropped, 16-bit samples take the high byte),
+    both non-interlaced and Adam7-interlaced streams; sub-byte bit
+    depths (1/2/4, palette thumbnails) raise NotImplementedError."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bitd = colt = interlace = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, bitd, colt, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitd not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PNG supported, got {bitd}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colt)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {colt}")
+    ss = bitd // 8                               # bytes per sample
+    bpp = channels * ss
+    raw = zlib.decompress(bytes(idat))
+
+    def row_px(row: bytearray, x: int) -> tuple[int, int, int]:
+        if colt == 2:                            # truecolor
+            b = x * 3 * ss
+            return (row[b], row[b + ss], row[b + 2 * ss])
+        if colt == 6:                            # truecolor + alpha
+            b = x * 4 * ss
+            return (row[b], row[b + ss], row[b + 2 * ss])
+        if colt == 0:                            # grayscale
+            v = row[x * ss]
+            return (v, v, v)
+        if colt == 4:                            # gray + alpha
+            v = row[x * 2 * ss]
+            return (v, v, v)
+        j = row[x] * 3                           # palette (always 1 byte)
+        return (plte[j], plte[j + 1], plte[j + 2])
+
+    if interlace == 0:
+        rows, _ = _unfilter_rows(raw, 0, height, width * bpp, bpp)
+        return width, height, [row_px(row, x)
+                               for row in rows for x in range(width)]
+    if interlace != 1:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    # Adam7: seven independently-filtered sub-images, pixels scattered
+    # back onto the full grid
+    pixels: list = [(0, 0, 0)] * (width * height)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, off = _unfilter_rows(raw, off, ph, pw * bpp, bpp)
+        for yi, row in enumerate(rows):
+            y = y0 + yi * dy
+            for xi in range(pw):
+                pixels[y * width + x0 + xi * dx] = row_px(row, xi)
     return width, height, pixels
 
 

@@ -180,14 +180,11 @@ def test_png_unsupported_raise():
     def chunk(typ, data):
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
-    # interlaced
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
-    p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(p)
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-    p = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    # sub-byte bit depth is the remaining declared boundary (Adam7 and
+    # 16-bit decode for real since round 4)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    p = _PNG_SIG + chunk(b"IHDR", ihdr) \
+        + chunk(b"IDAT", zlib.compress(b"\x00\x50")) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(p)
     # malformed JPEG (no SOF0) is now a parse error from the real codec
@@ -284,3 +281,42 @@ def test_extract_features_jpeg_rows(spark):
         want = jpeg_feature(make_jpeg(mid))
         got = feats[mid]
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
+
+
+# -- round 4: Adam7 interlace + 16-bit depth --------------------------------
+
+import pytest as _pytest
+
+from morph_xr2rml_spark.ops import multimodal as _mm
+
+
+@_pytest.mark.parametrize("w,h", [(16, 16), (7, 5), (1, 1), (3, 9), (8, 2)])
+def test_png_adam7_and_16bit_roundtrip(w, h):
+    """Adam7-interlaced and 16-bit streams decode to the same pixels as
+    the plain 8-bit encoding — including sizes where some passes are
+    empty (w or h below the pass origin)."""
+    base = _mm.decode_png(_mm.make_png(9, w, h))
+    assert _mm.decode_png(_mm.make_png(9, w, h, interlace=True)) == base
+    assert _mm.decode_png(_mm.make_png(9, w, h, bit_depth=16)) == base
+    assert _mm.decode_png(
+        _mm.make_png(9, w, h, interlace=True, bit_depth=16)) == base
+    want = [((x * 13 + 63) % 256, (y * 29 + 99) % 256,
+             ((x + y) * 31 + 27) % 256) for y in range(h) for x in range(w)]
+    assert base[2] == want
+
+
+def test_png_sub_byte_depth_still_raises():
+    import struct as _struct
+    import zlib as _zlib
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)   # 4-bit gray
+    payload = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", _zlib.compress(b"\x00\x50"))
+               + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        _mm.decode_png(payload)

@@ -229,14 +229,30 @@ def q_kg_skew_join(spark, sf_dir: str):
     return materialize(spark, mapping, catalog, salt_partitions=8)
 
 
-def q_kg_tpch(spark, sf_dir: str):
-    from morph_xr2rml_spark.examples import kg_tpch_triples, tpch_tables
+def _tpch_scaled_tables(spark, sf_dir: str):
+    from morph_xr2rml_spark.examples import tpch_tables
     tables = tpch_tables(spark, sf_dir)
     if _rep() > 1:
         tables["orders"] = _replicated(tables["orders"],
                                        ["o_orderkey", "o_custkey"])
         tables["customer"] = _replicated(tables["customer"], ["c_custkey"])
-    return kg_tpch_triples(spark, sf_dir, tables=tables)
+    return tables
+
+
+def q_kg_tpch(spark, sf_dir: str):
+    from morph_xr2rml_spark.examples import kg_tpch_triples
+    return kg_tpch_triples(spark, sf_dir,
+                           tables=_tpch_scaled_tables(spark, sf_dir))
+
+
+def q_kg_tpch_translate(spark, sf_dir: str):
+    """kg_tpch minus the global dedup exchange — the executor-scaling
+    decomposition probe (scan → term concat → ROM equi-joins → union),
+    mirroring kg_repo_corpus_translate."""
+    from morph_xr2rml_spark.examples import kg_tpch_triples
+    return kg_tpch_triples(spark, sf_dir,
+                           tables=_tpch_scaled_tables(spark, sf_dir),
+                           dedup=False)
 
 
 def queries():
@@ -245,6 +261,7 @@ def queries():
         "kg_repo_corpus_translate": q_kg_repo_corpus_translate,
         "kg_repo_corpus_pyudf": q_kg_repo_corpus_pyudf,
         "kg_tpch": q_kg_tpch,
+        "kg_tpch_translate": q_kg_tpch_translate,
         "kg_skew_join": q_kg_skew_join,
     }
     try:

@@ -85,12 +85,13 @@ def tpch_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def kg_tpch_triples(spark: SparkSession, sf_dir: str,
-                    tables: dict[str, DataFrame] | None = None) -> DataFrame:
+                    tables: dict[str, DataFrame] | None = None,
+                    dedup: bool = True) -> DataFrame:
     mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
     compiler = NativeCompiler(spark, mapping,
                               tables or tpch_tables(spark, sf_dir),
                               broadcast_parents=False)
-    return compiler.triples()
+    return compiler.triples(dedup=dedup)
 
 
 _RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"

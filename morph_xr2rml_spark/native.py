@@ -311,12 +311,58 @@ class NativeCompiler:
             out = out.unionByName(p)
         return out.where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
 
+    @staticmethod
+    def _term_source_columns(m: TermMap) -> list[str]:
+        if m.kind == TEMPLATE:
+            return get_template_groups(m.template)
+        if m.kind == COLUMN:
+            return [m.column]
+        return []
+
+    def _parent_key_renders_object(self, parent_tm, pdf: DataFrame,
+                                   child_df: DataFrame, rom) -> bool:
+        """Self-join-elimination precondition (the reference's
+        xrr:uniqueRef / AbstractQueryAtomicMongo.scala:122-252 analogue):
+        when the parent's subject term is built from EXACTLY the join
+        column, the object can be rendered from the child's own join key
+        — the parent scan degrades to a key-existence check (left_semi
+        on bare keys) instead of an inner join shipping built subject
+        strings.  Requires a single equi-condition and identical source
+        dtypes (exact, incl. decimal precision) so both sides render the
+        same lexical form."""
+        if len(rom.join_conditions) != 1:
+            return False
+        jc = rom.join_conditions[0]
+        if self._term_source_columns(parent_tm.subject_map) \
+                != [jc.parent_ref]:
+            return False
+        if jc.parent_ref not in pdf.columns \
+                or jc.child_ref not in child_df.columns:
+            return False
+        if pdf.schema[jc.parent_ref].dataType \
+                != child_df.schema[jc.child_ref].dataType:
+            return False
+        # the substitution column must not shadow a DIFFERENT live child
+        # column (the subject/pred expressions may reference it)
+        if jc.parent_ref != jc.child_ref \
+                and jc.parent_ref in child_df.columns:
+            return False
+        return True
+
     def _rom_triples(self, child_df: DataFrame, subj: Column, pred: Column,
                      rom) -> DataFrame:
         """Referencing object map = equi-join child×parent on the join
         columns; the reference generates a SQL LEFT JOIN
         (MorphRDBUnfolder.scala:284-320) — inner join is equivalent for
-        triple generation (NULL object ⇒ no triple)."""
+        triple generation (NULL object ⇒ no triple).
+
+        Shuffle-byte minimization (the 100-TB lever): the child side
+        shuffles only the raw join keys — subject and predicate strings
+        are CONSTRUCTED AFTER the exchange, so a 30M-row child ships
+        ~8-byte keys instead of ~70 bytes of pre-built IRI text per row.
+        When the parent subject is keyed exactly by the join column the
+        join itself collapses to a left_semi existence probe
+        (_parent_subj_from_child_key)."""
         if not rom.join_conditions:
             # zero join conditions: the reference's intersection of zero
             # term sets is empty — never a cross product
@@ -324,25 +370,44 @@ class NativeCompiler:
             return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         parent_tm = self.mapping.triples_maps[rom.parent_tm]
         pdf = self._source_df(parent_tm)
-        parent_subj = self.term_expr(pdf, parent_tm.subject_map)
         pcols = [jc.parent_ref for jc in rom.join_conditions]
         ccols = [jc.child_ref for jc in rom.join_conditions]
+        out_cols = [subj, pred.alias("pred")]
+
+        if self._parent_key_renders_object(parent_tm, pdf, child_df, rom):
+            # existence probe: bare parent keys, no subject strings built
+            parent_keys = pdf.select(F.col(pcols[0]).alias(ccols[0]))
+            if self.broadcast_parents:
+                parent_keys = F.broadcast(parent_keys)
+            kept = child_df.join(parent_keys, ccols[0], "left_semi") \
+                           .withColumn(pcols[0], F.col(ccols[0]))
+            key_obj = self.term_expr(kept, parent_tm.subject_map)
+            return kept.select(*out_cols, key_obj.alias("obj"),
+                               F.lit(None).cast("string").alias("graph"))
+
+        parent_subj = self.term_expr(pdf, parent_tm.subject_map)
         parent_sel = pdf.select(
             parent_subj.alias("_psubj"),
             *[F.col(c).alias(f"_pk{i}") for i, c in enumerate(pcols)])
         if self.broadcast_parents:
             parent_sel = F.broadcast(parent_sel)
-        child_sel = child_df.select(
-            subj, pred.alias("pred"),
-            *[F.col(c).alias(f"_ck{i}") for i, c in enumerate(ccols)])
-        cond = None
-        for i in range(len(pcols)):
-            c = F.col(f"_ck{i}") == F.col(f"_pk{i}")
-            cond = c if cond is None else (cond & c)
-        joined = child_sel.join(parent_sel, cond, "inner")
-        return joined.select("subj", "pred",
+        # ship raw term-source columns through the exchange, not built
+        # strings: the subj/pred Columns reference child columns by name
+        # and resolve against the joined plan, so construction happens
+        # AFTER the shuffle (Catalyst prunes the child side to the
+        # source columns + join keys)
+        joined = child_df.join(parent_sel, self._join_cond(ccols), "inner")
+        return joined.select(*out_cols,
                              F.col("_psubj").alias("obj"),
                              F.lit(None).cast("string").alias("graph"))
+
+    @staticmethod
+    def _join_cond(ccols: list) -> Column:
+        cond = None
+        for i, c in enumerate(ccols):
+            eq = F.col(c) == F.col(f"_pk{i}")
+            cond = eq if cond is None else (cond & eq)
+        return cond
 
     def _constraint_col(self, df: DataFrame, constraints: list) -> Column:
         """OR of equality conjunctions, with values converted to the

@@ -34,6 +34,11 @@ from typing import Optional, Union
 from pyspark.sql import Column, DataFrame, functions as F
 
 _XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_XSD = frozenset(_XSD_NS + t for t in (
+    "integer", "decimal", "double", "float", "int", "long", "short",
+    "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+    "nonPositiveInteger", "unsignedInt", "unsignedLong", "unsignedShort",
+    "unsignedByte"))
 
 # ---------------------------------------------------------------------------
 # Query model
@@ -674,7 +679,29 @@ class _P:
         if t[0] == "NUM":
             return ("num", float(t[1]))
         if t[0] == "STR":
-            return ("str", t[1][1:-1])
+            lex = t[1][1:-1]
+            nxt = self.peek()
+            if nxt[0] == "LANGTAG":
+                # lang-tagged literal in expression position: equality is
+                # TERM equality (same lexical form AND tag, §17.4.1.9)
+                self.next()
+                return ("termlit", t[1] + nxt[1], lex)
+            if nxt[1] == "^":
+                # typed literal: numeric/boolean datatypes shed the type
+                # and join the value-space comparisons; anything else
+                # (dateTime/date/string/...) compares by lexical form —
+                # correct for ISO-8601 range filters
+                self.next()
+                self.expect("^")
+                dt = self._term()
+                if dt[0] != "iri":
+                    raise ValueError("datatype must be an IRI")
+                if dt[1] in _NUMERIC_XSD:
+                    return ("num", float(lex))
+                if dt[1] == _XSD_NS + "boolean":
+                    return ("boollit", lex)
+                return ("typedlit", lex, dt[1])
+            return ("str", lex)
         if t[0] == "IRI":
             iri = t[1][1:-1]
             if iri.startswith(_XSD_NS) and self.peek()[1] == "(":
@@ -1401,6 +1428,10 @@ class SparqlEngine:
                     vals.append(f"<{t[1]}>")
                 elif t[0] == "str":
                     vals.append(f'"{t[1]}"')
+                elif t[0] == "typedlit":
+                    vals.append(f'"{t[1]}"^^<{t[2]}>')
+                elif t[0] == "termlit":
+                    vals.append(t[1])
                 else:
                     vals.append(str(t[1]))
             return col.isin(vals)
@@ -1409,6 +1440,10 @@ class SparqlEngine:
             ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
                    "<": lambda a, b: a < b, ">": lambda a, b: a > b,
                    "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b}
+            # lang-tagged literal: TERM equality (lexical form + tag)
+            if left[0] == "termlit" or right[0] == "termlit":
+                return ops[op](self._term_form_col(left),
+                               self._term_form_col(right))
             # numeric compare if either side is a number literal, an
             # arithmetic expression, or a numeric builtin
             if left[0] in ("num", "arith", "numop") \
@@ -1437,6 +1472,12 @@ class SparqlEngine:
             # xsd:boolean literal: lexical form for value compares, full
             # term form via _term_form_col for sameTerm
             return F.lit(ast[1])
+        if kind == "typedlit":
+            # non-numeric typed literal: lexical-form value (ISO-8601
+            # dateTime/date lexicals order correctly as strings)
+            return F.lit(ast[1])
+        if kind == "termlit":
+            return F.lit(ast[2] if lexical else ast[1])
         if kind == "strfn":
             return lexical_value(self._operand_col(ast[1]))
         if kind == "langfn":
@@ -1613,6 +1654,10 @@ class SparqlEngine:
         if kind == "boollit":
             return F.lit(f'"{ast[1]}"^^'
                          "<http://www.w3.org/2001/XMLSchema#boolean>")
+        if kind == "typedlit":
+            return F.lit(f'"{ast[1]}"^^<{ast[2]}>')
+        if kind == "termlit":
+            return F.lit(ast[1])
         return self._operand_col(ast)
 
     def _strop_col(self, ast) -> Column:

@@ -202,3 +202,58 @@ def test_full_iri_cast_form(eng):
     got = rows(eng, f"""
         SELECT ?s (<{XSD}integer>(?v) AS ?i) WHERE {{ ?s <http://ex/val> ?v }}""")
     assert dict(got)["<http://ex/c>"] == f'"10"^^<{XSD}integer>'
+
+
+# -- typed / lang-tagged literals in FILTER expressions (round 4) -----------
+
+def test_datetime_range_filter(eng):
+    got = one_col(eng, f"""
+        PREFIX xsd: <{XSD}>
+        SELECT ?s WHERE {{
+            ?s <http://ex/when> ?d
+            FILTER(?d >= "1996-01-01T00:00:00"^^xsd:dateTime)
+        }}""")
+    assert got == ["<http://ex/a>", "<http://ex/b>"]
+
+
+def test_date_literal_filter(eng):
+    got = one_col(eng, f"""
+        PREFIX xsd: <{XSD}>
+        SELECT ?s WHERE {{
+            ?s <http://ex/when> ?d
+            FILTER(?d < "1990-01-01"^^xsd:date)
+        }}""")
+    assert got == ["<http://ex/c>"]
+
+
+def test_numeric_typed_literal_compares_by_value(eng):
+    # "2"^^xsd:integer must compare numerically (2.5 > 2), not lexically
+    got = one_col(eng, f"""
+        PREFIX xsd: <{XSD}>
+        SELECT ?s WHERE {{
+            ?s <http://ex/val> ?v FILTER(?v > "2"^^xsd:integer)
+        }}""")
+    assert got == ["<http://ex/a>", "<http://ex/c>"]
+
+
+def test_lang_tagged_literal_term_equality(spark):
+    from morph_xr2rml_spark.sparql import SparqlEngine
+    rows = [("<http://ex/a>", "<http://ex/label>", '"chair"@en'),
+            ("<http://ex/b>", "<http://ex/label>", '"chair"@fr'),
+            ("<http://ex/c>", "<http://ex/label>", '"chair"')]
+    eng2 = SparqlEngine(spark.createDataFrame(
+        rows, "subj string, pred string, obj string"))
+    got = sorted(r[0] for r in eng2.sql("""
+        SELECT ?s WHERE { ?s <http://ex/label> ?l
+                          FILTER(?l = "chair"@en) }""").collect())
+    assert got == ["<http://ex/a>"]
+
+
+def test_typed_literal_in_list(eng):
+    got = one_col(eng, f"""
+        PREFIX xsd: <{XSD}>
+        SELECT ?s WHERE {{
+            ?s <http://ex/when> ?d
+            FILTER(?d IN ("1987-06-05"^^xsd:date, "2001-01-01"^^xsd:date))
+        }}""")
+    assert got == ["<http://ex/c>"]

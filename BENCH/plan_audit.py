@@ -29,6 +29,8 @@ def audit(df) -> dict:
         "exchanges": len(re.findall(r"Exchange ", txt)),
         "partial aggs before exchange": len(re.findall(
             r"HashAggregate\(keys=\[_h1[^\]]*\], functions=\[partial", txt)),
+        "semi-join existence probes": len(re.findall(r"LeftSemi", txt)),
+        "pushed filters": len(re.findall(r"PushedFilters: \[[^\]]*EqualTo", txt)),
     }
     schemas = sorted(set(re.findall(r"ReadSchema: struct<([^>]*)>", txt)))
     return {"counts": counts, "schemas": schemas}
@@ -47,7 +49,8 @@ def main() -> None:
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else [
         "kg_tpch_triples", "kg_lineitem_json_triples",
         "sparql_customer_nation", "sparql_describe", "sparql_lang_filter",
-        "dedup_minhash_lsh", "dedup_embedding_cosine", "events_sessionize"]
+        "dedup_minhash_lsh", "dedup_embedding_cosine", "events_sessionize",
+        "sparql_pushdown_point", "sparql_pushdown_doc"]
     for name in names:
         df = queries[name](spark, sf)
         a = audit(df)

@@ -120,7 +120,11 @@ def main() -> None:
     queries = os.environ.get("SPARK_GRAFT_EXEC_QUERIES",
                              "kg_repo_corpus,kg_tpch,dedup_minhash_lsh") \
         .split(",")
-    ensure_inputs(sf_dir, rep)
+    # kg_tpch* build their replicated tables in-plan and need neither the
+    # corpus nor the scaled ops tables — skip the (expensive) prep when
+    # every query is self-contained
+    if not all(q.startswith("kg_tpch") for q in queries):
+        ensure_inputs(sf_dir, rep)
     results = {}
     for q in queries:
         p = run_worker(q, sf_dir, rep)

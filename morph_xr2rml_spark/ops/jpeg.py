@@ -1,11 +1,17 @@
 """Baseline JPEG codec in pure stdlib Python (ITU-T T.81).
 
-Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-4:4:4 (no chroma subsampling), huffman entropy coding with the
-standard Annex K tables.  Progressive (SOF2), arithmetic coding,
-subsampled chroma, and 12-bit raise ``NotImplementedError`` — this is
-the correctness-scoped decode tier for the multimodal plumbing (same
-pattern as the WAV/BMP/PNG codecs), not a production JPEG library.
+Scope: baseline sequential DCT (SOF0) AND progressive (SOF2 —
+spectral selection + successive approximation, DC/AC first and
+refinement scans, EOBn runs, per-scan huffman tables), 8-bit, 1 or 3
+components, 4:4:4 (no chroma subsampling).  Arithmetic coding,
+subsampled chroma, hierarchical modes, restart intervals and 12-bit
+raise ``NotImplementedError`` — this is the correctness-scoped decode
+tier for the multimodal plumbing (same pattern as the WAV/BMP/PNG
+codecs), not a production JPEG library.
+
+Progressive re-codes the same quantized coefficients as baseline, so
+``decode(encode_jpeg_progressive(img)) == decode(encode_jpeg(img))``
+EXACTLY — the test oracle.
 
 The encoder exists to build deterministic test fixtures; it writes
 quality-50 Annex-K quantization (tables verbatim), so encode→decode is
@@ -233,32 +239,18 @@ def _ycbcr_to_rgb(y: float, cb: float, cr: float) -> tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
-def encode_jpeg(width: int, height: int,
-                pixels: list[tuple[int, int, int]]) -> bytes:
-    """Baseline 4:4:4 JPEG encoder (deterministic test fixtures)."""
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    out = bytearray(b"\xFF\xD8")                                  # SOI
-    out += seg(0xFFDB, bytes([0]) + bytes(QT_LUMA[ZIGZAG[i]]       # DQT 0
-                                          for i in range(64)))
-    out += seg(0xFFDB, bytes([1]) + bytes(QT_CHROMA[ZIGZAG[i]]     # DQT 1
-                                          for i in range(64)))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)   # SOF0
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    for cls, tid, (bits, vals) in ((0, 0, DC_LUMA), (1, 0, AC_LUMA),
-                                   (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)):
-        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
-                   + bytes(vals))
-    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
-    dc_codes = [_build_huff_codes(*DC_LUMA), _build_huff_codes(*DC_CHROMA)]
-    ac_codes = [_build_huff_codes(*AC_LUMA), _build_huff_codes(*AC_CHROMA)]
+def _quant_blocks(width: int, height: int,
+                  pixels: list[tuple[int, int, int]]):
+    """Pixels → per-component zigzag-ordered quantized DCT blocks in
+    raster block order: [comp][block][64]."""
     qts = [QT_LUMA, QT_CHROMA]
-    w = _BitWriter()
-    pred = [0, 0, 0]
     bw = (width + 7) // 8
     bh = (height + 7) // 8
+    blocks: list[list[list[int]]] = [[], [], []]
     for by in range(bh):
         for bx in range(bw):
             planes: list[list[float]] = [[], [], []]
@@ -271,44 +263,320 @@ def encode_jpeg(width: int, height: int,
                     planes[1].append(cbv - 128)
                     planes[2].append(crv - 128)
             for ci in range(3):
-                tsel = 0 if ci == 0 else 1
+                qt = qts[0 if ci == 0 else 1]
                 coef = _fdct(planes[ci])
-                qt = qts[tsel]
-                quant = [int(round(coef[ZIGZAG[i]] / qt[ZIGZAG[i]]))
-                         for i in range(64)]
-                diff = quant[0] - pred[ci]
-                pred[ci] = quant[0]
-                t, code = _magnitude(diff)
-                hc, hl = dc_codes[tsel][t]
+                blocks[ci].append(
+                    [int(round(coef[ZIGZAG[i]] / qt[ZIGZAG[i]]))
+                     for i in range(64)])
+    return bw, bh, blocks
+
+
+def _headers(width: int, height: int, sof_marker: int) -> bytearray:
+    out = bytearray(b"\xFF\xD8")                                  # SOI
+    out += _seg(0xFFDB, bytes([0]) + bytes(QT_LUMA[ZIGZAG[i]]      # DQT 0
+                                           for i in range(64)))
+    out += _seg(0xFFDB, bytes([1]) + bytes(QT_CHROMA[ZIGZAG[i]]    # DQT 1
+                                           for i in range(64)))
+    out += _seg(sof_marker, struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for cls, tid, (bits, vals) in ((0, 0, DC_LUMA), (1, 0, AC_LUMA),
+                                   (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)):
+        out += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                    + bytes(vals))
+    return out
+
+
+_DC_CODES = None
+_AC_CODES = None
+
+
+def _codes():
+    global _DC_CODES, _AC_CODES
+    if _DC_CODES is None:
+        _DC_CODES = [_build_huff_codes(*DC_LUMA),
+                     _build_huff_codes(*DC_CHROMA)]
+        _AC_CODES = [_build_huff_codes(*AC_LUMA),
+                     _build_huff_codes(*AC_CHROMA)]
+    return _DC_CODES, _AC_CODES
+
+
+def encode_jpeg(width: int, height: int,
+                pixels: list[tuple[int, int, int]]) -> bytes:
+    """Baseline 4:4:4 JPEG encoder (deterministic test fixtures)."""
+    dc_codes, ac_codes = _codes()
+    out = _headers(width, height, 0xFFC0)                         # SOF0
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    bw, bh, blocks = _quant_blocks(width, height, pixels)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for b in range(bw * bh):
+        for ci in range(3):
+            tsel = 0 if ci == 0 else 1
+            quant = blocks[ci][b]
+            diff = quant[0] - pred[ci]
+            pred[ci] = quant[0]
+            t, code = _magnitude(diff)
+            hc, hl = dc_codes[tsel][t]
+            w.write(hc, hl)
+            if t:
+                w.write(code, t)
+            run = 0
+            for i in range(1, 64):
+                v = quant[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[tsel][0xF0]     # ZRL
+                    w.write(hc, hl)
+                    run -= 16
+                t, code = _magnitude(v)
+                hc, hl = ac_codes[tsel][(run << 4) | t]
                 w.write(hc, hl)
-                if t:
-                    w.write(code, t)
+                w.write(code, t)
                 run = 0
-                for i in range(1, 64):
-                    v = quant[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_codes[tsel][0xF0]     # ZRL
-                        w.write(hc, hl)
-                        run -= 16
-                    t, code = _magnitude(v)
-                    hc, hl = ac_codes[tsel][(run << 4) | t]
-                    w.write(hc, hl)
-                    w.write(code, t)
-                    run = 0
-                if run:
-                    hc, hl = ac_codes[tsel][0x00]          # EOB
-                    w.write(hc, hl)
+            if run:
+                hc, hl = ac_codes[tsel][0x00]          # EOB
+                w.write(hc, hl)
     out += w.flush()
     out += b"\xFF\xD9"                                            # EOI
     return bytes(out)
 
 
+class _SymRecorder(dict):
+    """Pass-1 stand-in for a huffman code table: records which symbols a
+    scan emits (the Annex-K AC tables lack the EOBn symbols progressive
+    scans need, so each AC scan ships its own canonical table)."""
+
+    def __init__(self):
+        super().__init__()
+        self.seen: set[int] = set()
+
+    def __getitem__(self, k):
+        self.seen.add(k)
+        return (0, 1)
+
+
+def _canonical_table(symbols: set[int]):
+    """Symbols → (bits[16], huffval, {sym: (code, len)}): all codes the
+    same length L with n ≤ 2^L - 1, so the all-ones code never occurs."""
+    syms = sorted(symbols) or [0x00]
+    n = len(syms)
+    L = 1
+    while (1 << L) - 1 < n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+class _ProgressiveAcEncoder:
+    """AC-scan entropy state shared across blocks: EOBRUN accumulation
+    plus the refinement scans' buffered correction bits (T.81 G.1.2.2-3,
+    the classic libjpeg-style structure)."""
+
+    def __init__(self, w: _BitWriter, ac_codes: dict):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def sym(self, s: int) -> None:
+        hc, hl = self.ac[s]
+        self.w.write(hc, hl)
+
+    def flush_pending(self) -> None:
+        for b in self.pending_bits:
+            self.w.write(b, 1)
+        self.pending_bits = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun, nbits)
+            self.eobrun = 0
+        self.flush_pending()
+
+    # -- first scan (Ah = 0) -------------------------------------------
+    def block_first(self, quant: list[int], ss: int, se: int,
+                    al: int) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            v = quant[k]
+            mag = (v if v >= 0 else -v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            self.flush_eobrun()
+            while r > 15:
+                self.sym(0xF0)
+                r -= 16
+            nbits = mag.bit_length()
+            code = mag if v >= 0 else (-mag + (1 << nbits) - 1)
+            self.sym((r << 4) | nbits)
+            self.w.write(code, nbits)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    # -- refinement scan (Ah = Al + 1) ---------------------------------
+    def block_refine(self, quant: list[int], ss: int, se: int,
+                     al: int) -> None:
+        absv = [0] * (se + 1)
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            t = quant[k]
+            t = (t if t >= 0 else -t) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.flush_eobrun()
+                self.sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if t > 1:
+                # history-nonzero coefficient: append its correction bit
+                br.append(t & 1)
+                continue
+            # newly significant at this precision
+            self.flush_eobrun()
+            self.sym((r << 4) | 1)
+            self.w.write(1 if quant[k] >= 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending_bits.extend(br)
+            if self.eobrun == 0x7FFF or len(self.pending_bits) > 900:
+                self.flush_eobrun()
+
+
+def encode_jpeg_progressive(width: int, height: int,
+                            pixels: list[tuple[int, int, int]]) -> bytes:
+    """Progressive (SOF2) 4:4:4 JPEG encoder: spectral selection AND
+    successive approximation — DC first (Al=1) + DC refinement, then
+    per-component AC first scans (1..63, Al=1) + AC refinement scans.
+    Progressive re-codes the same quantized coefficients, so decoding
+    this stream yields pixels IDENTICAL to the baseline encoding of the
+    same image (the test oracle)."""
+    dc_codes, ac_codes = _codes()
+    out = _headers(width, height, 0xFFC2)                         # SOF2
+    bw, bh, blocks = _quant_blocks(width, height, pixels)
+    nblocks = bw * bh
+
+    def sos(comps: list[tuple[int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for cid, tabs in comps:
+            body += bytes([cid, tabs])
+        return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, all components interleaved, Al=1
+    out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for b in range(nblocks):
+        for ci in range(3):
+            tsel = 0 if ci == 0 else 1
+            v = blocks[ci][b][0] >> 1          # arithmetic shift (T.81 DC)
+            diff = v - pred[ci]
+            pred[ci] = v
+            t, code = _magnitude(diff)
+            hc, hl = dc_codes[tsel][t]
+            w.write(hc, hl)
+            if t:
+                w.write(code, t)
+    out += w.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block/component
+    out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
+    w = _BitWriter()
+    for b in range(nblocks):
+        for ci in range(3):
+            w.write(blocks[ci][b][0] & 1, 1)
+    out += w.flush()
+
+    # scans 3-5 (AC first, spectral 1..63, Al=1) then 6-8 (AC refinement,
+    # Ah=1 Al=0), one component per scan as the spec requires.  Each scan
+    # ships its own canonical huffman table (two-pass: record the symbols
+    # — EOBn codes included — then encode), redefining DHT slot th before
+    # its SOS.
+    for refine in (False, True):
+        for ci, cid in ((0, 1), (1, 2), (2, 3)):
+            th = 0 if ci == 0 else 1
+
+            def run(enc):
+                for b in range(nblocks):
+                    if refine:
+                        enc.block_refine(blocks[ci][b], 1, 63, 0)
+                    else:
+                        enc.block_first(blocks[ci][b], 1, 63, 1)
+                enc.flush_eobrun()
+
+            rec = _SymRecorder()
+            run(_ProgressiveAcEncoder(_BitWriter(), rec))
+            tbits, tvals, codes = _canonical_table(rec.seen)
+            out += _seg(0xFFC4, bytes([0x10 | th]) + bytes(tbits)
+                        + bytes(tvals))
+            out += sos([(cid, 0x00 if ci == 0 else 0x11)], 1, 63,
+                       1 if refine else 0, 0 if refine else 1)
+            w = _BitWriter()
+            enc = _ProgressiveAcEncoder(w, codes)
+            run(enc)
+            out += w.flush()
+
+    out += b"\xFF\xD9"                                            # EOI
+    return bytes(out)
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """First non-stuffed, non-RST marker after ``start`` — the end of a
+    scan's entropy-coded segment."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00 \
+                and not (0xD0 <= payload[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
+class _ScanReader(_BitReader):
+    def read_symbol(self, dec: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in dec:
+                return dec[(length, code)]
+        raise ValueError("bad huffman code")
+
+
 def decode_jpeg(payload: bytes) \
         -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Baseline JPEG → (width, height, row-major RGB pixels)."""
+    """JPEG → (width, height, row-major RGB pixels).  Baseline (SOF0)
+    and progressive (SOF2: spectral selection + successive approximation
+    DC/AC first and refinement scans, EOBn runs) both decode; 4:4:4
+    sampling, 8-bit, huffman coding.  Arithmetic coding, chroma
+    subsampling, hierarchical modes and restart intervals remain out of
+    scope."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -316,10 +584,12 @@ def decode_jpeg(payload: bytes) \
     dc_dec: dict[int, dict] = {}
     ac_dec: dict[int, dict] = {}
     width = height = None
+    progressive = False
     comps: list[tuple[int, int, int]] = []     # (id, sampling, qt)
-    scan: list[tuple[int, int, int]] = []      # (id, dc table, ac table)
-    data_start = None
-    while pos < len(payload):
+    # scans: (comp list [(comp index, dc table, ac table)], ss, se,
+    #         ah, al, data bytes)
+    scans: list[tuple] = []
+    while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
@@ -342,7 +612,8 @@ def decode_jpeg(payload: bytes) \
                     qt[ZIGZAG[j]] = zz[j]
                 qts[prec_id & 0xF] = qt
                 i += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, height, width, n = struct.unpack_from(">BHHB", body)
             for c in range(n):
                 cid, samp, qt = body[6 + c * 3:9 + c * 3]
@@ -350,11 +621,11 @@ def decode_jpeg(payload: bytes) \
                     raise NotImplementedError(
                         "chroma subsampling unsupported (4:4:4 only)")
                 comps.append((cid, samp, qt))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline SOF0 supported (got SOF marker "
-                f"0x{marker:02X})")
+                f"only baseline SOF0 / progressive SOF2 supported "
+                f"(got SOF marker 0x{marker:02X})")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -372,60 +643,56 @@ def decode_jpeg(payload: bytes) \
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:
             ns = body[0]
+            scomps = []
             for c in range(ns):
                 cid = body[1 + c * 2]
                 tabs = body[2 + c * 2]
-                scan.append((cid, tabs >> 4, tabs & 0xF))
-            data_start = pos
-            break
-    if width is None or data_start is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-
-    r = _BitReader(payload[data_start:])
-
-    def read_symbol(dec: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | r.read_bit()
-            if (length, code) in dec:
-                return dec[(length, code)]
-        raise ValueError("bad huffman code")
+                ci = next(i for i, cm in enumerate(comps) if cm[0] == cid)
+                scomps.append((ci, tabs >> 4, tabs & 0xF))
+            ss, se, ahal = body[1 + ns * 2:4 + ns * 2]
+            end = _entropy_end(payload, pos)
+            # bind the CURRENT table definitions: later scans may
+            # redefine a DHT slot (progressive streams commonly do)
+            scans.append((scomps, ss, se, ahal >> 4, ahal & 0xF,
+                          payload[pos:end], dict(dc_dec), dict(ac_dec)))
+            pos = end
+    if width is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
 
     bw = (width + 7) // 8
     bh = (height + 7) // 8
     ncomp = len(comps)
+    nblocks = bw * bh
+    # zigzag-ordered quantized coefficients, accumulated across scans
+    coefs = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
+
+    for scomps, ss, se, ah, al, data, s_dc, s_ac in scans:
+        r = _ScanReader(data)
+        if not progressive:
+            _decode_sequential_scan(r, scomps, coefs, nblocks, s_dc, s_ac)
+        elif ss == 0:
+            _decode_dc_scan(r, scomps, coefs, nblocks, s_dc, ah, al)
+        else:
+            if len(scomps) != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "single-component")
+            _decode_ac_scan(r, scomps[0], coefs, nblocks, s_ac,
+                            ss, se, ah, al)
+
     planes = [[0.0] * (bw * 8 * bh * 8) for _ in range(ncomp)]
-    pred = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(ncomp):
-                _cid, dcsel, acsel = scan[ci]
-                qt = qts[comps[ci][2]]
-                t = read_symbol(dc_dec[dcsel])
-                diff = _extend(r.read_bits(t), t)
-                pred[ci] += diff
-                quant = [0] * 64
-                quant[0] = pred[ci]
-                i = 1
-                while i < 64:
-                    rs = read_symbol(ac_dec[acsel])
-                    rrr, ssss = rs >> 4, rs & 0xF
-                    if rs == 0x00:       # EOB
-                        break
-                    if rs == 0xF0:       # ZRL
-                        i += 16
-                        continue
-                    i += rrr
-                    quant[i] = _extend(r.read_bits(ssss), ssss)
-                    i += 1
-                coef = [0.0] * 64
-                for i in range(64):
-                    coef[ZIGZAG[i]] = quant[i] * qt[ZIGZAG[i]]
-                blk = _idct(coef)
-                for y in range(8):
-                    for x in range(8):
-                        planes[ci][(by * 8 + y) * bw * 8 + bx * 8 + x] = \
-                            blk[y * 8 + x] + 128
+    for ci in range(ncomp):
+        qt = qts[comps[ci][2]]
+        for b in range(nblocks):
+            quant = coefs[ci][b]
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[ZIGZAG[i]] = quant[i] * qt[ZIGZAG[i]]
+            blk = _idct(coef)
+            by, bx = divmod(b, bw)
+            for y in range(8):
+                for x in range(8):
+                    planes[ci][(by * 8 + y) * bw * 8 + bx * 8 + x] = \
+                        blk[y * 8 + x] + 128
     pixels: list[tuple[int, int, int]] = []
     stride = bw * 8
     for y in range(height):
@@ -439,3 +706,124 @@ def decode_jpeg(payload: bytes) \
                                             planes[1][y * stride + x],
                                             planes[2][y * stride + x]))
     return width, height, pixels
+
+
+def _decode_sequential_scan(r, scomps, coefs, nblocks, dc_dec, ac_dec):
+    """Baseline interleaved DC+AC scan (T.81 F.2)."""
+    pred = [0] * len(scomps)
+    for b in range(nblocks):
+        for si, (ci, dcsel, acsel) in enumerate(scomps):
+            quant = coefs[ci][b]
+            t = r.read_symbol(dc_dec[dcsel])
+            pred[si] += _extend(r.read_bits(t), t)
+            quant[0] = pred[si]
+            i = 1
+            while i < 64:
+                rs = r.read_symbol(ac_dec[acsel])
+                rrr, ssss = rs >> 4, rs & 0xF
+                if rs == 0x00:       # EOB
+                    break
+                if rs == 0xF0:       # ZRL
+                    i += 16
+                    continue
+                i += rrr
+                quant[i] = _extend(r.read_bits(ssss), ssss)
+                i += 1
+
+
+def _decode_dc_scan(r, scomps, coefs, nblocks, dc_dec, ah, al):
+    """Progressive DC scan: first (Ah=0, diff coding << Al) or
+    refinement (one raw bit per block sets bit Al) — T.81 G.2."""
+    if ah == 0:
+        pred = [0] * len(scomps)
+        for b in range(nblocks):
+            for si, (ci, dcsel, _acsel) in enumerate(scomps):
+                t = r.read_symbol(dc_dec[dcsel])
+                pred[si] += _extend(r.read_bits(t), t)
+                coefs[ci][b][0] = pred[si] << al
+    else:
+        for b in range(nblocks):
+            for ci, _dcsel, _acsel in scomps:
+                if r.read_bit():
+                    coefs[ci][b][0] |= (1 << al)
+
+
+def _decode_ac_scan(r, scomp, coefs, nblocks, ac_dec, ss, se, ah, al):
+    """Progressive AC scan for one component: first scan (Ah=0, values
+    << Al, EOBn runs) or refinement (correction bits) — T.81 G.2.2."""
+    _ci, _dcsel, acsel = scomp
+    ci = scomp[0]
+    dec = ac_dec[acsel]
+    eobrun = 0
+    if ah == 0:
+        for b in range(nblocks):
+            quant = coefs[ci][b]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = r.read_symbol(dec)
+                rrr, ssss = rs >> 4, rs & 0xF
+                if ssss == 0:
+                    if rrr == 15:          # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << rrr) - 1
+                    if rrr:
+                        eobrun += r.read_bits(rrr)
+                    break
+                k += rrr
+                quant[k] = _extend(r.read_bits(ssss), ssss) << al
+                k += 1
+        return
+    # refinement (Ah = Al + 1): correction-bit decoding
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(quant, k):
+        """Read a correction bit for a history-nonzero coefficient."""
+        if r.read_bit():
+            if quant[k] > 0 and not (quant[k] & p1):
+                quant[k] += p1
+            elif quant[k] < 0 and not (-quant[k] & p1):
+                quant[k] += m1
+
+    for b in range(nblocks):
+        quant = coefs[ci][b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.read_symbol(dec)
+                rrr, ssss = rs >> 4, rs & 0xF
+                newval = 0
+                if ssss == 0:
+                    if rrr != 15:
+                        eobrun = (1 << rrr)
+                        if rrr:
+                            eobrun += r.read_bits(rrr)
+                        break              # EOB run starts at this block
+                    # rrr == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if ssss != 1:
+                        raise ValueError(
+                            "bad AC refinement magnitude category")
+                    newval = p1 if r.read_bit() else m1
+                while k <= se:
+                    if quant[k] != 0:
+                        correct(quant, k)
+                    else:
+                        if rrr == 0:
+                            break
+                        rrr -= 1
+                    k += 1
+                if newval and k <= se:
+                    quant[k] = newval
+                k += 1
+        if eobrun > 0:
+            # block is within an EOB run: only corrections to Se
+            while k <= se:
+                if quant[k] != 0:
+                    correct(quant, k)
+                k += 1
+            eobrun -= 1

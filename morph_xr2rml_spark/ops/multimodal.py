@@ -8,9 +8,10 @@ signatures) is real and tested.  Decoding tiers:
   duration, per-window RMS energy + zero-crossing rate features),
   24-bit BMP images (``struct`` header parse), 8/16-bit PNG incl.
   Adam7 interlace (``struct`` chunk walk + ``zlib`` inflate + per-row
-  unfiltering, all five filter types), and baseline JPEG (ops/jpeg.py:
-  huffman + DCT,
-  4:4:4; progressive/subsampled raise NotImplementedError).  Image
+  unfiltering, all five filter types), and baseline + progressive JPEG
+  (ops/jpeg.py: huffman + DCT, spectral-selection/successive-
+  approximation scans; 4:4:4 — subsampled raises NotImplementedError).
+  Image
   features are grid-pooled mean RGB — the "resize" step as average
   pooling.  These run end-to-end in this container, no PIL/cv2 needed.
 - STUB for video codecs (MP4/...): real video decode needs external
@@ -373,15 +374,18 @@ def png_feature(payload: bytes, grid: int = 4) -> list[float]:
     return _grid_pool(w, h, px, grid)
 
 
-def make_jpeg(seed: int, width: int = 16, height: int = 16) -> bytes:
-    """Deterministic baseline JPEG (same seeded pixel formula as BMP/PNG;
-    lossy, so features are asserted within tolerance, not equality)."""
-    from .jpeg import encode_jpeg
+def make_jpeg(seed: int, width: int = 16, height: int = 16,
+              progressive: bool = False) -> bytes:
+    """Deterministic JPEG — baseline SOF0 or progressive SOF2 (same
+    seeded pixel formula as BMP/PNG; lossy, so features are asserted
+    within tolerance, not equality)."""
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
     pix = [((x * 13 + seed * 7) % 256,
             (y * 29 + seed * 11) % 256,
             ((x + y) * 31 + seed * 3) % 256)
            for y in range(height) for x in range(width)]
-    return encode_jpeg(width, height, pix)
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    return enc(width, height, pix)
 
 
 def jpeg_feature(payload: bytes, grid: int = 4) -> list[float]:
@@ -391,10 +395,11 @@ def jpeg_feature(payload: bytes, grid: int = 4) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode dispatch on magic bytes: BMP, PNG and baseline JPEG
-    all decode natively (pure stdlib — see ops/jpeg.py for the JPEG
-    scope; progressive/subsampled JPEG raises NotImplementedError
-    there).  Video codecs (MP4/...) remain stubbed: fake_feature."""
+    """Image decode dispatch on magic bytes: BMP, PNG (incl. Adam7 and
+    16-bit) and baseline/progressive JPEG all decode natively (pure
+    stdlib — see ops/jpeg.py; subsampled JPEG raises
+    NotImplementedError there).  Video codecs (MP4/...) remain stubbed:
+    fake_feature."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -429,14 +434,16 @@ def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            # rotate through the three real stdlib image codecs
-            sel = (i // 3) % 3
+            # rotate through the real stdlib image codecs
+            sel = (i // 3) % 4
             if sel == 0:
                 payload, mime = make_bmp(i), "image/bmp"
             elif sel == 1:
                 payload, mime = make_png(i), "image/png"
-            else:
+            elif sel == 2:
                 payload, mime = make_jpeg(i), "image/jpeg"
+            else:
+                payload, mime = make_jpeg(i, progressive=True), "image/jpeg"
             rows.append((i, kind, mime, 16, 16, None,
                          bytearray(payload)))
         elif kind == "audio":
@@ -551,7 +558,7 @@ def _expected_feature_rows(n: int = 48) -> list[tuple]:
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            sel = (i // 3) % 3
+            sel = (i // 3) % 4
             if sel == 0:
                 payload, mime = make_bmp(i), "image/bmp"
                 feat, q = _analytic_image_feature(i), 1000
@@ -559,7 +566,8 @@ def _expected_feature_rows(n: int = 48) -> list[tuple]:
                 payload, mime = make_png(i), "image/png"
                 feat, q = _analytic_image_feature(i), 1000
             else:
-                payload, mime = make_jpeg(i), "image/jpeg"
+                payload = make_jpeg(i, progressive=(sel == 3))
+                mime = "image/jpeg"
                 # lossy: value-locked to the codec, coarse quantization
                 feat, q = jpeg_feature(payload), 100
         elif kind == "audio":

@@ -257,14 +257,21 @@ def test_jpeg_unsupported_raise():
     from morph_xr2rml_spark.ops.jpeg import decode_jpeg
     with pytest.raises(ValueError):
         decode_jpeg(b"nope")
-    # progressive (SOF2) must raise, not mis-decode
+    # remaining declared boundaries: non-baseline/progressive SOFs and
+    # chroma subsampling (progressive SOF2 decodes for real since r4)
     import struct
-    sof2 = (b"\xFF\xD8"
-            + struct.pack(">HH", 0xFFC2, 11)
+    sof1 = (b"\xFF\xD8"
+            + struct.pack(">HH", 0xFFC1, 11)
             + struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
             + b"\xFF\xD9")
     with pytest.raises(NotImplementedError):
-        decode_jpeg(sof2)
+        decode_jpeg(sof1)
+    sub = (b"\xFF\xD8"
+           + struct.pack(">HH", 0xFFC0, 11)
+           + struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x22, 0])
+           + b"\xFF\xD9")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sub)
 
 
 def test_extract_features_jpeg_rows(spark):
@@ -320,3 +327,39 @@ def test_png_sub_byte_depth_still_raises():
                + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         _mm.decode_png(payload)
+
+
+# -- round 4: progressive JPEG ----------------------------------------------
+
+@_pytest.mark.parametrize("w,h", [(16, 16), (13, 9), (32, 24)])
+def test_jpeg_progressive_equals_baseline(w, h):
+    """Progressive re-codes the same quantized coefficients, so decoding
+    the SOF2 stream must yield pixels IDENTICAL to the baseline stream
+    of the same image — DC/AC first + refinement scans, EOBn runs and
+    per-scan huffman tables all exercised."""
+    from morph_xr2rml_spark.ops import jpeg
+    pix = [((x * 13 + 21) % 256, (y * 29 + 33) % 256,
+            ((x + y) * 31 + 9) % 256) for y in range(h) for x in range(w)]
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(w, h, pix))
+    assert base == prog
+
+
+def test_jpeg_progressive_smooth_eobn_runs():
+    """A smooth gradient leaves most AC blocks empty → long EOBn runs
+    (the progressive-only code path)."""
+    from morph_xr2rml_spark.ops import jpeg
+    w = h = 48
+    pix = [(x * 2, y * 2, 100) for y in range(h) for x in range(w)]
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(w, h, pix)) == \
+        jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix))
+
+
+def test_media_table_includes_progressive_jpeg(spark):
+    from morph_xr2rml_spark.ops import multimodal as mm
+    media = mm.synthetic_media_df(spark, 48)
+    jpegs = [bytes(r.payload) for r in
+             media.where("mime = 'image/jpeg'").collect()]
+    # both SOF0 (baseline) and SOF2 (progressive) streams present
+    assert any(b"\xff\xc0" in p for p in jpegs)
+    assert any(b"\xff\xc2" in p for p in jpegs)

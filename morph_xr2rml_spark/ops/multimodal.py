@@ -6,8 +6,8 @@ signatures) is real and tested.  Decoding tiers:
 
 - REAL stdlib decoders: WAV audio (``wave`` + ``struct``: sample rate,
   duration, per-window RMS energy + zero-crossing rate features),
-  24-bit BMP images (``struct`` header parse), 8/16-bit PNG incl.
-  Adam7 interlace (``struct`` chunk walk + ``zlib`` inflate + per-row
+  24-bit BMP images (``struct`` header parse), full-bit-depth PNG
+  (1/2/4/8/16) incl. Adam7 interlace (``struct`` chunk walk + ``zlib`` inflate + per-row
   unfiltering, all five filter types), and baseline + progressive JPEG
   (ops/jpeg.py: huffman + DCT, spectral-selection/successive-
   approximation scans; 4:4:4 — subsampled raises NotImplementedError).
@@ -293,10 +293,11 @@ def _unfilter_rows(raw: bytes, off: int, n_rows: int, stride: int,
 def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """PNG → (width, height, row-major RGB pixels).  Pure stdlib: struct
     chunk walk + zlib inflate + per-row unfilter (None/Sub/Up/Average/
-    Paeth).  Supports 8- and 16-bit gray/truecolor/palette with or
-    without alpha (alpha is dropped, 16-bit samples take the high byte),
-    both non-interlaced and Adam7-interlaced streams; sub-byte bit
-    depths (1/2/4, palette thumbnails) raise NotImplementedError."""
+    Paeth).  Supports every legal bit depth — 1/2/4-bit gray/palette
+    (MSB-first packed, gray scaled to 8-bit), 8- and 16-bit
+    gray/truecolor/palette with or without alpha (alpha is dropped,
+    16-bit samples take the high byte) — both non-interlaced and
+    Adam7-interlaced."""
     import zlib
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -320,15 +321,19 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bitd not in (8, 16):
-        raise NotImplementedError(
-            f"only 8/16-bit PNG supported, got {bitd}")
+    if bitd not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {bitd}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colt)
     if channels is None:
         raise ValueError(f"bad PNG color type {colt}")
-    ss = bitd // 8                               # bytes per sample
-    bpp = channels * ss
+    if bitd < 8 and colt not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {bitd} is only valid for gray/palette")
+    ss = max(1, bitd // 8)                       # bytes per sample (≥8bit)
+    # filter distance: whole bytes per pixel, min 1 (PNG §9.2)
+    bpp = max(1, channels * bitd // 8)
     raw = zlib.decompress(bytes(idat))
+    gray_max = (1 << bitd) - 1
 
     def row_px(row: bytearray, x: int) -> tuple[int, int, int]:
         if colt == 2:                            # truecolor
@@ -337,17 +342,31 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         if colt == 6:                            # truecolor + alpha
             b = x * 4 * ss
             return (row[b], row[b + ss], row[b + 2 * ss])
+        if bitd < 8:
+            # MSB-first packed samples (gray scaled to 8-bit, or
+            # palette index)
+            per_byte = 8 // bitd
+            shift = 8 - bitd * (x % per_byte + 1)
+            v = (row[x // per_byte] >> shift) & gray_max
+            if colt == 0:
+                v = v * 255 // gray_max
+                return (v, v, v)
+            j = v * 3
+            return (plte[j], plte[j + 1], plte[j + 2])
         if colt == 0:                            # grayscale
             v = row[x * ss]
             return (v, v, v)
         if colt == 4:                            # gray + alpha
             v = row[x * 2 * ss]
             return (v, v, v)
-        j = row[x] * 3                           # palette (always 1 byte)
+        j = row[x] * 3                           # palette, 8-bit index
         return (plte[j], plte[j + 1], plte[j + 2])
 
+    def stride_of(npx: int) -> int:
+        return (npx * channels * bitd + 7) // 8
+
     if interlace == 0:
-        rows, _ = _unfilter_rows(raw, 0, height, width * bpp, bpp)
+        rows, _ = _unfilter_rows(raw, 0, height, stride_of(width), bpp)
         return width, height, [row_px(row, x)
                                for row in rows for x in range(width)]
     if interlace != 1:
@@ -361,7 +380,7 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        rows, off = _unfilter_rows(raw, off, ph, pw * bpp, bpp)
+        rows, off = _unfilter_rows(raw, off, ph, stride_of(pw), bpp)
         for yi, row in enumerate(rows):
             y = y0 + yi * dy
             for xi in range(pw):
@@ -395,8 +414,8 @@ def jpeg_feature(payload: bytes, grid: int = 4) -> list[float]:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Image decode dispatch on magic bytes: BMP, PNG (incl. Adam7 and
-    16-bit) and baseline/progressive JPEG all decode natively (pure
+    """Image decode dispatch on magic bytes: BMP, PNG (every legal bit
+    depth, incl. Adam7) and baseline/progressive JPEG all decode natively (pure
     stdlib — see ops/jpeg.py; subsampled JPEG raises
     NotImplementedError there).  Video codecs (MP4/...) remain stubbed:
     fake_feature."""

@@ -180,12 +180,12 @@ def test_png_unsupported_raise():
     def chunk(typ, data):
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
-    # sub-byte bit depth is the remaining declared boundary (Adam7 and
-    # 16-bit decode for real since round 4)
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    # every legal bit depth decodes since round 4; an ILLEGAL depth is
+    # a parse error
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 3, 0, 0, 0, 0)
     p = _PNG_SIG + chunk(b"IHDR", ihdr) \
         + chunk(b"IDAT", zlib.compress(b"\x00\x50")) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(p)
     # malformed JPEG (no SOF0) is now a parse error from the real codec
     with pytest.raises(ValueError):
@@ -312,7 +312,7 @@ def test_png_adam7_and_16bit_roundtrip(w, h):
     assert base[2] == want
 
 
-def test_png_sub_byte_depth_still_raises():
+def _mini_png(w, h, bitd, colt, raw, plte=b""):
     import struct as _struct
     import zlib as _zlib
     sig = b"\x89PNG\r\n\x1a\n"
@@ -320,13 +320,42 @@ def test_png_sub_byte_depth_still_raises():
     def chunk(typ, data):
         return (_struct.pack(">I", len(data)) + typ + data
                 + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+    body = chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, bitd, colt,
+                                       0, 0, 0))
+    if plte:
+        body += chunk(b"PLTE", plte)
+    return (sig + body + chunk(b"IDAT", _zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
-    ihdr = _struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)   # 4-bit gray
-    payload = (sig + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", _zlib.compress(b"\x00\x50"))
-               + chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError):
-        _mm.decode_png(payload)
+
+def test_png_sub_byte_depths_decode():
+    """1/2/4-bit gray and palette decode for real (round 4): MSB-first
+    packed samples, gray scaled to 8-bit."""
+    # 1-bit gray 10x2
+    raw = bytes([0, 0b10101010, 0b10000000, 0, 0b01010101, 0b01000000])
+    w, h, px = _mm.decode_png(_mini_png(10, 2, 1, 0, raw))
+    assert (w, h) == (10, 2)
+    assert px[:2] == [(255, 255, 255), (0, 0, 0)]
+    assert px[10:12] == [(0, 0, 0), (255, 255, 255)]
+    # 2-bit gray 5x1: 0,1,2,3,0 → 0,85,170,255,0
+    _, _, px = _mm.decode_png(_mini_png(5, 1, 2, 0,
+                                        bytes([0, 0b00011011, 0])))
+    assert px == [(0, 0, 0), (85, 85, 85), (170, 170, 170),
+                  (255, 255, 255), (0, 0, 0)]
+    # 4-bit palette 3x1: indices 1,0,2
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    _, _, px = _mm.decode_png(_mini_png(3, 1, 4, 3,
+                                        bytes([0, 0x10, 0x20]), plte))
+    assert px == [(40, 50, 60), (10, 20, 30), (70, 80, 90)]
+
+
+def test_png_illegal_depth_combinations_raise():
+    # illegal depth value
+    with _pytest.raises(ValueError):
+        _mm.decode_png(_mini_png(1, 1, 3, 0, b"\x00\x50"))
+    # sub-byte depth on truecolor is illegal per the spec
+    with _pytest.raises(ValueError):
+        _mm.decode_png(_mini_png(1, 1, 4, 2, b"\x00\x50\x50"))
 
 
 # -- round 4: progressive JPEG ----------------------------------------------

@@ -523,6 +523,28 @@ WHERE subj = '<http://example.org/order/1>'
 ORDER BY p, o"""
 
 
+def sparql_pushdown_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-position constant pushdown: the parent-template inversion
+    transfers through the referencing object map to the CHILD's join
+    column (genCond on the object reference) — scans orders with
+    o_custkey = 5, never touching nation/region."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?o WHERE {
+            ?o ex:placedBy <http://example.org/customer/5>
+        } ORDER BY ?o""")
+
+
+def sparql_pushdown_obj_oracle_sql() -> str:
+    return kg_tpch_triples_cte() + """
+SELECT subj AS o FROM triples
+WHERE pred = '<http://example.com/placedBy>'
+  AND obj = '<http://example.org/customer/5>'
+ORDER BY o"""
+
+
 def sparql_pushdown_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rewrite import answer_documents
     from .sources import SourceCatalog
@@ -546,6 +568,8 @@ FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1
 EXTRA_QUERIES = {
     "sparql_pushdown_point": (sparql_pushdown_point,
                               sparql_pushdown_point_oracle_sql()),
+    "sparql_pushdown_obj": (sparql_pushdown_obj,
+                            sparql_pushdown_obj_oracle_sql()),
     "sparql_pushdown_doc": (sparql_pushdown_doc, SPARQL_PUSHDOWN_DOC_SQL),
     "sparql_path_deep": (sparql_path_deep, SPARQL_PATH_DEEP_SQL),
     "sparql_lang_filter": (sparql_lang_filter, SPARQL_LANG_FILTER_SQL),

@@ -103,6 +103,67 @@ def invert_subject(tm: TriplesMap, iri: str):
     return AMBIGUOUS                # reference/dynamic subject: full scan
 
 
+def invert_object(mapping: MappingDocument, tm: TriplesMap,
+                  pred_iri: str, obj_iri: str):
+    """Constant (pred, object-IRI) → source-level equality dict for this
+    TM (the reference's genCond on the object reference,
+    MorphBaseQueryTranslator.scala:227-305).  None = no term map with
+    this predicate can produce the object (the pattern cannot match this
+    TM); AMBIGUOUS = it may match but no safe constraint derives.  For a
+    referencing object map whose parent subject is keyed by the single
+    join column, the parent-template inversion transfers to the CHILD's
+    join reference — a `?x ex:placedBy <customer/5>` point query becomes
+    `o_custkey = 5` on the child scan."""
+    if pred_iri == NS.RDF_TYPE:
+        return AMBIGUOUS if obj_iri in tm.class_uris else None
+    candidates = []
+    for pom in tm.predicate_object_maps:
+        pred_consts = set()
+        for pm in pom.predicate_maps:
+            if pm.kind == CONSTANT and pm.constant is not None \
+                    and pm.constant[0] == "iri":
+                pred_consts.add(pm.constant[1])
+            else:
+                return AMBIGUOUS    # dynamic predicate: can't reason
+        if pred_iri not in pred_consts:
+            continue
+        for om in pom.object_maps:
+            if om.infer_term_type() != NS.RR_IRI:
+                continue            # literal/bnode object ≠ IRI pattern
+            if om.kind == CONSTANT:
+                if om.constant is not None and om.constant[0] == "iri" \
+                        and om.constant[1] == obj_iri:
+                    candidates.append(AMBIGUOUS)   # every row matches
+            elif om.kind == COLUMN:
+                candidates.append({om.column: obj_iri})
+            elif om.kind == TEMPLATE:
+                inv = invert_template(om.template, obj_iri)
+                if inv is AMBIGUOUS:
+                    candidates.append(AMBIGUOUS)
+                elif inv is not None:
+                    candidates.append(inv)
+            else:
+                candidates.append(AMBIGUOUS)
+        for rom in pom.ref_object_maps:
+            parent = mapping.triples_maps[rom.parent_tm]
+            inv = invert_subject(parent, obj_iri)
+            if inv is None:
+                continue            # parent can't produce the object
+            if inv is AMBIGUOUS or len(rom.join_conditions) != 1:
+                candidates.append(AMBIGUOUS)
+                continue
+            jc = rom.join_conditions[0]
+            if set(inv) == {jc.parent_ref}:
+                candidates.append({jc.child_ref: inv[jc.parent_ref]})
+            else:
+                candidates.append(AMBIGUOUS)
+    if not candidates:
+        return None
+    if len(candidates) == 1 and candidates[0] is not AMBIGUOUS:
+        return candidates[0]
+    return AMBIGUOUS                # several producers: no single conj
+
+
 # ---------------------------------------------------------------------------
 # Pattern collection
 # ---------------------------------------------------------------------------
@@ -156,15 +217,19 @@ def _collect(group: Group, out: list) -> None:
     for tp in group.patterns:
         is_path = tp.p[0] not in ("iri", "var")
         if is_path:
-            # closures walk intermediate nodes: never constrain subjects
-            out.append((("var", "*"), _path_iris(tp.p)))
+            # closures walk intermediate nodes: never constrain
+            out.append((("var", "*"), _path_iris(tp.p), ("var", "*")))
             continue
         preds = {tp.p[1]} if tp.p[0] == "iri" else None
-        subjects = [tp.s]
-        if tp.s[0] == "var" and tp.s[1] in var_consts:
-            subjects = [("iri", v) for v in var_consts[tp.s[1]]]
-        for s in subjects:
-            out.append((s, preds))
+
+        def expand(term):
+            if term[0] == "var" and term[1] in var_consts:
+                return [("iri", v) for v in var_consts[term[1]]]
+            return [term]
+
+        for s in expand(tp.s):
+            for o in expand(tp.o):
+                out.append((s, preds, o))
     for sub in group.optionals + group.minuses:
         _collect(sub, out)
     for left, right in group.unions:
@@ -229,22 +294,34 @@ def derive_tm_constraints(mapping: MappingDocument,
         constraints: list[dict] = []
         seen = set()
         unconstrained = False
-        for s_term, preds in pats:
+        for s_term, preds, o_term in pats:
             if preds is not None and emits is not None and not (preds & emits):
                 continue            # this pattern can't match TM triples
-            if s_term[0] != "iri":
+            conj: dict = {}
+            if s_term[0] == "iri":
+                sub_c = invert_subject(tm, s_term[1])
+                if sub_c is None:
+                    continue        # TM can't produce this subject
+                if isinstance(sub_c, dict):
+                    conj.update(sub_c)
+            if o_term[0] == "iri" and preds is not None and len(preds) == 1:
+                obj_c = invert_object(mapping, tm, next(iter(preds)),
+                                      o_term[1])
+                if obj_c is None:
+                    continue        # no term map with this pred makes it
+                if isinstance(obj_c, dict):
+                    clash = any(k in conj and conj[k] != v
+                                for k, v in obj_c.items())
+                    if clash:
+                        continue    # unsatisfiable conjunction: no match
+                    conj.update(obj_c)
+            if not conj:
                 unconstrained = True
                 break
-            c = invert_subject(tm, s_term[1])
-            if c is None:
-                continue            # TM can't produce this subject
-            if c is AMBIGUOUS or not c:
-                unconstrained = True
-                break
-            key = frozenset(c.items())
+            key = frozenset(conj.items())
             if key not in seen:
                 seen.add(key)
-                constraints.append(c)
+                constraints.append(conj)
         out[name] = None if unconstrained else constraints
     return out
 

@@ -62,13 +62,24 @@ def test_derive_eliminates_and_filters():
     assert cons["#Region"] == []
 
 
-def test_derive_var_subject_unconstrains():
+def test_derive_class_pattern_prunes_by_class():
     mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
     cons = derive_tm_constraints(mapping, PREFIX + """
         SELECT ?c WHERE { ?c a ex:Customer }""")
-    # the pattern's pred rdf:type is emitted by every TM → all full scans
+    # class-based pruning (r4 object analysis): only the TM whose
+    # rr:class matches scans — and it scans fully (no row constraint)
     assert cons["#Customer"] is None
-    assert cons["#Orders"] is None
+    assert cons["#Orders"] == []
+    assert cons["#Nation"] == []
+
+
+def test_derive_var_subject_var_object_unconstrains():
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?c ?n WHERE { ?c ex:name ?n }""")
+    # var subject + var object: every name-emitting TM scans fully
+    assert cons["#Customer"] is None
+    assert cons["#Nation"] is None
 
 
 def test_derive_pred_match_limits_scope():
@@ -188,3 +199,46 @@ def test_doc_eliminated_tm_yields_empty(spark):
     df = answer_documents(spark, mapping, catalog, PREFIX + """
         SELECT ?q WHERE { <http://example.org/nothing/1> ex:qty ?q }""")
     assert df.count() == 0
+
+
+# -- object-position constant pushdown (round 4, late) ----------------------
+
+def test_derive_object_constraint_via_rom():
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?o WHERE { ?o ex:placedBy <http://example.org/customer/5> }""")
+    # parent-template inversion transfers to the child's join column
+    assert cons["#Orders"] == [{"o_custkey": "5"}]
+    assert cons["#Customer"] == []       # its own triples can't match
+    assert cons["#Nation"] == []
+
+
+def test_derive_subject_and_object_conjunction():
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?s WHERE { <http://example.org/order/7> ex:placedBy
+                          <http://example.org/customer/5> . ?s ex:name ?n }""")
+    assert cons["#Orders"] == [{"o_orderkey": "7", "o_custkey": "5"}]
+
+
+def test_derive_unsatisfiable_object_skips_pattern():
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    # object can't be produced by any placedBy term map → Orders excluded
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?o WHERE { ?o ex:placedBy <http://example.org/nation/5> }""")
+    assert cons["#Orders"] == []
+
+
+def test_object_pushdown_answer_and_plan(spark):
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables, PREFIX + """
+        SELECT ?o WHERE { ?o ex:placedBy <http://example.org/customer/5> }
+        ORDER BY ?o""")
+    got = [r[0] for r in df.collect()]
+    want = sorted(f"<http://example.org/order/{r.o_orderkey}>"
+                  for r in tables["orders"].where("o_custkey = 5").collect())
+    assert got == want and got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(o_custkey,5)" in plan
+    assert "nation.parquet" not in plan and "region.parquet" not in plan

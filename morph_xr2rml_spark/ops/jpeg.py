@@ -3,9 +3,10 @@
 Scope: baseline sequential DCT (SOF0) AND progressive (SOF2 —
 spectral selection + successive approximation, DC/AC first and
 refinement scans, EOBn runs, per-scan huffman tables), 8-bit, 1 or 3
-components, 4:4:4 (no chroma subsampling).  Arithmetic coding,
-subsampled chroma, hierarchical modes, restart intervals and 12-bit
-raise ``NotImplementedError`` — this is the correctness-scoped decode
+components, 4:4:4 and 4:2:0 chroma subsampling (sequential; sampling
+factors 1 and 2).  Arithmetic coding, progressive+subsampled combined,
+hierarchical modes, restart intervals and 12-bit raise
+``NotImplementedError`` — this is the correctness-scoped decode
 tier for the multimodal plumbing (same pattern as the WAV/BMP/PNG
 codecs), not a production JPEG library.
 
@@ -300,10 +301,46 @@ def _codes():
     return _DC_CODES, _AC_CODES
 
 
+def _encode_block(w: _BitWriter, tsel: int, quant: list[int],
+                  pred: int) -> int:
+    """Huffman-encode one zigzag-quantized block (baseline DC diff + AC
+    run/size); returns the new DC predictor."""
+    dc_codes, ac_codes = _codes()
+    diff = quant[0] - pred
+    t, code = _magnitude(diff)
+    hc, hl = dc_codes[tsel][t]
+    w.write(hc, hl)
+    if t:
+        w.write(code, t)
+    run = 0
+    for i in range(1, 64):
+        v = quant[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[tsel][0xF0]     # ZRL
+            w.write(hc, hl)
+            run -= 16
+        t, code = _magnitude(v)
+        hc, hl = ac_codes[tsel][(run << 4) | t]
+        w.write(hc, hl)
+        w.write(code, t)
+        run = 0
+    if run:
+        hc, hl = ac_codes[tsel][0x00]          # EOB
+        w.write(hc, hl)
+    return quant[0]
+
+
+def _quantize_block(vals: list[float], qt: list[int]) -> list[int]:
+    coef = _fdct(vals)
+    return [int(round(coef[ZIGZAG[i]] / qt[ZIGZAG[i]])) for i in range(64)]
+
+
 def encode_jpeg(width: int, height: int,
                 pixels: list[tuple[int, int, int]]) -> bytes:
     """Baseline 4:4:4 JPEG encoder (deterministic test fixtures)."""
-    dc_codes, ac_codes = _codes()
     out = _headers(width, height, 0xFFC0)                         # SOF0
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     bw, bh, blocks = _quant_blocks(width, height, pixels)
@@ -311,33 +348,67 @@ def encode_jpeg(width: int, height: int,
     pred = [0, 0, 0]
     for b in range(bw * bh):
         for ci in range(3):
-            tsel = 0 if ci == 0 else 1
-            quant = blocks[ci][b]
-            diff = quant[0] - pred[ci]
-            pred[ci] = quant[0]
-            t, code = _magnitude(diff)
-            hc, hl = dc_codes[tsel][t]
-            w.write(hc, hl)
-            if t:
-                w.write(code, t)
-            run = 0
-            for i in range(1, 64):
-                v = quant[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    hc, hl = ac_codes[tsel][0xF0]     # ZRL
-                    w.write(hc, hl)
-                    run -= 16
-                t, code = _magnitude(v)
-                hc, hl = ac_codes[tsel][(run << 4) | t]
-                w.write(hc, hl)
-                w.write(code, t)
-                run = 0
-            if run:
-                hc, hl = ac_codes[tsel][0x00]          # EOB
-                w.write(hc, hl)
+            pred[ci] = _encode_block(w, 0 if ci == 0 else 1,
+                                     blocks[ci][b], pred[ci])
+    out += w.flush()
+    out += b"\xFF\xD9"                                            # EOI
+    return bytes(out)
+
+
+def encode_jpeg_420(width: int, height: int,
+                    pixels: list[tuple[int, int, int]]) -> bytes:
+    """Baseline 4:2:0 JPEG encoder: luma at full resolution (2×2 blocks
+    per 16×16 MCU), chroma 2×2-mean-downsampled (one block per MCU).
+    For an input whose chroma is constant (e.g. grayscale), downsampling
+    loses nothing, so decode(420) == decode(444) EXACTLY — the test
+    oracle; color images assert within tolerance."""
+    out = bytearray(b"\xFF\xD8")
+    out += _seg(0xFFDB, bytes([0]) + bytes(QT_LUMA[ZIGZAG[i]]
+                                           for i in range(64)))
+    out += _seg(0xFFDB, bytes([1]) + bytes(QT_CHROMA[ZIGZAG[i]]
+                                           for i in range(64)))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    for cls, tid, (bits, vals) in ((0, 0, DC_LUMA), (1, 0, AC_LUMA),
+                                   (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)):
+        out += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                    + bytes(vals))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    def px(x: int, y: int):
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):                       # 4 luma blocks
+                for bx in range(2):
+                    blk = []
+                    for y in range(8):
+                        for x in range(8):
+                            yv, _, _ = _rgb_to_ycbcr(
+                                *px(mx * 16 + bx * 8 + x,
+                                    my * 16 + by * 8 + y))
+                            blk.append(yv - 128)
+                    pred[0] = _encode_block(
+                        w, 0, _quantize_block(blk, QT_LUMA), pred[0])
+            for ci in (1, 2):                         # Cb then Cr
+                blk = []
+                for y in range(8):
+                    for x in range(8):
+                        acc = 0.0
+                        for dy in range(2):
+                            for dx in range(2):
+                                _, cb, cr = _rgb_to_ycbcr(
+                                    *px(mx * 16 + 2 * x + dx,
+                                        my * 16 + 2 * y + dy))
+                                acc += cb if ci == 1 else cr
+                        blk.append(acc / 4 - 128)
+                pred[ci] = _encode_block(
+                    w, 1, _quantize_block(blk, QT_CHROMA), pred[ci])
     out += w.flush()
     out += b"\xFF\xD9"                                            # EOI
     return bytes(out)
@@ -574,9 +645,9 @@ def decode_jpeg(payload: bytes) \
     """JPEG → (width, height, row-major RGB pixels).  Baseline (SOF0)
     and progressive (SOF2: spectral selection + successive approximation
     DC/AC first and refinement scans, EOBn runs) both decode; 4:4:4
-    sampling, 8-bit, huffman coding.  Arithmetic coding, chroma
-    subsampling, hierarchical modes and restart intervals remain out of
-    scope."""
+    and sequential 4:2:0 sampling, 8-bit, huffman coding.  Arithmetic
+    coding, progressive+subsampled combined, hierarchical modes and
+    restart intervals remain out of scope."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -617,10 +688,12 @@ def decode_jpeg(payload: bytes) \
             _prec, height, width, n = struct.unpack_from(">BHHB", body)
             for c in range(n):
                 cid, samp, qt = body[6 + c * 3:9 + c * 3]
-                if samp != 0x11:
+                h_i, v_i = samp >> 4, samp & 0xF
+                if h_i not in (1, 2) or v_i not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, samp, qt))
+                        f"sampling factors {h_i}x{v_i} unsupported "
+                        "(1 and 2 only)")
+                comps.append((cid, (h_i, v_i), qt))
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -659,17 +732,26 @@ def decode_jpeg(payload: bytes) \
     if width is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
     ncomp = len(comps)
-    nblocks = bw * bh
+    hmax = max(c[1][0] for c in comps)
+    vmax = max(c[1][1] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component block grid (cols, rows)
+    grids = [(mcux * c[1][0], mcuy * c[1][1]) for c in comps]
     # zigzag-ordered quantized coefficients, accumulated across scans
-    coefs = [[[0] * 64 for _ in range(nblocks)] for _ in range(ncomp)]
+    coefs = [[[0] * 64 for _ in range(cw * ch)] for cw, ch in grids]
+    subsampled = hmax > 1 or vmax > 1
+    if progressive and subsampled:
+        raise NotImplementedError(
+            "progressive + chroma subsampling unsupported")
+    nblocks = mcux * mcuy          # uniform grid for progressive (1x1)
 
     for scomps, ss, se, ah, al, data, s_dc, s_ac in scans:
         r = _ScanReader(data)
         if not progressive:
-            _decode_sequential_scan(r, scomps, coefs, nblocks, s_dc, s_ac)
+            _decode_sequential_scan(r, scomps, comps, grids, coefs,
+                                    mcux, mcuy, s_dc, s_ac)
         elif ss == 0:
             _decode_dc_scan(r, scomps, coefs, nblocks, s_dc, ah, al)
         else:
@@ -679,56 +761,73 @@ def decode_jpeg(payload: bytes) \
             _decode_ac_scan(r, scomps[0], coefs, nblocks, s_ac,
                             ss, se, ah, al)
 
-    planes = [[0.0] * (bw * 8 * bh * 8) for _ in range(ncomp)]
+    planes = []
     for ci in range(ncomp):
+        cw, ch = grids[ci]
         qt = qts[comps[ci][2]]
-        for b in range(nblocks):
+        plane = [0.0] * (cw * 8 * ch * 8)
+        for b in range(cw * ch):
             quant = coefs[ci][b]
             coef = [0.0] * 64
             for i in range(64):
                 coef[ZIGZAG[i]] = quant[i] * qt[ZIGZAG[i]]
             blk = _idct(coef)
-            by, bx = divmod(b, bw)
+            by, bx = divmod(b, cw)
             for y in range(8):
                 for x in range(8):
-                    planes[ci][(by * 8 + y) * bw * 8 + bx * 8 + x] = \
+                    plane[(by * 8 + y) * cw * 8 + bx * 8 + x] = \
                         blk[y * 8 + x] + 128
+        planes.append(plane)
+
+    def sample(ci: int, x: int, y: int) -> float:
+        # replicated (nearest) chroma upsampling to full resolution
+        h_i, v_i = comps[ci][1]
+        stride = grids[ci][0] * 8
+        return planes[ci][(y * v_i // vmax) * stride + (x * h_i // hmax)]
+
     pixels: list[tuple[int, int, int]] = []
-    stride = bw * 8
     for y in range(height):
         for x in range(width):
             if ncomp == 1:
-                v = planes[0][y * stride + x]
+                v = sample(0, x, y)
                 v = 0 if v < 0 else (255 if v > 255 else int(round(v)))
                 pixels.append((v, v, v))
             else:
-                pixels.append(_ycbcr_to_rgb(planes[0][y * stride + x],
-                                            planes[1][y * stride + x],
-                                            planes[2][y * stride + x]))
+                pixels.append(_ycbcr_to_rgb(sample(0, x, y),
+                                            sample(1, x, y),
+                                            sample(2, x, y)))
     return width, height, pixels
 
 
-def _decode_sequential_scan(r, scomps, coefs, nblocks, dc_dec, ac_dec):
-    """Baseline interleaved DC+AC scan (T.81 F.2)."""
+def _decode_sequential_scan(r, scomps, comps, grids, coefs,
+                            mcux, mcuy, dc_dec, ac_dec):
+    """Baseline interleaved DC+AC scan (T.81 F.2), MCU-ordered with each
+    component's sampling-factor block sub-grid (h×v blocks per MCU)."""
     pred = [0] * len(scomps)
-    for b in range(nblocks):
-        for si, (ci, dcsel, acsel) in enumerate(scomps):
-            quant = coefs[ci][b]
-            t = r.read_symbol(dc_dec[dcsel])
-            pred[si] += _extend(r.read_bits(t), t)
-            quant[0] = pred[si]
-            i = 1
-            while i < 64:
-                rs = r.read_symbol(ac_dec[acsel])
-                rrr, ssss = rs >> 4, rs & 0xF
-                if rs == 0x00:       # EOB
-                    break
-                if rs == 0xF0:       # ZRL
-                    i += 16
-                    continue
-                i += rrr
-                quant[i] = _extend(r.read_bits(ssss), ssss)
-                i += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (ci, dcsel, acsel) in enumerate(scomps):
+                h_i, v_i = comps[ci][1]
+                cw = grids[ci][0]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        quant = coefs[ci][(my * v_i + by) * cw
+                                          + mx * h_i + bx]
+                        t = r.read_symbol(dc_dec[dcsel])
+                        pred[si] += _extend(r.read_bits(t), t)
+                        quant[0] = pred[si]
+                        i = 1
+                        while i < 64:
+                            rs = r.read_symbol(ac_dec[acsel])
+                            rrr, ssss = rs >> 4, rs & 0xF
+                            if rs == 0x00:       # EOB
+                                break
+                            if rs == 0xF0:       # ZRL
+                                i += 16
+                                continue
+                            i += rrr
+                            quant[i] = _extend(r.read_bits(ssss), ssss)
+                            i += 1
 
 
 def _decode_dc_scan(r, scomps, coefs, nblocks, dc_dec, ah, al):

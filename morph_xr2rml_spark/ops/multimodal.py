@@ -10,7 +10,7 @@ signatures) is real and tested.  Decoding tiers:
   (1/2/4/8/16) incl. Adam7 interlace (``struct`` chunk walk + ``zlib`` inflate + per-row
   unfiltering, all five filter types), and baseline + progressive JPEG
   (ops/jpeg.py: huffman + DCT, spectral-selection/successive-
-  approximation scans; 4:4:4 — subsampled raises NotImplementedError).
+  approximation scans, 4:4:4 and 4:2:0 chroma subsampling).
   Image
   features are grid-pooled mean RGB — the "resize" step as average
   pooling.  These run end-to-end in this container, no PIL/cv2 needed.
@@ -394,16 +394,17 @@ def png_feature(payload: bytes, grid: int = 4) -> list[float]:
 
 
 def make_jpeg(seed: int, width: int = 16, height: int = 16,
-              progressive: bool = False) -> bytes:
-    """Deterministic JPEG — baseline SOF0 or progressive SOF2 (same
-    seeded pixel formula as BMP/PNG; lossy, so features are asserted
-    within tolerance, not equality)."""
-    from .jpeg import encode_jpeg, encode_jpeg_progressive
+              progressive: bool = False, subsample: bool = False) -> bytes:
+    """Deterministic JPEG — baseline SOF0 (4:4:4 or 4:2:0) or
+    progressive SOF2 (same seeded pixel formula as BMP/PNG; lossy, so
+    features are asserted within tolerance, not equality)."""
+    from .jpeg import encode_jpeg, encode_jpeg_420, encode_jpeg_progressive
     pix = [((x * 13 + seed * 7) % 256,
             (y * 29 + seed * 11) % 256,
             ((x + y) * 31 + seed * 3) % 256)
            for y in range(height) for x in range(width)]
-    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    enc = (encode_jpeg_progressive if progressive
+           else encode_jpeg_420 if subsample else encode_jpeg)
     return enc(width, height, pix)
 
 
@@ -415,9 +416,9 @@ def jpeg_feature(payload: bytes, grid: int = 4) -> list[float]:
 
 def decode_image(payload: bytes) -> "object":
     """Image decode dispatch on magic bytes: BMP, PNG (every legal bit
-    depth, incl. Adam7) and baseline/progressive JPEG all decode natively (pure
-    stdlib — see ops/jpeg.py; subsampled JPEG raises
-    NotImplementedError there).  Video codecs (MP4/...) remain stubbed:
+    depth, incl. Adam7) and baseline (4:4:4/4:2:0) or progressive JPEG
+    all decode natively (pure stdlib — see ops/jpeg.py for the
+    remaining boundaries).  Video codecs (MP4/...) remain stubbed:
     fake_feature."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -454,15 +455,17 @@ def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             # rotate through the real stdlib image codecs
-            sel = (i // 3) % 4
+            sel = (i // 3) % 5
             if sel == 0:
                 payload, mime = make_bmp(i), "image/bmp"
             elif sel == 1:
                 payload, mime = make_png(i), "image/png"
             elif sel == 2:
                 payload, mime = make_jpeg(i), "image/jpeg"
-            else:
+            elif sel == 3:
                 payload, mime = make_jpeg(i, progressive=True), "image/jpeg"
+            else:
+                payload, mime = make_jpeg(i, subsample=True), "image/jpeg"
             rows.append((i, kind, mime, 16, 16, None,
                          bytearray(payload)))
         elif kind == "audio":
@@ -577,7 +580,7 @@ def _expected_feature_rows(n: int = 48) -> list[tuple]:
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            sel = (i // 3) % 4
+            sel = (i // 3) % 5
             if sel == 0:
                 payload, mime = make_bmp(i), "image/bmp"
                 feat, q = _analytic_image_feature(i), 1000
@@ -585,7 +588,8 @@ def _expected_feature_rows(n: int = 48) -> list[tuple]:
                 payload, mime = make_png(i), "image/png"
                 feat, q = _analytic_image_feature(i), 1000
             else:
-                payload = make_jpeg(i, progressive=(sel == 3))
+                payload = make_jpeg(i, progressive=(sel == 3),
+                                    subsample=(sel == 4))
                 mime = "image/jpeg"
                 # lossy: value-locked to the codec, coarse quantization
                 feat, q = jpeg_feature(payload), 100

@@ -266,9 +266,10 @@ def test_jpeg_unsupported_raise():
             + b"\xFF\xD9")
     with pytest.raises(NotImplementedError):
         decode_jpeg(sof1)
+    # sampling factor 3 stays out of scope (1 and 2 decode since r4)
     sub = (b"\xFF\xD8"
            + struct.pack(">HH", 0xFFC0, 11)
-           + struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x22, 0])
+           + struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x33, 0])
            + b"\xFF\xD9")
     with pytest.raises(NotImplementedError):
         decode_jpeg(sub)
@@ -285,7 +286,9 @@ def test_extract_features_jpeg_rows(spark):
     feats = {r.media_id: r.feature
              for r in extract_features(media).collect()}
     for mid in jpeg_ids:
-        want = jpeg_feature(make_jpeg(mid))
+        sel = (mid // 3) % 5           # media-table codec rotation
+        want = jpeg_feature(make_jpeg(mid, progressive=(sel == 3),
+                                      subsample=(sel == 4)))
         got = feats[mid]
         assert all(abs(a - b) < 1e-6 for a, b in zip(got, want))
 
@@ -392,3 +395,43 @@ def test_media_table_includes_progressive_jpeg(spark):
     # both SOF0 (baseline) and SOF2 (progressive) streams present
     assert any(b"\xff\xc0" in p for p in jpegs)
     assert any(b"\xff\xc2" in p for p in jpegs)
+
+
+# -- round 4, late: 4:2:0 chroma subsampling --------------------------------
+
+@_pytest.mark.parametrize("w,h", [(16, 16), (24, 16), (13, 9), (32, 24)])
+def test_jpeg_420_grayscale_equals_444(w, h):
+    """Grayscale input has constant chroma, so 2×2 downsampling loses
+    nothing: decode(4:2:0) must equal decode(4:4:4) EXACTLY — proving
+    the MCU layout, per-component block grids and upsampling."""
+    from morph_xr2rml_spark.ops import jpeg
+    pix = [((x * 7 + y * 3) % 256,) * 3 for y in range(h) for x in range(w)]
+    d444 = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix))
+    d420 = jpeg.decode_jpeg(jpeg.encode_jpeg_420(w, h, pix))
+    assert d444 == d420
+
+
+def test_jpeg_420_color_tolerance():
+    from morph_xr2rml_spark.ops import jpeg
+    w = h = 32
+    pix = [(min(255, x * 6), min(255, y * 6), 128)
+           for y in range(h) for x in range(w)]
+    dw, dh, dec = jpeg.decode_jpeg(jpeg.encode_jpeg_420(w, h, pix))
+    assert (dw, dh) == (w, h)
+    err = max(max(abs(a - b) for a, b in zip(p, q))
+              for p, q in zip(pix, dec))
+    assert err < 30          # halved chroma on a smooth gradient
+
+
+def test_jpeg_progressive_plus_subsampled_rejected():
+    from morph_xr2rml_spark.ops import jpeg
+    import struct
+    # hand-built SOF2 header with 2x2 luma sampling + one empty scan
+    payload = (b"\xFF\xD8"
+               + struct.pack(">HH", 0xFFC2, 11)
+               + struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x22, 0])
+               + struct.pack(">HH", 0xFFDA, 8)
+               + bytes([1, 1, 0x00, 0, 0, 0])
+               + b"\xFF\xD9")
+    with _pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(payload)

@@ -5,8 +5,8 @@ spectral selection + successive approximation, DC/AC first and
 refinement scans, EOBn runs, per-scan huffman tables), 8-bit, 1 or 3
 components, 4:4:4 and 4:2:0 chroma subsampling (sequential; sampling
 factors 1 and 2).  Arithmetic coding, progressive+subsampled combined,
-hierarchical modes, restart intervals and 12-bit raise
-``NotImplementedError`` — this is the correctness-scoped decode
+hierarchical modes and 12-bit raise ``NotImplementedError``; restart
+intervals (DRI/RSTn) decode in sequential mode — this is the correctness-scoped decode
 tier for the multimodal plumbing (same pattern as the WAV/BMP/PNG
 codecs), not a production JPEG library.
 
@@ -171,10 +171,18 @@ class _BitWriter:
             if b == 0xFF:          # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def pad_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)   # pad with 1s
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align and append a marker (markers are never stuffed)."""
+        self.pad_byte()
+        self.buf += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.pad_byte()
         return bytes(self.buf)
 
 
@@ -192,7 +200,7 @@ class _BitReader:
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1          # stuffed byte
-            # (restart markers unsupported: no DRI emitted/accepted)
+            # (RSTn markers are consumed by sync_restart, never here)
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -207,6 +215,17 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self) -> None:
+        """Byte-align (discard pad bits) and consume the expected RSTn
+        marker (T.81 F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF \
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
 
 
 def _extend(v: int, t: int) -> int:
@@ -339,14 +358,24 @@ def _quantize_block(vals: list[float], qt: list[int]) -> list[int]:
 
 
 def encode_jpeg(width: int, height: int,
-                pixels: list[tuple[int, int, int]]) -> bytes:
-    """Baseline 4:4:4 JPEG encoder (deterministic test fixtures)."""
+                pixels: list[tuple[int, int, int]],
+                restart_interval: int = 0) -> bytes:
+    """Baseline 4:4:4 JPEG encoder (deterministic test fixtures);
+    restart_interval > 0 emits DRI + RSTn every N MCUs (DC predictors
+    reset — re-codes the same coefficients, so decoding is unchanged)."""
     out = _headers(width, height, 0xFFC0)                         # SOF0
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     bw, bh, blocks = _quant_blocks(width, height, pixels)
     w = _BitWriter()
     pred = [0, 0, 0]
+    rst = 0
     for b in range(bw * bh):
+        if restart_interval and b and b % restart_interval == 0:
+            w.emit_marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            pred = [0, 0, 0]
         for ci in range(3):
             pred[ci] = _encode_block(w, 0 if ci == 0 else 1,
                                      blocks[ci][b], pred[ci])
@@ -656,6 +685,7 @@ def decode_jpeg(payload: bytes) \
     ac_dec: dict[int, dict] = {}
     width = height = None
     progressive = False
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []     # (id, sampling, qt)
     # scans: (comp list [(comp index, dc table, ac table)], ss, se,
     #         ah, al, data bytes)
@@ -713,7 +743,7 @@ def decode_jpeg(payload: bytes) \
                     ac_dec[tc_th & 0xF] = dec
                 i += 17 + nvals
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body)[0]
         elif marker == 0xDA:
             ns = body[0]
             scomps = []
@@ -745,13 +775,16 @@ def decode_jpeg(payload: bytes) \
     if progressive and subsampled:
         raise NotImplementedError(
             "progressive + chroma subsampling unsupported")
+    if progressive and restart_interval:
+        raise NotImplementedError("progressive + DRI unsupported")
     nblocks = mcux * mcuy          # uniform grid for progressive (1x1)
 
     for scomps, ss, se, ah, al, data, s_dc, s_ac in scans:
         r = _ScanReader(data)
         if not progressive:
             _decode_sequential_scan(r, scomps, comps, grids, coefs,
-                                    mcux, mcuy, s_dc, s_ac)
+                                    mcux, mcuy, s_dc, s_ac,
+                                    restart_interval)
         elif ss == 0:
             _decode_dc_scan(r, scomps, coefs, nblocks, s_dc, ah, al)
         else:
@@ -800,12 +833,20 @@ def decode_jpeg(payload: bytes) \
 
 
 def _decode_sequential_scan(r, scomps, comps, grids, coefs,
-                            mcux, mcuy, dc_dec, ac_dec):
+                            mcux, mcuy, dc_dec, ac_dec,
+                            restart_interval: int = 0):
     """Baseline interleaved DC+AC scan (T.81 F.2), MCU-ordered with each
-    component's sampling-factor block sub-grid (h×v blocks per MCU)."""
+    component's sampling-factor block sub-grid (h×v blocks per MCU);
+    every restart_interval MCUs the stream byte-aligns past an RSTn
+    marker and DC predictors reset."""
     pred = [0] * len(scomps)
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                r.sync_restart()
+                pred = [0] * len(scomps)
+            mcu_n += 1
             for si, (ci, dcsel, acsel) in enumerate(scomps):
                 h_i, v_i = comps[ci][1]
                 cw = grids[ci][0]

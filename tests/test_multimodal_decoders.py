@@ -435,3 +435,20 @@ def test_jpeg_progressive_plus_subsampled_rejected():
                + b"\xFF\xD9")
     with _pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(payload)
+
+
+# -- round 4, late: restart intervals (DRI/RSTn) ----------------------------
+
+@_pytest.mark.parametrize("ri", [1, 2, 5])
+def test_jpeg_restart_intervals_equal_plain(ri):
+    """DRI re-codes the same coefficients (byte-align + RSTn + DC reset
+    every N MCUs), so decoding must be pixel-identical to the plain
+    stream."""
+    from morph_xr2rml_spark.ops import jpeg
+    w, h = 32, 24
+    pix = [((x * 13 + 21) % 256, (y * 29 + 33) % 256,
+            ((x + y) * 31 + 9) % 256) for y in range(h) for x in range(w)]
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix))
+    dri = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix,
+                                            restart_interval=ri))
+    assert plain == dri

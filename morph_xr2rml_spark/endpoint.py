@@ -167,10 +167,14 @@ class SparqlEndpoint:
         truncated one (ADVICE r3: silent truncation looked complete)."""
         if self.max_result_rows is None:
             return df, False
-        probe = df.limit(self.max_result_rows + 1)
-        truncated = probe.count() > self.max_result_rows
-        return (probe.limit(self.max_result_rows) if truncated else probe), \
-            truncated
+        # single evaluation: take(cap+1) collects once, and the rows that
+        # are serialized are exactly the rows that were counted (a second
+        # execution of a nondeterministic limit() could return others)
+        rows = df.take(self.max_result_rows + 1)
+        truncated = len(rows) > self.max_result_rows
+        local = df.sparkSession.createDataFrame(
+            rows[:self.max_result_rows], df.schema)
+        return local, truncated
 
     def answer(self, query, accept: str = "") -> tuple[str, str, bool]:
         """Evaluate and serialize; returns (body, content_type, truncated).

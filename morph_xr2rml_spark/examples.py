@@ -28,13 +28,13 @@ TPCH_KG_MAPPING = """
 
 <#Region>
     a rr:TriplesMap;
-    rr:logicalTable [ rr:tableName "region" ];
+    rr:logicalTable [ rr:tableName "region"; xrr:uniqueRef "r_regionkey" ];
     rr:subjectMap [ rr:template "http://example.org/region/{r_regionkey}"; rr:class ex:Region ];
     rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "r_name" ] ].
 
 <#Nation>
     a rr:TriplesMap;
-    rr:logicalTable [ rr:tableName "nation" ];
+    rr:logicalTable [ rr:tableName "nation"; xrr:uniqueRef "n_nationkey" ];
     rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}"; rr:class ex:Nation ];
     rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "n_name" ] ];
     rr:predicateObjectMap [
@@ -45,7 +45,7 @@ TPCH_KG_MAPPING = """
 
 <#Customer>
     a rr:TriplesMap;
-    rr:logicalTable [ rr:tableName "customer" ];
+    rr:logicalTable [ rr:tableName "customer"; xrr:uniqueRef "c_custkey" ];
     rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}"; rr:class ex:Customer ];
     rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "c_name" ] ];
     rr:predicateObjectMap [ rr:predicate ex:segment; rr:objectMap [ rr:column "c_mktsegment" ] ];
@@ -58,7 +58,7 @@ TPCH_KG_MAPPING = """
 
 <#Orders>
     a rr:TriplesMap;
-    rr:logicalTable [ rr:tableName "orders" ];
+    rr:logicalTable [ rr:tableName "orders"; xrr:uniqueRef "o_orderkey" ];
     rr:subjectMap [ rr:template "http://example.org/order/{o_orderkey}"; rr:class ex:Order ];
     rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ rr:column "o_orderstatus" ] ];
     rr:predicateObjectMap [ rr:predicate ex:orderDate; rr:objectMap [ rr:column "o_orderdate" ] ];
@@ -392,7 +392,7 @@ LANG_KG_MAPPING = """
 
 <#NationLang>
     a rr:TriplesMap;
-    rr:logicalTable [ rr:tableName "nation" ];
+    rr:logicalTable [ rr:tableName "nation"; xrr:uniqueRef "n_nationkey" ];
     rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}" ];
     rr:predicateObjectMap [ rr:predicate ex:label;
         rr:objectMap [ rr:column "n_name"; rr:language "en" ] ];

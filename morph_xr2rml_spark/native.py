@@ -313,6 +313,11 @@ class NativeCompiler:
                 parts.append(df.select(subj, p.alias("pred"),
                                        o.alias("obj"), graph))
         parts.extend(rom_parts)
+        if not parts:
+            # a subject-only TM (no class, no predicate-object map) emits
+            # no triples — R2RML generates rows only per POM/class
+            from .engine import TRIPLE_SCHEMA
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -334,12 +339,18 @@ class NativeCompiler:
         column, the object can be rendered from the child's own join key
         — the parent scan degrades to a key-existence check (left_semi
         on bare keys) instead of an inner join shipping built subject
-        strings.  Requires a single equi-condition and identical source
-        dtypes (exact, incl. decimal precision) so both sides render the
-        same lexical form."""
+        strings.  Requires a single equi-condition, a DECLARED-UNIQUE
+        parent key (xrr:uniqueRef, xR2RMLLogicalSource.scala:17-22 — the
+        reference's precondition; without it a duplicate-keyed parent
+        would emit N duplicate triples under the inner join but one
+        under the probe, changing triples(dedup=False) multiplicity) and
+        identical source dtypes (exact, incl. decimal precision) so both
+        sides render the same lexical form."""
         if len(rom.join_conditions) != 1:
             return False
         jc = rom.join_conditions[0]
+        if jc.parent_ref not in parent_tm.logical_source.unique_refs:
+            return False
         if self._term_source_columns(parent_tm.subject_map) \
                 != [jc.parent_ref]:
             return False
@@ -442,10 +453,205 @@ class NativeCompiler:
             ored = c if ored is None else (ored | c)
         return ored if ored is not None else F.lit(True)
 
+    # -- compile-time uniqueness proof (dedup elimination) ---------------
+    # Rendered-value alphabets per source dtype, for multi-group template
+    # injectivity: a value of this type can only contain these characters,
+    # so a separator whose first char is OUTSIDE the union alphabet makes
+    # the template parse unique (leftmost-delimiter argument).
+    _RENDER_ALPHABET = {
+        T.ByteType: "0123456789-", T.ShortType: "0123456789-",
+        T.IntegerType: "0123456789-", T.LongType: "0123456789-",
+        T.DecimalType: "0123456789-.", T.DateType: "0123456789-",
+        T.BooleanType: "truefals",
+    }
+    # dtypes whose string render is injective on distinct values (TIMESTAMP
+    # truncates sub-second precision; FLOAT/DOUBLE excluded out of caution)
+    _NON_INJECTIVE_RENDER = (T.TimestampType, T.TimestampNTZType,
+                             T.FloatType, T.DoubleType)
+
+    def _subject_unique(self, tm: TriplesMap, df: DataFrame) -> bool:
+        """True when the TM's subject term is PROVABLY distinct per source
+        row: built over a declared-unique reference (xrr:uniqueRef,
+        xR2RMLLogicalSource.scala:17-22 — read as strict uniqueness: at
+        most one row per value) through an injective render.  Single-group
+        templates are injective in the value string (fixed prefix/suffix;
+        IRI percent-encoding encodes '%' first so it is injective too);
+        multi-group templates additionally need bounded value alphabets
+        and separators starting outside them."""
+        sm = tm.subject_map
+        uniq = set(tm.logical_source.unique_refs)
+        if sm.kind == COLUMN:
+            col = sm.column
+            if col not in uniq or col not in df.columns:
+                return False
+            return not isinstance(df.schema[col].dataType,
+                                  self._NON_INJECTIVE_RENDER)
+        if sm.kind != TEMPLATE:
+            return False            # constant/dynamic subject: no proof
+        groups = get_template_groups(sm.template)
+        if not groups or not any(g in uniq for g in groups):
+            return False
+        if any(g not in df.columns for g in groups):
+            return False
+        dtypes = [df.schema[g].dataType for g in groups]
+        if any(isinstance(dt, self._NON_INJECTIVE_RENDER) for dt in dtypes):
+            return False
+        if len(groups) == 1:
+            return True
+        # multi-group: bounded alphabets + delimiting separators.  NULL
+        # caveat: a NULL group renders '' — sound because uniqueRef is
+        # taken as strict (no two rows share the key, NULL included).
+        alphabet = set()
+        for dt in dtypes:
+            chars = self._RENDER_ALPHABET.get(type(dt))
+            if chars is None:
+                return False        # string/unbounded value alphabet
+            alphabet.update(chars)
+        rest = sm.template
+        seps = []
+        for g in groups:
+            _fixed, _, rest = rest.partition("{" + g + "}")
+            seps.append(_fixed)
+        for sep in seps[1:]:        # separators BETWEEN groups
+            if not sep or sep[0] in alphabet:
+                return False
+        return True
+
+    def _tm_po_signatures(self, tm: TriplesMap):
+        """[(pred_iri, object_signature)] for the TM's per-row projections
+        (ROMs excluded), or None when a predicate is non-constant.  The
+        object signature is ('const', rendered) for constants and
+        ('expr', i) — unique per slot — otherwise."""
+        sigs = []
+        for cls in tm.class_uris:
+            sigs.append((NS.RDF_TYPE, ("const", "iri", cls)))
+        slot = 0
+        for pom in tm.predicate_object_maps:
+            preds = []
+            for pm in pom.predicate_maps:
+                if pm.kind != CONSTANT or pm.constant is None \
+                        or pm.constant[0] != "iri":
+                    return None
+                preds.append(pm.constant[1])
+            for p in preds:
+                for om in pom.object_maps:
+                    if om.kind == CONSTANT and om.constant is not None:
+                        sigs.append((p, ("const",) + tuple(om.constant)))
+                    else:
+                        sigs.append((p, ("expr", slot)))
+                    slot += 1
+        return sigs
+
+    def _tm_branches_distinct(self, tm: TriplesMap, df: DataFrame) -> bool:
+        """All of a TM's branches are duplicate-free and pairwise disjoint:
+        distinct subjects per row (unique key), and per-row (pred, obj)
+        slots that cannot collide (distinct constant preds, or the same
+        pred only with pairwise-distinct constant objects)."""
+        if not self._subject_unique(tm, df):
+            return False
+        sigs = self._tm_po_signatures(tm)
+        if sigs is None:
+            return False
+        by_pred: dict = {}
+        for p, sig in sigs:
+            by_pred.setdefault(p, []).append(sig)
+        rom_preds = []
+        for pom in tm.predicate_object_maps:
+            for pm in pom.predicate_maps:
+                for _rom in pom.ref_object_maps:
+                    rom_preds.append(pm.constant[1])
+                    by_pred.setdefault(pm.constant[1], []).append(
+                        ("rom", len(rom_preds)))
+        for p, entries in by_pred.items():
+            if len(entries) == 1:
+                continue
+            # same predicate twice: only provably disjoint when every
+            # entry is a constant object and all constants differ
+            if any(e[0] != "const" for e in entries):
+                return False
+            if len({e for e in entries}) != len(entries):
+                return False
+        # every ROM must have multiplicity exactly 1 per child row:
+        # single- or multi-condition join against a declared-unique
+        # parent key (the probe collapse implies this already)
+        for pom in tm.predicate_object_maps:
+            for rom in pom.ref_object_maps:
+                parent = self.mapping.triples_maps[rom.parent_tm]
+                puniq = set(parent.logical_source.unique_refs)
+                if not any(jc.parent_ref in puniq
+                           for jc in rom.join_conditions):
+                    return False
+        return True
+
+    def _subject_space(self, tm: TriplesMap):
+        """(term-type, fixed-prefix) of every subject this TM renders, or
+        None when unbounded.  Two spaces are disjoint when the term types
+        differ or neither prefix is a prefix of the other."""
+        sm = tm.subject_map
+        tt = sm.infer_term_type()
+        if sm.kind == TEMPLATE:
+            groups = get_template_groups(sm.template)
+            prefix = sm.template.partition("{" + groups[0] + "}")[0] \
+                if groups else sm.template
+            return (tt, prefix)
+        if sm.kind == COLUMN:
+            return (tt, "")
+        if sm.kind == CONSTANT and sm.constant is not None:
+            return (tt, sm.constant[1])
+        return None
+
+    def _tm_pred_consts(self, tm: TriplesMap):
+        """Set of constant predicate IRIs the TM emits, or None when any
+        predicate map is dynamic."""
+        preds = set()
+        if tm.class_uris:
+            preds.add(NS.RDF_TYPE)
+        for pom in tm.predicate_object_maps:
+            for pm in pom.predicate_maps:
+                if pm.kind != CONSTANT or pm.constant is None \
+                        or pm.constant[0] != "iri":
+                    return None
+                preds.add(pm.constant[1])
+        return preds
+
+    def provably_distinct(self) -> bool:
+        """True when the WHOLE mapping provably emits no duplicate triple,
+        so triples(dedup=True) can skip the global dedup exchange — the
+        compile-time counterpart of the reference's Jena-set semantics
+        (it needs a Model because it cannot prove this; we can, from
+        xrr:uniqueRef + constant predicates + single-valued columns).
+        Per-TM: subject unique per row and per-row slots disjoint
+        (_tm_branches_distinct).  Across TMs: pairwise disjoint subject
+        spaces (distinct term types, or neither fixed template prefix a
+        prefix of the other) or disjoint constant predicate sets."""
+        tms = [(name, tm) for name, tm in self.mapping.triples_maps.items()
+               if name not in self.tm_skip]
+        infos = []
+        for _name, tm in tms:
+            df = self._source_df(tm)
+            if not self._tm_branches_distinct(tm, df):
+                return False
+            infos.append((self._subject_space(tm), self._tm_pred_consts(tm)))
+        for i in range(len(infos)):
+            for j in range(i + 1, len(infos)):
+                (sp_a, pr_a), (sp_b, pr_b) = infos[i], infos[j]
+                if sp_a is not None and sp_b is not None:
+                    (tt_a, px_a), (tt_b, px_b) = sp_a, sp_b
+                    if tt_a != tt_b:
+                        continue
+                    if not (px_a.startswith(px_b) or px_b.startswith(px_a)):
+                        continue
+                if pr_a is not None and pr_b is not None \
+                        and not (pr_a & pr_b):
+                    continue
+                return False
+        return True
+
     def triples(self, dedup: bool = True) -> DataFrame:
         parts = [self.tm_triples(tm)
                  for name, tm in self.mapping.triples_maps.items()
                  if name not in self.tm_skip]
+        self.dedup_eliminated = False
         if not parts:
             from .engine import TRIPLE_SCHEMA
             return self.spark.createDataFrame([], TRIPLE_SCHEMA)
@@ -453,6 +659,13 @@ class NativeCompiler:
         for p in parts[1:]:
             out = out.unionByName(p)
         if dedup:
+            if self.provably_distinct():
+                # uniqueness-driven dedup elimination: the mapping provably
+                # emits a duplicate-free triple set, so the global
+                # dropDuplicates exchange (the residual cost in the full
+                # kg_tpch pipeline) is a no-op — skip it
+                self.dedup_eliminated = True
+                return out
             from .engine import dedup_triples
             # tabular R2RML emits one triple per (row, term map): duplicates
             # only exist if source rows repeat, so skip the map-side

@@ -674,9 +674,11 @@ def decode_jpeg(payload: bytes) \
     """JPEG → (width, height, row-major RGB pixels).  Baseline (SOF0)
     and progressive (SOF2: spectral selection + successive approximation
     DC/AC first and refinement scans, EOBn runs) both decode; 4:4:4
-    and sequential 4:2:0 sampling, 8-bit, huffman coding.  Arithmetic
-    coding, progressive+subsampled combined, hierarchical modes and
-    restart intervals remain out of scope."""
+    and sequential 4:2:0 sampling, 8-bit, huffman coding.  Restart
+    intervals (DRI/RSTn) decode in sequential mode and remain
+    unsupported only in progressive mode.  Arithmetic coding,
+    progressive+subsampled combined and hierarchical modes remain out
+    of scope."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     pos = 2

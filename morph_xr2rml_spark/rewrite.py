@@ -114,9 +114,13 @@ def invert_object(mapping: MappingDocument, tm: TriplesMap,
     join column, the parent-template inversion transfers to the CHILD's
     join reference — a `?x ex:placedBy <customer/5>` point query becomes
     `o_custkey = 5` on the child scan."""
-    if pred_iri == NS.RDF_TYPE:
-        return AMBIGUOUS if obj_iri in tm.class_uris else None
     candidates = []
+    if pred_iri == NS.RDF_TYPE and obj_iri in tm.class_uris:
+        # rr:class emits the type for every row: no row constraint, but
+        # the TM definitely matches.  Do NOT return early — rdf:type can
+        # also be emitted by an explicit predicate-object map (legal
+        # R2RML), which the POM scan below handles like any predicate.
+        candidates.append(AMBIGUOUS)
     for pom in tm.predicate_object_maps:
         pred_consts = set()
         for pm in pom.predicate_maps:
@@ -181,9 +185,14 @@ def _path_iris(pred) -> Optional[set]:
     if kind == "inv":
         return (_path_iris(pred[1]) if isinstance(pred[1], tuple)
                 else {pred[1]})
-    if kind in ("plus", "star", "opt"):
+    if kind == "plus":
         inner = pred[1]
         return _path_iris(inner) if isinstance(inner, tuple) else {inner}
+    if kind in ("star", "opt"):
+        # zero-length paths match every graph node with itself — a TM
+        # emitting none of the inner predicates still contributes NODES
+        # to those identity matches, so the predicate set is unknowable
+        return None
     if kind in ("seq", "alt"):
         out: set = set()
         for elt in pred[1]:

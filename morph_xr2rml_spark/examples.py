@@ -388,6 +388,7 @@ SELECT a, b FROM closure ORDER BY a, b
 
 LANG_KG_MAPPING = """
 @prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
 @prefix ex:  <http://example.com/> .
 
 <#NationLang>
@@ -564,6 +565,55 @@ FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1
 """
 
 
+def sparql_pushdown_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-comparison pushdown (round 5; the reference pushes SPARQL
+    FILTER comparisons into the source WHERE clause,
+    MorphRDBQueryTranslator.scala:988+): FILTER(?p > k) over a
+    column-bound object inverts to a typed source predicate evaluated at
+    the scan, and every TM not emitting ex:totalPrice is eliminated —
+    tests/test_pushdown_literal.py audits the physical plan."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?o ?p WHERE {
+            ?o ex:totalPrice ?p .
+            FILTER(?p > 200000.0)
+        } ORDER BY ?o""")
+
+
+SPARQL_PUSHDOWN_LIT_SQL = f"""
+SELECT '<{EX}order/' || o_orderkey || '>' AS o,
+       '"' || CAST(o_totalprice AS DECIMAL(12,2)) || '"^^<{_XSD}decimal>' AS p
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 200000.0
+ORDER BY o
+"""
+
+
+def sparql_pushdown_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-position literal-constant pushdown: the plain literal
+    "BUILDING" inverts to a rendered-lexical equality on the customer
+    scan (mirror of the trim+encode_literal+escape pipeline — sound and
+    exact), orders/nation/region are never read."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?c ?n WHERE {
+            ?c ex:segment "BUILDING" .
+            ?c ex:name ?n .
+        } ORDER BY ?c""")
+
+
+SPARQL_PUSHDOWN_SEG_SQL = f"""
+SELECT '<{EX}customer/' || c_custkey || '>' AS c,
+       '"' || c_name || '"' AS n
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
     "sparql_pushdown_point": (sparql_pushdown_point,
@@ -571,6 +621,8 @@ EXTRA_QUERIES = {
     "sparql_pushdown_obj": (sparql_pushdown_obj,
                             sparql_pushdown_obj_oracle_sql()),
     "sparql_pushdown_doc": (sparql_pushdown_doc, SPARQL_PUSHDOWN_DOC_SQL),
+    "sparql_pushdown_lit": (sparql_pushdown_lit, SPARQL_PUSHDOWN_LIT_SQL),
+    "sparql_pushdown_seg": (sparql_pushdown_seg, SPARQL_PUSHDOWN_SEG_SQL),
     "sparql_path_deep": (sparql_path_deep, SPARQL_PATH_DEEP_SQL),
     "sparql_lang_filter": (sparql_lang_filter, SPARQL_LANG_FILTER_SQL),
     "sparql_typed_lit": (sparql_typed_lit_pattern, SPARQL_TYPED_LIT_SQL),

@@ -427,10 +427,19 @@ class NativeCompiler:
             cond = eq if cond is None else (cond & eq)
         return cond
 
+    _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                      T.FloatType, T.DoubleType, T.DecimalType)
+    _CMP_OPS = {"=": Column.__eq__, "<": Column.__lt__, ">": Column.__gt__,
+                "<=": Column.__le__, ">=": Column.__ge__}
+
     def _constraint_col(self, df: DataFrame, constraints: list) -> Column:
-        """OR of equality conjunctions, with values converted to the
-        column's native type so the comparison reaches the parquet scan
-        as a PushedFilter (a cast-to-string compare would not)."""
+        """OR of constraint conjunctions.  Values are raw-equality strings
+        (template inversions), ('lexeq', lex) rendered-literal lexical
+        equality, or ('cmp', ((op, num), ...)) numeric value predicates.
+        Equalities/comparisons on numeric columns convert to the native
+        type so they reach the parquet scan as PushedFilters; string
+        literal equality mirrors the render pipeline exactly (trim +
+        encode_literal + NT escape) so it is sound AND exact."""
         def typed_eq(col: str, value: str) -> Column:
             dtype = df.schema[col].dataType
             try:
@@ -445,77 +454,59 @@ class NativeCompiler:
             if isinstance(dtype, T.StringType):
                 return F.col(col) == value
             return _col_as_string(df, col) == value
+
+        def rendered_lexical(col: str) -> Column:
+            # the COLUMN-literal lexical pipeline of term_expr, mirrored
+            val = _col_as_string(df, col)
+            if self.cfg.literal_trim:
+                val = F.trim(val)
+            if isinstance(df.schema[col].dataType, T.StringType):
+                val = encode_literal_col(val, self.cfg.encode_literal_quotes)
+            if self.term_style == "ntriples":
+                val = nt_escape_col(val)
+            return val
+
+        def lex_eq(col: str, lex: str) -> Column:
+            dtype = df.schema[col].dataType
+            if isinstance(dtype, self._NUMERIC_TYPES):
+                # value equality is a SUPERSET of lexical equality (the
+                # evaluator re-applies the exact term match) and pushes
+                # to parquet as an EqualTo on the native type
+                return typed_eq(col, lex)
+            return rendered_lexical(col) == lex
+
+        def num_cmp(col: str, ops) -> Column:
+            dtype = df.schema[col].dataType
+            base = F.col(col) if isinstance(dtype, self._NUMERIC_TYPES) \
+                else _col_as_string(df, col).try_cast("double")
+            cond = None
+            for op, lex in ops:
+                try:
+                    c = self._CMP_OPS[op](base, F.lit(float(lex)))
+                except ValueError:
+                    return F.lit(False)
+                cond = c if cond is None else (cond & c)
+            return cond if cond is not None else F.lit(True)
+
+        def pred_col(col: str, value) -> Column:
+            if isinstance(value, tuple):
+                if value[0] == "lexeq":
+                    return lex_eq(col, value[1])
+                if value[0] == "cmp":
+                    return num_cmp(col, value[1])
+            return typed_eq(col, value)
+
         ored = None
         for conj in constraints:
             c = F.lit(True)
             for col, value in conj.items():
-                c = c & typed_eq(col, value)
+                c = c & pred_col(col, value)
             ored = c if ored is None else (ored | c)
         return ored if ored is not None else F.lit(True)
 
     # -- compile-time uniqueness proof (dedup elimination) ---------------
-    # Rendered-value alphabets per source dtype, for multi-group template
-    # injectivity: a value of this type can only contain these characters,
-    # so a separator whose first char is OUTSIDE the union alphabet makes
-    # the template parse unique (leftmost-delimiter argument).
-    _RENDER_ALPHABET = {
-        T.ByteType: "0123456789-", T.ShortType: "0123456789-",
-        T.IntegerType: "0123456789-", T.LongType: "0123456789-",
-        T.DecimalType: "0123456789-.", T.DateType: "0123456789-",
-        T.BooleanType: "truefals",
-    }
-    # dtypes whose string render is injective on distinct values (TIMESTAMP
-    # truncates sub-second precision; FLOAT/DOUBLE excluded out of caution)
-    _NON_INJECTIVE_RENDER = (T.TimestampType, T.TimestampNTZType,
-                             T.FloatType, T.DoubleType)
-
     def _subject_unique(self, tm: TriplesMap, df: DataFrame) -> bool:
-        """True when the TM's subject term is PROVABLY distinct per source
-        row: built over a declared-unique reference (xrr:uniqueRef,
-        xR2RMLLogicalSource.scala:17-22 — read as strict uniqueness: at
-        most one row per value) through an injective render.  Single-group
-        templates are injective in the value string (fixed prefix/suffix;
-        IRI percent-encoding encodes '%' first so it is injective too);
-        multi-group templates additionally need bounded value alphabets
-        and separators starting outside them."""
-        sm = tm.subject_map
-        uniq = set(tm.logical_source.unique_refs)
-        if sm.kind == COLUMN:
-            col = sm.column
-            if col not in uniq or col not in df.columns:
-                return False
-            return not isinstance(df.schema[col].dataType,
-                                  self._NON_INJECTIVE_RENDER)
-        if sm.kind != TEMPLATE:
-            return False            # constant/dynamic subject: no proof
-        groups = get_template_groups(sm.template)
-        if not groups or not any(g in uniq for g in groups):
-            return False
-        if any(g not in df.columns for g in groups):
-            return False
-        dtypes = [df.schema[g].dataType for g in groups]
-        if any(isinstance(dt, self._NON_INJECTIVE_RENDER) for dt in dtypes):
-            return False
-        if len(groups) == 1:
-            return True
-        # multi-group: bounded alphabets + delimiting separators.  NULL
-        # caveat: a NULL group renders '' — sound because uniqueRef is
-        # taken as strict (no two rows share the key, NULL included).
-        alphabet = set()
-        for dt in dtypes:
-            chars = self._RENDER_ALPHABET.get(type(dt))
-            if chars is None:
-                return False        # string/unbounded value alphabet
-            alphabet.update(chars)
-        rest = sm.template
-        seps = []
-        for g in groups:
-            _fixed, _, rest = rest.partition("{" + g + "}")
-            seps.append(_fixed)
-        for sep in seps[1:]:        # separators BETWEEN groups
-            if not sep or sep[0] in alphabet:
-                return False
-        return True
+        return subject_renders_unique(tm, df)
 
     def _tm_po_signatures(self, tm: TriplesMap):
         """[(pred_iri, object_signature)] for the TM's per-row projections
@@ -584,21 +575,7 @@ class NativeCompiler:
         return True
 
     def _subject_space(self, tm: TriplesMap):
-        """(term-type, fixed-prefix) of every subject this TM renders, or
-        None when unbounded.  Two spaces are disjoint when the term types
-        differ or neither prefix is a prefix of the other."""
-        sm = tm.subject_map
-        tt = sm.infer_term_type()
-        if sm.kind == TEMPLATE:
-            groups = get_template_groups(sm.template)
-            prefix = sm.template.partition("{" + groups[0] + "}")[0] \
-                if groups else sm.template
-            return (tt, prefix)
-        if sm.kind == COLUMN:
-            return (tt, "")
-        if sm.kind == CONSTANT and sm.constant is not None:
-            return (tt, sm.constant[1])
-        return None
+        return subject_space(tm)
 
     def _tm_pred_consts(self, tm: TriplesMap):
         """Set of constant predicate IRIs the TM emits, or None when any
@@ -676,3 +653,100 @@ class NativeCompiler:
             # non-matching branches out of the plan (15 -> 6 scans)
             out = dedup_triples(out, prepartition=self.fuse_projections)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Module-level uniqueness / subject-space proofs (shared with rewrite.py's
+# cross-pattern constraint propagation)
+# ---------------------------------------------------------------------------
+
+# Rendered-value alphabets per source dtype, for multi-group template
+# injectivity: a value of this type can only contain these characters, so
+# a separator whose first char is OUTSIDE the union alphabet makes the
+# template parse unique (leftmost-delimiter argument).
+RENDER_ALPHABET = {
+    T.ByteType: "0123456789-", T.ShortType: "0123456789-",
+    T.IntegerType: "0123456789-", T.LongType: "0123456789-",
+    T.DecimalType: "0123456789-.", T.DateType: "0123456789-",
+    T.BooleanType: "truefals",
+}
+# dtypes whose string render is injective on distinct values (TIMESTAMP
+# truncates sub-second precision; FLOAT/DOUBLE excluded out of caution)
+NON_INJECTIVE_RENDER = (T.TimestampType, T.TimestampNTZType,
+                        T.FloatType, T.DoubleType)
+
+
+def subject_renders_unique(tm: TriplesMap, df: DataFrame) -> bool:
+    """True when the TM's subject term is PROVABLY distinct per source
+    row: built over a declared-unique reference (xrr:uniqueRef,
+    xR2RMLLogicalSource.scala:17-22 — read as strict uniqueness: at most
+    one row per value) through an injective render.  Single-group
+    templates are injective in the value string (fixed prefix/suffix; IRI
+    percent-encoding encodes '%' first so it is injective too);
+    multi-group templates additionally need bounded value alphabets and
+    separators starting outside them."""
+    sm = tm.subject_map
+    uniq = set(tm.logical_source.unique_refs)
+    if sm.kind == COLUMN:
+        col = sm.column
+        if col not in uniq or col not in df.columns:
+            return False
+        return not isinstance(df.schema[col].dataType, NON_INJECTIVE_RENDER)
+    if sm.kind != TEMPLATE:
+        return False                # constant/dynamic subject: no proof
+    groups = get_template_groups(sm.template)
+    if not groups or not any(g in uniq for g in groups):
+        return False
+    if any(g not in df.columns for g in groups):
+        return False
+    dtypes = [df.schema[g].dataType for g in groups]
+    if any(isinstance(dt, NON_INJECTIVE_RENDER) for dt in dtypes):
+        return False
+    if len(groups) == 1:
+        return True
+    # multi-group: bounded alphabets + delimiting separators.  NULL
+    # caveat: a NULL group renders '' — sound because uniqueRef is taken
+    # as strict (no two rows share the key, NULL included).
+    alphabet = set()
+    for dt in dtypes:
+        chars = RENDER_ALPHABET.get(type(dt))
+        if chars is None:
+            return False            # string/unbounded value alphabet
+        alphabet.update(chars)
+    rest = sm.template
+    seps = []
+    for g in groups:
+        _fixed, _, rest = rest.partition("{" + g + "}")
+        seps.append(_fixed)
+    for sep in seps[1:]:            # separators BETWEEN groups
+        if not sep or sep[0] in alphabet:
+            return False
+    return True
+
+
+def subject_space(tm: TriplesMap):
+    """(term-type, fixed-prefix) of every subject this TM renders, or
+    None when unbounded.  Two spaces are disjoint when the term types
+    differ or neither prefix is a prefix of the other."""
+    sm = tm.subject_map
+    tt = sm.infer_term_type()
+    if sm.kind == TEMPLATE:
+        groups = get_template_groups(sm.template)
+        prefix = sm.template.partition("{" + groups[0] + "}")[0] \
+            if groups else sm.template
+        return (tt, prefix)
+    if sm.kind == COLUMN:
+        return (tt, "")
+    if sm.kind == CONSTANT and sm.constant is not None:
+        return (tt, sm.constant[1])
+    return None
+
+
+def subject_spaces_disjoint(a, b) -> bool:
+    """Disjointness of two subject_space() results (None = unbounded)."""
+    if a is None or b is None:
+        return False
+    (tt_a, px_a), (tt_b, px_b) = a, b
+    if tt_a != tt_b:
+        return True
+    return not (px_a.startswith(px_b) or px_b.startswith(px_a))

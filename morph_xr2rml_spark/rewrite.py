@@ -168,6 +168,149 @@ def invert_object(mapping: MappingDocument, tm: TriplesMap,
     return AMBIGUOUS                # several producers: no single conj
 
 
+def _merge_candidates(candidates):
+    if not candidates:
+        return None
+    if len(candidates) == 1 and candidates[0] is not AMBIGUOUS:
+        return candidates[0]
+    return AMBIGUOUS
+
+
+_LIT_TERM_RE = re.compile(
+    r'^"(.*)"(@[A-Za-z][A-Za-z0-9-]*|\^\^<[^<>]*>)?$', re.S)
+
+
+def _literal_oms(tm: TriplesMap, pred_iri: str):
+    """Literal-rendering object maps under a constant predicate, or None
+    when a predicate map is dynamic.  ROM / IRI / bnode object maps never
+    render literals and are excluded."""
+    out = []
+    for pom in tm.predicate_object_maps:
+        pred_consts = set()
+        for pm in pom.predicate_maps:
+            if pm.kind == CONSTANT and pm.constant is not None \
+                    and pm.constant[0] == "iri":
+                pred_consts.add(pm.constant[1])
+            else:
+                return None
+        if pred_iri not in pred_consts:
+            continue
+        for om in pom.object_maps:
+            if om.infer_term_type() == NS.RR_LITERAL:
+                out.append(om)
+    return out
+
+
+def invert_object_literal(mapping: MappingDocument, tm: TriplesMap,
+                          pred_iri: str, o_term):
+    """Constant (pred, literal) → source-level constraint (the
+    reference's genCond on literal references,
+    MorphBaseQueryTranslator.scala:227-305).  None = no object map under
+    this predicate can render a literal matching the term — the pattern
+    cannot match this TM; AMBIGUOUS = may match, no safe constraint.
+
+    Datatype compatibility uses only mapping-level facts (rr:datatype /
+    rr:language): a column's NATURAL datatype needs the schema, so such
+    object maps stay candidates (superset, sound) — the evaluator
+    re-applies the exact term match.  Constraint values:
+      ('lexeq', lex)           rendered-literal lexical equality
+      ('cmp', [(op, num),...]) numeric value predicates"""
+    kind, raw = o_term
+    oms = _literal_oms(tm, pred_iri)
+    if oms is None:
+        return AMBIGUOUS            # dynamic predicate: can't reason
+    if kind == "num":
+        candidates = []
+        for om in oms:
+            if om.kind == COLUMN:
+                candidates.append({om.column: ("cmp", (("=", raw),))})
+            else:
+                # template/constant renders COULD carry a numeric value
+                candidates.append(AMBIGUOUS)
+        return _merge_candidates(candidates)
+    m = _LIT_TERM_RE.match(raw)
+    if not m:
+        return AMBIGUOUS
+    lex, suffix = m.group(1), m.group(2)
+    if "\\" in lex:
+        return AMBIGUOUS            # N-Triples escapes: raw value differs
+    candidates = []
+    for om in oms:
+        if kind == "lit_exact":
+            # exact term: the rendered suffix must match exactly
+            if suffix and suffix.startswith("@"):
+                if om.language != suffix[1:]:
+                    continue
+            elif suffix:            # ^^<dt>
+                if om.language is not None:
+                    continue
+                if om.datatype is not None and \
+                        f"^^<{om.datatype}>" != suffix:
+                    continue
+                if om.datatype is None and om.kind != COLUMN:
+                    continue        # template/constant w/o dt: plain
+            else:                   # plain literal, exactly
+                if om.language is not None:
+                    continue
+                if om.datatype is not None:
+                    continue
+        # kind == 'lit': the engine prefix-matches '"lex"' — any
+        # datatype/lang suffix is acceptable, only the lexical binds
+        if om.kind == COLUMN:
+            candidates.append({om.column: ("lexeq", lex)})
+        elif om.kind == TEMPLATE:
+            inv = invert_template(om.template, lex)
+            if inv is None:
+                continue
+            candidates.append(inv if inv is not AMBIGUOUS else AMBIGUOUS)
+        else:
+            # constant literal: may match every row — no row constraint
+            candidates.append(AMBIGUOUS)
+    return _merge_candidates(candidates)
+
+
+def invert_object_compare(mapping: MappingDocument, tm: TriplesMap,
+                          pred_iri: str, op: str, num_lex: str):
+    """Numeric comparison FILTER on a var bound in object position →
+    source predicate (the reference pushes SPARQL FILTER comparisons into
+    the WHERE clause, MorphRDBQueryTranslator.scala:988+).  None = no
+    object map under the predicate can ever satisfy a numeric comparison
+    (IRI/ROM objects evaluate to error→false); AMBIGUOUS = possible but
+    not safely pushable."""
+    oms = _literal_oms(tm, pred_iri)
+    if oms is None:
+        return AMBIGUOUS
+    candidates = []
+    for om in oms:
+        if om.kind == COLUMN:
+            candidates.append({om.column: ("cmp", ((op, num_lex),))})
+        else:
+            candidates.append(AMBIGUOUS)   # could render numeric lexicals
+    return _merge_candidates(candidates)
+
+
+def _conj_merge(conj: dict, add: dict) -> bool:
+    """Merge ``add`` into ``conj``; False = provably unsatisfiable.
+    Comparison tuples on the same reference AND together; a comparison
+    meeting an equality is dropped (weaker constraint stays: sound)."""
+    for k, v in add.items():
+        if k not in conj:
+            conj[k] = v
+            continue
+        cur = conj[k]
+        cur_cmp = isinstance(cur, tuple) and cur[0] == "cmp"
+        new_cmp = isinstance(v, tuple) and v[0] == "cmp"
+        if cur_cmp and new_cmp:
+            conj[k] = ("cmp", tuple(cur[1]) + tuple(v[1]))
+        elif cur_cmp:
+            conj[k] = v             # equality is stronger; cmp re-checked
+        elif new_cmp:
+            pass                    # keep the equality
+        elif cur != v:
+            return False            # two different equalities: no row
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Pattern collection
 # ---------------------------------------------------------------------------
@@ -204,57 +347,104 @@ def _path_iris(pred) -> Optional[set]:
     return None
 
 
-def _collect(group: Group, out: list) -> None:
-    """Recursively collect (subject_term, pred_iris | None) pairs.  Every
-    nested group (OPTIONAL/UNION/GRAPH/MINUS/EXISTS/subquery) contributes:
-    retaining MORE source rows than needed is always sound."""
+_CMP_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+_LIT_KINDS = ("lit", "lit_exact", "num")
+
+
+def _collect(group: Group, out: list, top: bool = False,
+             in_subquery: bool = False) -> None:
+    """Recursively collect per-pattern records::
+
+        {preds: set|None, svar: str|None, top: bool, cmps: [...],
+         variants: [(s_term, o_term), ...]}
+
+    ``variants`` are the alternative constant instantiations of the
+    pattern (VALUES / FILTER-eq substitutions) — OR-semantics between
+    them.  ``svar`` is the subject variable name for cross-pattern
+    constraint propagation (None inside subqueries: a subquery's
+    variables only join the outer scope when projected, so an outer-name
+    collision must not leak constraints in).  ``top`` marks patterns of
+    the root required group — only those define a variable's candidacy.
+    Every nested group (OPTIONAL/UNION/GRAPH/MINUS/EXISTS/subquery)
+    contributes: retaining MORE source rows than needed is always
+    sound."""
     if group is None:
         return
-    # constant bindings for subject vars in this group: FILTER(?v = <iri>)
-    # and single-variable VALUES blocks over IRIs
+    # constant bindings for vars in this group: FILTER(?v = <iri>/"lit")
+    # and single-variable VALUES blocks over constants.  Numeric
+    # '=' comparisons stay in var_cmps (SPARQL '=' on numbers is VALUE
+    # equality, matching the engine's numeric_value evaluation).
     var_consts: dict[str, list] = {}
+    var_cmps: dict[str, list] = {}
+    conjuncts: list = []
+
+    def _flatten_and(node):
+        if isinstance(node, tuple) and node and node[0] == "and":
+            for sub in node[1:]:
+                _flatten_and(sub)
+        else:
+            conjuncts.append(node)
+
     for flt in group.filters:
-        if isinstance(flt, tuple) and flt[0] == "cmp" and flt[1] == "=":
+        _flatten_and(flt)
+    for flt in conjuncts:
+        if isinstance(flt, tuple) and flt[0] == "cmp":
             sides = (flt[2], flt[3])
             for a, b in (sides, sides[::-1]):
-                if a[0] == "var" and b[0] == "iri":
-                    var_consts.setdefault(a[1], []).append(b[1])
+                if a[0] != "var":
+                    continue
+                op = flt[1] if (a, b) == sides else _CMP_FLIP.get(flt[1])
+                if b[0] == "str" and '"' not in b[1] and "\\" not in b[1]:
+                    # filter string operands carry the bare lexical
+                    b = ("lit", f'"{b[1]}"')
+                if op == "=" and b[0] in ("iri", "lit", "lit_exact"):
+                    var_consts.setdefault(a[1], []).append(b)
+                elif op is not None and b[0] == "num":
+                    # numeric comparison (incl. '='): value-based
+                    var_cmps.setdefault(a[1], []).append((op, b[1]))
     for vars_, rows in group.values:
-        if len(vars_) == 1 and rows and all(r[0][0] == "iri" for r in rows):
-            var_consts.setdefault(vars_[0], []).extend(
-                r[0][1] for r in rows)
+        if len(vars_) == 1 and rows and \
+                all(r[0][0] in ("iri",) + _LIT_KINDS for r in rows):
+            var_consts.setdefault(vars_[0], []).extend(r[0] for r in rows)
     for tp in group.patterns:
-        is_path = tp.p[0] not in ("iri", "var")
-        if is_path:
+        if tp.p[0] not in ("iri", "var"):
             # closures walk intermediate nodes: never constrain
-            out.append((("var", "*"), _path_iris(tp.p), ("var", "*")))
+            out.append({"preds": _path_iris(tp.p), "svar": None,
+                        "top": False, "cmps": [],
+                        "variants": [(("var", "*"), ("var", "*"))]})
             continue
         preds = {tp.p[1]} if tp.p[0] == "iri" else None
 
-        def expand(term):
+        def expand(term, iri_only: bool):
             if term[0] == "var" and term[1] in var_consts:
-                return [("iri", v) for v in var_consts[term[1]]]
+                subst = [t for t in var_consts[term[1]]
+                         if t[0] == "iri" or not iri_only]
+                if subst:
+                    return subst
             return [term]
 
-        for s in expand(tp.s):
-            for o in expand(tp.o):
-                out.append((s, preds, o))
+        svar = tp.s[1] if tp.s[0] == "var" and not in_subquery else None
+        cmps = var_cmps.get(tp.o[1], []) if tp.o[0] == "var" else []
+        variants = [(s, o) for s in expand(tp.s, iri_only=True)
+                    for o in expand(tp.o, iri_only=False)]
+        out.append({"preds": preds, "svar": svar, "top": top,
+                    "cmps": cmps, "variants": variants})
     for sub in group.optionals + group.minuses:
-        _collect(sub, out)
+        _collect(sub, out, False, in_subquery)
     for left, right in group.unions:
-        _collect(left, out)
-        _collect(right, out)
+        _collect(left, out, False, in_subquery)
+        _collect(right, out, False, in_subquery)
     for _gterm, sub in group.graphs:
-        _collect(sub, out)
+        _collect(sub, out, False, in_subquery)
     for _pos, sub in group.exists:
-        _collect(sub, out)
+        _collect(sub, out, False, in_subquery)
     for sq in group.subqueries:
-        _collect(sq.where, out)
+        _collect(sq.where, out, False, True)
     # EXISTS embedded in compound filters
     def walk_exists(node):
         if isinstance(node, tuple):
             if node[0] == "existsexpr":
-                _collect(node[1], out)
+                _collect(node[1], out, False, in_subquery)
             else:
                 for e in node:
                     walk_exists(e)
@@ -281,12 +471,57 @@ def tm_pred_iris(tm: TriplesMap) -> Optional[set]:
     return preds
 
 
+def _eval_variant(mapping: MappingDocument, tm: TriplesMap,
+                  s_term, o_term, single_pred, o_cmps):
+    """(ok, conj) for one pattern instantiation against one TM.  ok=False
+    means the TM provably cannot produce a triple matching it (with its
+    filters); conj is the derived row constraint (possibly empty)."""
+    conj: dict = {}
+    if s_term[0] == "iri":
+        sub_c = invert_subject(tm, s_term[1])
+        if sub_c is None:
+            return False, None      # TM can't produce this subject
+        if isinstance(sub_c, dict):
+            conj.update(sub_c)
+    if o_term[0] == "iri" and single_pred is not None:
+        obj_c = invert_object(mapping, tm, single_pred, o_term[1])
+        if obj_c is None:
+            return False, None      # no term map with this pred makes it
+        if isinstance(obj_c, dict) and not _conj_merge(conj, obj_c):
+            return False, None      # unsatisfiable conjunction: no match
+    elif o_term[0] in _LIT_KINDS and single_pred is not None:
+        obj_c = invert_object_literal(mapping, tm, single_pred, o_term)
+        if obj_c is None:
+            return False, None      # no literal om under this pred
+        if isinstance(obj_c, dict) and not _conj_merge(conj, obj_c):
+            return False, None
+    for op, num_lex in (o_cmps if single_pred is not None else []):
+        cmp_c = invert_object_compare(mapping, tm, single_pred, op, num_lex)
+        if cmp_c is None:
+            return False, None      # numeric filter can never hold here
+        if isinstance(cmp_c, dict) and not _conj_merge(conj, cmp_c):
+            return False, None
+    return True, conj
+
+
 def derive_tm_constraints(mapping: MappingDocument,
-                          q: Union[str, SelectQuery]) -> dict:
+                          q: Union[str, SelectQuery],
+                          tables: Optional[dict] = None) -> dict:
     """Per-TM source constraints for a parsed query:
        None           → unconstrained (full scan)
        []             → TM generates no pattern-matching triple: eliminate
-       [dict, ...]    → OR of column/ref→value equality conjunctions."""
+       [dict, ...]    → OR of column/ref→predicate conjunctions.
+
+    Cross-pattern propagation (the reference's bind_m reduction +
+    join-transferred conditions, MorphBaseQueryTranslator /
+    AbstractQueryInnerJoin): when a TM's subject space is provably
+    disjoint from every other TM's, a subject variable shared between
+    top-level required patterns must be served ENTIRELY by this TM — a
+    pattern it cannot match kills all its patterns for that variable
+    (candidacy pruning); and when the subject is additionally unique per
+    source row (xrr:uniqueRef through an injective render — needs
+    ``tables`` for the schema), the per-pattern constraints AND together
+    instead of forcing a full scan via the weakest pattern."""
     if isinstance(q, str):
         q = parse_sparql(q)
     if q.describe is not None:
@@ -294,43 +529,94 @@ def derive_tm_constraints(mapping: MappingDocument,
         # inversion is out of scope, so never constrain
         return {name: None for name in mapping.triples_maps}
     pats: list = []
-    _collect(q.where, pats)
+    _collect(q.where, pats, top=True)
     if q.construct:
         pass    # CONSTRUCT template doesn't read sources
+
+    from .native import (subject_renders_unique, subject_space,
+                         subject_spaces_disjoint)
+    spaces = {n: subject_space(tm) for n, tm in mapping.triples_maps.items()}
+    disjoint, unique = {}, {}
+    for name, tm in mapping.triples_maps.items():
+        disjoint[name] = all(
+            other == name or subject_spaces_disjoint(spaces[name], osp)
+            for other, osp in spaces.items())
+        uq = False
+        if disjoint[name] and tables is not None \
+                and tm.logical_source.kind == "table" \
+                and tm.logical_source.value in tables:
+            uq = subject_renders_unique(tm, tables[tm.logical_source.value])
+        unique[name] = uq
+
     out = {}
     for name, tm in mapping.triples_maps.items():
         emits = tm_pred_iris(tm)
+        # evaluate every pattern once: (record, [(ok, conj), ...])
+        evals = []
+        for rec in pats:
+            preds = rec["preds"]
+            if preds is not None and emits is not None \
+                    and not (preds & emits):
+                evals.append((rec, None))   # pattern can't match TM triples
+                continue
+            single_pred = next(iter(preds)) \
+                if preds is not None and len(preds) == 1 else None
+            results = [_eval_variant(mapping, tm, s, o, single_pred,
+                                     rec["cmps"])
+                       for s, o in rec["variants"]]
+            evals.append((rec, results))
+
+        # per-subject-variable candidacy + AND-combined constraints from
+        # the top-level required patterns (sound only under disjoint /
+        # disjoint+unique — see docstring)
+        var_dead: set = set()
+        var_conj: dict = {}
+        if disjoint[name]:
+            for rec, results in evals:
+                svar = rec["svar"]
+                if not rec["top"] or svar is None:
+                    continue
+                if results is None:
+                    # TM emits none of the pattern's predicates: it cannot
+                    # serve any binding of svar either
+                    var_dead.add(svar)
+                    continue
+                oks = [c for ok, c in results if ok]
+                if not oks:
+                    var_dead.add(svar)  # TM serves no binding of svar
+                    continue
+                if unique[name] and len(oks) == 1 and oks[0]:
+                    cur = var_conj.setdefault(svar, {})
+                    if not _conj_merge(cur, oks[0]):
+                        var_dead.add(svar)
+
         constraints: list[dict] = []
         seen = set()
         unconstrained = False
-        for s_term, preds, o_term in pats:
-            if preds is not None and emits is not None and not (preds & emits):
-                continue            # this pattern can't match TM triples
-            conj: dict = {}
-            if s_term[0] == "iri":
-                sub_c = invert_subject(tm, s_term[1])
-                if sub_c is None:
-                    continue        # TM can't produce this subject
-                if isinstance(sub_c, dict):
-                    conj.update(sub_c)
-            if o_term[0] == "iri" and preds is not None and len(preds) == 1:
-                obj_c = invert_object(mapping, tm, next(iter(preds)),
-                                      o_term[1])
-                if obj_c is None:
-                    continue        # no term map with this pred makes it
-                if isinstance(obj_c, dict):
-                    clash = any(k in conj and conj[k] != v
-                                for k, v in obj_c.items())
-                    if clash:
-                        continue    # unsatisfiable conjunction: no match
-                    conj.update(obj_c)
-            if not conj:
-                unconstrained = True
+        for rec, results in evals:
+            if results is None:
+                continue
+            svar = rec["svar"]
+            if svar is not None and svar in var_dead:
+                continue            # no svar-binding can use this TM
+            for ok, conj in results:
+                if not ok:
+                    continue
+                if svar is not None and unique[name] \
+                        and svar in var_conj:
+                    merged = dict(conj)
+                    if not _conj_merge(merged, var_conj[svar]):
+                        continue    # unsat with the variable's conj
+                    conj = merged
+                if not conj:
+                    unconstrained = True
+                    break
+                key = frozenset(conj.items())   # all values hashable
+                if key not in seen:
+                    seen.add(key)
+                    constraints.append(conj)
+            if unconstrained:
                 break
-            key = frozenset(conj.items())
-            if key not in seen:
-                seen.add(key)
-                constraints.append(conj)
         out[name] = None if unconstrained else constraints
     return out
 
@@ -350,7 +636,7 @@ def answer_tabular(spark: SparkSession, mapping: MappingDocument,
     from .native import NativeCompiler
     q = query_text if isinstance(query_text, SelectQuery) \
         else parse_sparql(query_text)
-    constraints = derive_tm_constraints(mapping, q)
+    constraints = derive_tm_constraints(mapping, q, tables)
     tm_row_filters = {n: c for n, c in constraints.items()
                       if c is not None and c}
     tm_skip = {n for n, c in constraints.items()
@@ -406,6 +692,9 @@ def _conj_to_find(tm: TriplesMap, conj: dict) -> Optional[dict]:
     (sources.py: Mongo's type-sensitive numeric equality is not)."""
     clauses = []
     for ref, value in conj.items():
+        if isinstance(value, tuple):
+            continue    # lexeq/cmp constraints stay tabular-only; a
+            # partial conjunction is still a sound find() prune
         field = _doc_field_for_ref(tm, ref)
         if field is None:
             continue

@@ -272,6 +272,18 @@ def queries():
     return q
 
 
+# Idle-box single-thread spin reference for THIS VM class (measured
+# 173-175 ms across quiet runs).  VERDICT r4: two clean same-code runs
+# differed 14% while the spin itself drifted 26% (VM steal / frequency) —
+# the load-average flag can't see per-core speed drift, so the headline
+# is ALSO reported normalized by the run's own spin speed:
+#   tps_normalized = tps * (spin_ms / SPIN_NOMINAL_MS)
+# i.e. a run on a temporarily slow CPU gets its throughput credited back
+# proportionally.  Cross-run comparisons should use the normalized value;
+# the raw value stays the ground truth for absolute throughput.
+SPIN_NOMINAL_MS = 174.0
+
+
 def _spin_ms(n: int = 4_000_000) -> float:
     """Single-thread CPU calibration: wall time of a fixed pure-Python
     loop.  On an idle box this is stable to a few %; a shared-host load
@@ -303,19 +315,26 @@ def main() -> None:
     ensure_corpus(spark, sf_dir)
     ops_dir = ensure_scaled_tables(spark, sf_dir)
 
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # min-of-3 (VERDICT r4 item 3): iteration 1 includes JIT warmup and
+    # iterations bounce ±15-30% on this shared VM; the min is the least
+    # noise-inflated sample
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
+    spreads: dict[str, float] = {}
     for name, fn in queries().items():
         qdir = sf_dir if name.startswith("kg_") else ops_dir
-        best = None
+        samples = []
         for _ in range(iters):
             t0 = time.time()
             df = fn(spark, qdir)
             counts[name] = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        times[name] = round(min(samples), 3)
+        # relative spread of the non-warmup samples — the run's own
+        # repeatability evidence (iteration 1 is JIT warmup, excluded)
+        tail = samples[1:] or samples
+        spreads[name] = round(max(tail) / min(tail) - 1.0, 3)
 
     load_after = host_load_probe()
     # noisy = the box was already busy before we started (load that isn't
@@ -326,6 +345,11 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     headline_tps = (round(counts["kg_repo_corpus"] / times["kg_repo_corpus"])
                     if times.get("kg_repo_corpus") else None)
+    # spin normalization: credit back per-core speed drift so two clean
+    # runs of the same code agree (see SPIN_NOMINAL_MS)
+    run_spin = min(load_before["spin_ms"], load_after["spin_ms"])
+    spin_factor = run_spin / SPIN_NOMINAL_MS
+    sorted_spreads = sorted(spreads.values())
     print(json.dumps({
         "metric": "kg_materialization_bench_seconds",
         "value": total,
@@ -335,6 +359,16 @@ def main() -> None:
         "cpus": cpus,
         "triples": counts,
         "triples_per_sec_headline": headline_tps,
+        "triples_per_sec_headline_normalized":
+            round(headline_tps * spin_factor) if headline_tps else None,
+        "spin_factor": round(spin_factor, 3),
+        "repeatability": {
+            "iters": iters,
+            "per_query_rel_spread": spreads,
+            "median_rel_spread": round(
+                sorted_spreads[len(sorted_spreads) // 2], 3)
+            if sorted_spreads else None,
+        },
         "host_load_before": load_before,
         "host_load_after": load_after,
         "host_noise_suspected": noisy,

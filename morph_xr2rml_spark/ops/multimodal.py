@@ -14,10 +14,14 @@ signatures) is real and tested.  Decoding tiers:
   Image
   features are grid-pooled mean RGB — the "resize" step as average
   pooling.  These run end-to-end in this container, no PIL/cv2 needed.
-- STUB for video codecs (MP4/...): real video decode needs external
-  libraries that are not in this environment.  ``fake_feature``
+- REAL video decode for MJPEG-in-AVI (``decode_avi_mjpeg``: RIFF chunk
+  walk → per-frame baseline JPEG via ops/jpeg.py; ``video_feature`` =
+  temporal mean of per-frame grid-pooled features).
+- STUB for other video codecs (MP4/H.264/...): inter-frame codecs need
+  external libraries that are not in this environment.  ``fake_feature``
   provides a deterministic stand-in so downstream stages (similarity,
-  dedup) exercise the same plan shape.
+  dedup) exercise the same plan shape; the production swap-in is ffmpeg
+  under the same payload→frames contract.
 
 PRODUCTION SWAP-IN BOUNDARY: the pure-Python decoders are the
 correctness tier — they make the plumbing testable end-to-end in this
@@ -414,11 +418,111 @@ def jpeg_feature(payload: bytes, grid: int = 4) -> list[float]:
     return _grid_pool(w, h, px, grid)
 
 
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI — a REAL container+codec decode in pure stdlib
+# (RIFF chunk walk → per-frame baseline JPEG via ops/jpeg.py).  Other
+# video codecs (MP4/H.264/...) remain behind the fake_feature stand-in;
+# the production swap-in for those is ffmpeg under the same
+# payload→frames contract.
+# ---------------------------------------------------------------------------
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""       # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def make_avi_mjpeg(seed: int, width: int = 16, height: int = 16,
+                   n_frames: int = 4, fps: int = 4) -> bytes:
+    """Deterministic MJPEG AVI: RIFF('AVI ') with avih/strh/strf headers,
+    a movi list of per-frame baseline JPEGs (frame f uses the seeded
+    pixel formula shifted by f) and an idx1 index."""
+    from .jpeg import encode_jpeg
+    us_per_frame = 1_000_000 // fps
+    frames = []
+    for f in range(n_frames):
+        s = seed + 1000 * f
+        pix = [((x * 13 + s * 7) % 256,
+                (y * 29 + s * 11) % 256,
+                ((x + y) * 31 + s * 3) % 256)
+               for y in range(height) for x in range(width)]
+        frames.append(encode_jpeg(width, height, pix))
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10, n_frames, 0, 1,
+                       max(len(f) for f in frames), width, height,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+                                            n_frames, 0, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_body = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    movi = _riff_list(b"movi", movi_body)
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> dict:
+    """MJPEG AVI → {width, height, n_frames, us_per_frame, frames} with
+    frames decoded to (w, h, RGB pixels) by the stdlib JPEG decoder.
+    Walks the RIFF structure (hdrl for geometry/timing, movi for '00dc'/
+    '00db' frame chunks, nested 'rec ' lists tolerated)."""
+    from .jpeg import decode_jpeg
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    meta = {"width": None, "height": None, "n_frames": None,
+            "us_per_frame": None}
+    frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            ln = struct.unpack_from("<I", buf, pos + 4)[0]
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_start + ln)
+            elif fourcc == b"avih":
+                (meta["us_per_frame"], _, _, _, meta["n_frames"], _, _, _,
+                 meta["width"], meta["height"]) = \
+                    struct.unpack_from("<10I", buf, data_start)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(decode_jpeg(buf[data_start:data_start + ln]))
+            pos = data_start + ln + (ln % 2)      # word alignment
+
+    walk(payload, 12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    meta["frames"] = frames
+    if meta["n_frames"] is None:
+        meta["n_frames"] = len(frames)
+    return meta
+
+
+def video_feature(payload: bytes, grid: int = 4) -> list[float]:
+    """Temporal mean of per-frame grid-pooled RGB features over the real
+    MJPEG decode — frame sampling + feature extraction in one pass."""
+    d = decode_avi_mjpeg(payload)
+    per_frame = [_grid_pool(w, h, px, grid) for w, h, px in d["frames"]]
+    n = len(per_frame)
+    return [sum(f[i] for f in per_frame) / n
+            for i in range(len(per_frame[0]))]
+
+
 def decode_image(payload: bytes) -> "object":
     """Image decode dispatch on magic bytes: BMP, PNG (every legal bit
     depth, incl. Adam7) and baseline (4:4:4/4:2:0) or progressive JPEG
     all decode natively (pure stdlib — see ops/jpeg.py for the
-    remaining boundaries).  Video codecs (MP4/...) remain stubbed:
+    remaining boundaries).  MJPEG-in-AVI video decodes natively too
+    (decode_avi_mjpeg); other video codecs (MP4/...) remain stubbed:
     fake_feature."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -472,7 +576,13 @@ def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
             payload = make_wav(i)
             rows.append((i, kind, "audio/wav", None, None, 50,
                          bytearray(payload)))
+        elif (i // 3) % 2 == 0:
+            # REAL video: MJPEG-in-AVI (4 frames @ 4 fps, stdlib decode)
+            payload = make_avi_mjpeg(i)
+            rows.append((i, kind, "video/avi", 16, 16, 1000,
+                         bytearray(payload)))
         else:
+            # other codecs (MP4/...): documented fake_feature stand-in
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
             rows.append((i, kind, "video/x-fake", None, None,
                          1000 * (i % 7), bytearray(payload)))
@@ -501,6 +611,8 @@ def extract_features(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                     feats.append(png_feature(b))
                 elif mime == "image/jpeg":
                     feats.append(jpeg_feature(b))
+                elif mime == "video/avi":
+                    feats.append(video_feature(b))
                 else:
                     feats.append(fake_feature(b))
             yield pd.DataFrame({"media_id": ids, "feature": feats,
@@ -596,6 +708,10 @@ def _expected_feature_rows(n: int = 48) -> list[tuple]:
         elif kind == "audio":
             payload, mime = make_wav(i), "audio/wav"
             feat, q = _analytic_wav_feature(i), 1000
+        elif (i // 3) % 2 == 0:
+            payload, mime = make_avi_mjpeg(i), "video/avi"
+            # lossy per-frame JPEG: value-locked like the JPEG image rows
+            feat, q = video_feature(payload), 100
         else:
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
             mime = "video/x-fake"
@@ -619,10 +735,11 @@ def multimodal_features_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           + F.lit(_QUANT_EPS))
                          .cast("long").cast("string")), ",")
 
+    lossy = F.col("mime").isin("image/jpeg", "video/avi")
     return (feats.join(F.broadcast(media.select("media_id", "mime")),
                        "media_id")
             .select(F.col("media_id"), F.col("mime"), F.col("n_bytes"),
-                    F.when(F.col("mime") == "image/jpeg", quant_expr(100.0))
+                    F.when(lossy, quant_expr(100.0))
                      .otherwise(quant_expr(1000.0)).alias("feat_q"))
             .orderBy("media_id"))
 
@@ -638,8 +755,9 @@ def multimodal_features_oracle_sql() -> str:
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame timestamp
-    (native explode over the duration — the video decode itself is
-    stubbed; no codec library in this container)."""
+    (native explode over the duration).  For MJPEG-in-AVI payloads the
+    frames themselves decode natively (decode_avi_mjpeg); for other
+    codecs only the sampling plan is real."""
     frames = F.explode(F.sequence(
         F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
         F.lit(every_ms)))

@@ -452,3 +452,59 @@ def test_jpeg_restart_intervals_equal_plain(ri):
     dri = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix,
                                             restart_interval=ri))
     assert plain == dri
+
+
+# ---------------------------------------------------------------------------
+# Round 5: MJPEG-in-AVI — real container + codec decode (pure stdlib)
+# ---------------------------------------------------------------------------
+
+def test_avi_mjpeg_container_roundtrip_exact():
+    """The container layer adds no loss: every frame extracted from the
+    AVI must decode byte-identically to a direct JPEG decode of the same
+    seeded pixels — an oracle for the RIFF walk independent of the
+    (already value-locked) JPEG codec."""
+    from morph_xr2rml_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from morph_xr2rml_spark.ops.multimodal import (decode_avi_mjpeg,
+                                                   make_avi_mjpeg)
+    d = decode_avi_mjpeg(make_avi_mjpeg(5))
+    assert (d["width"], d["height"], d["n_frames"],
+            d["us_per_frame"]) == (16, 16, 4, 250000)
+    for f, frame in enumerate(d["frames"]):
+        s = 5 + 1000 * f
+        pix = [((x * 13 + s * 7) % 256, (y * 29 + s * 11) % 256,
+                ((x + y) * 31 + s * 3) % 256)
+               for y in range(16) for x in range(16)]
+        assert frame == decode_jpeg(encode_jpeg(16, 16, pix))
+
+
+def test_avi_mjpeg_odd_geometry_and_padding():
+    # odd JPEG sizes force RIFF word-alignment padding in the movi list
+    from morph_xr2rml_spark.ops.multimodal import (decode_avi_mjpeg,
+                                                   make_avi_mjpeg)
+    d = decode_avi_mjpeg(make_avi_mjpeg(7, width=15, height=11,
+                                        n_frames=3, fps=2))
+    assert d["width"] == 15 and d["height"] == 11
+    assert len(d["frames"]) == 3
+    assert d["frames"][0][0] == 15 and d["frames"][0][1] == 11
+
+
+def test_avi_rejects_non_avi():
+    import pytest as _pytest
+    from morph_xr2rml_spark.ops.multimodal import decode_avi_mjpeg
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(b"garbage")
+
+
+def test_video_feature_is_temporal_mean():
+    from morph_xr2rml_spark.ops.multimodal import (_grid_pool,
+                                                   decode_avi_mjpeg,
+                                                   make_avi_mjpeg,
+                                                   video_feature)
+    b = make_avi_mjpeg(11)
+    per_frame = [_grid_pool(w, h, px) for w, h, px in
+                 decode_avi_mjpeg(b)["frames"]]
+    want = [sum(f[i] for f in per_frame) / len(per_frame)
+            for i in range(48)]
+    assert video_feature(b) == want

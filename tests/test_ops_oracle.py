@@ -46,10 +46,15 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.extract_features(media)
     rows = feats.collect()
     assert len(rows) == 30
-    # per-modality feature widths: bmp grid 4x4x3=48, wav 8 windows+zcr=9,
-    # video fake=16
+    # per-modality feature widths: image grid 4x4x3=48, wav 8 windows+
+    # zcr=9, video: MJPEG-AVI rows decode for real (48-dim temporal mean
+    # of per-frame grid pools), other codecs keep the 16-dim stand-in
     widths = {r.media_id: len(r.feature) for r in rows}
-    assert all(widths[i] == {0: 48, 1: 9, 2: 16}[i % 3] for i in widths)
+    assert all(
+        widths[i] == (48 if i % 3 == 0 else
+                      9 if i % 3 == 1 else
+                      48 if (i // 3) % 2 == 0 else 16)
+        for i in widths)
     # deterministic: same payload → same feature
     again = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)

@@ -385,9 +385,35 @@ def _collect(group: Group, out: list, top: bool = False,
         else:
             conjuncts.append(node)
 
+    def _disjunct_eqs(node, acc):
+        """Collect ('or'-nested) var=const equalities; False = a disjunct
+        has another shape (the whole disjunction is unusable)."""
+        if isinstance(node, tuple) and node and node[0] == "or":
+            return all(_disjunct_eqs(sub, acc) for sub in node[1:])
+        if isinstance(node, tuple) and node and node[0] == "cmp" \
+                and node[1] == "=":
+            for a, b in ((node[2], node[3]), (node[3], node[2])):
+                if a[0] == "var":
+                    if b[0] == "str" and '"' not in b[1] \
+                            and "\\" not in b[1]:
+                        b = ("lit", f'"{b[1]}"')
+                    if b[0] in ("iri", "lit", "lit_exact"):
+                        acc.append((a[1], b))
+                        return True
+        return False
+
     for flt in group.filters:
         _flatten_and(flt)
     for flt in conjuncts:
+        # top-level OR of var=const equalities on ONE variable promotes
+        # to a constant disjunction: FILTER(?s = <a> || ?s = <b>)
+        if isinstance(flt, tuple) and flt and flt[0] == "or":
+            eqs: list = []
+            if _disjunct_eqs(flt, eqs) and eqs \
+                    and len({v for v, _ in eqs}) == 1:
+                var_consts.setdefault(eqs[0][0], []).extend(
+                    t for _, t in eqs)
+            continue
         if isinstance(flt, tuple) and flt[0] == "cmp":
             sides = (flt[2], flt[3])
             for a, b in (sides, sides[::-1]):
@@ -403,11 +429,37 @@ def _collect(group: Group, out: list, top: bool = False,
                     # numeric comparison (incl. '='): value-based
                     var_cmps.setdefault(a[1], []).append((op, b[1]))
     for vars_, rows in group.values:
-        if len(vars_) == 1 and rows and \
-                all(r[0][0] in ("iri",) + _LIT_KINDS for r in rows):
-            var_consts.setdefault(vars_[0], []).extend(r[0] for r in rows)
+        # per-variable projection of a (possibly multi-var) VALUES block:
+        # a column that is all constants (no UNDEF) bounds its variable;
+        # cross-variable correlation is dropped (superset, sound)
+        for idx, var in enumerate(vars_):
+            if rows and all(r[idx][0] in ("iri",) + _LIT_KINDS
+                            for r in rows):
+                var_consts.setdefault(var, []).extend(r[idx] for r in rows)
     for tp in group.patterns:
         if tp.p[0] not in ("iri", "var"):
+            if tp.p[0] == "seq" and tp.s[0] == "iri" \
+                    and isinstance(tp.p[1][0], tuple) \
+                    and tp.p[1][0][0] == "iri":
+                # sequence path with a constant subject: the FIRST hop is
+                # anchored at that subject, so TMs producing its
+                # predicate are constrained exactly like a plain pattern
+                # (<s> p/q ?o ⇒ p-triples only matter with subject <s>);
+                # the remaining steps stay unconstrained
+                out.append({"preds": {tp.p[1][0][1]}, "svar": None,
+                            "top": False, "cmps": [],
+                            "variants": [(tp.s, ("var", "*"))]})
+                rest: Optional[set] = set()
+                for elt in tp.p[1][1:]:
+                    sub = _path_iris(elt)
+                    if sub is None:
+                        rest = None
+                        break
+                    rest |= sub
+                out.append({"preds": rest, "svar": None, "top": False,
+                            "cmps": [],
+                            "variants": [(("var", "*"), ("var", "*"))]})
+                continue
             # closures walk intermediate nodes: never constrain
             out.append({"preds": _path_iris(tp.p), "svar": None,
                         "top": False, "cmps": [],

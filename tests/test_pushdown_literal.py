@@ -253,3 +253,83 @@ def test_propagation_optional_strengthened(spark):
                    || '"^^<http://www.w3.org/2001/XMLSchema#decimal>'
         FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY 1""")]
     assert got == exp and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 breadth: OR'd subject equalities, multi-var VALUES, sequence-
+# path first-hop constraints
+# ---------------------------------------------------------------------------
+
+def test_or_subject_equalities_promote(spark):
+    from morph_xr2rml_spark.rewrite import derive_tm_constraints
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?p ?o WHERE { ?s ?p ?o .
+            FILTER(?s = <http://example.org/order/1>
+                || ?s = <http://example.org/order/2>) }""")
+    assert cons["#Orders"] == [{"o_orderkey": "1"}, {"o_orderkey": "2"}]
+    assert cons["#Customer"] == []          # cannot render order/ subjects
+    # plan + parity: both keys as an OR'd scan predicate
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables, PREFIX + """
+        SELECT ?o WHERE { ?s ex:totalPrice ?o .
+            FILTER(?s = <http://example.org/order/1>
+                || ?s = <http://example.org/order/2>) } ORDER BY ?o""")
+    exp = _duck("""
+        SELECT '"' || CAST(o_totalprice AS DECIMAL(12,2))
+               || '"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+        FROM orders WHERE o_orderkey IN (1, 2) ORDER BY 1""")
+    assert [r.o for r in df.collect()] == [r[0] for r in exp]
+    assert len(exp) == 2
+
+
+def test_multi_var_values_projects_per_variable(spark):
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables, PREFIX + """
+        SELECT ?c ?s WHERE { ?c ex:segment ?s .
+            VALUES (?c ?s) { (<http://example.org/customer/5> UNDEF)
+                             (<http://example.org/customer/9> UNDEF) } }
+        ORDER BY ?c""")
+    plan = _plan(df)
+    for absent in ("orders.parquet", "nation.parquet", "region.parquet"):
+        assert absent not in plan
+    exp = _duck("""
+        SELECT '<http://example.org/customer/' || c_custkey || '>',
+               '"' || c_mktsegment || '"'
+        FROM customer WHERE c_custkey IN (5, 9) ORDER BY 1""")
+    assert [(r.c, r.s) for r in df.collect()] == [(a, b) for a, b in exp]
+    assert len(exp) == 2
+
+
+def test_seq_path_first_hop_constrained(spark):
+    """<order/1> ex:placedBy/ex:name ?n — the first hop is anchored at
+    the constant subject, so the Orders scan carries o_orderkey = 1;
+    later steps stay unconstrained (VERDICT r4 item 6)."""
+    from morph_xr2rml_spark.rewrite import derive_tm_constraints
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?n WHERE {
+            <http://example.org/order/1> ex:placedBy/ex:name ?n }""")
+    assert cons["#Orders"] == [{"o_orderkey": "1"}]
+    assert cons["#Customer"] is None        # serves the second hop
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables, PREFIX + """
+        SELECT ?n WHERE {
+            <http://example.org/order/1> ex:placedBy/ex:name ?n }""")
+    exp = _duck("""
+        SELECT '"' || c_name || '"' FROM customer
+        WHERE c_custkey = (SELECT o_custkey FROM orders
+                           WHERE o_orderkey = 1)""")
+    assert [r.n for r in df.collect()] == [r[0] for r in exp]
+    assert len(exp) == 1
+
+
+def test_closure_paths_still_unconstrained(spark):
+    """p+ / p* must not inherit first-hop constraints (the closure walks
+    subjects other than the constant)."""
+    from morph_xr2rml_spark.rewrite import derive_tm_constraints
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?x WHERE { <http://example.org/nation/0> ex:inRegion+ ?x }""")
+    assert cons["#Nation"] is None          # full scan for the closure

@@ -104,14 +104,20 @@ def test_derive_filter_eq_and_values_promote():
     assert cons["#Orders"] == [{"o_orderkey": "1"}, {"o_orderkey": "2"}]
 
 
-def test_derive_path_pattern_never_constrains():
+def test_derive_path_pattern_first_hop_only():
     mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
     cons = derive_tm_constraints(mapping, PREFIX + """
         SELECT ?r WHERE { <http://example.org/customer/5>
                           ex:inNation/ex:inRegion ?r }""")
-    # closure evaluation needs the full pred pair-sets
-    assert cons["#Customer"] is None
+    # r5: the first hop of a SEQUENCE path is anchored at the constant
+    # subject, so the inNation producer is constrained; later steps need
+    # their full pred pair-sets (Nation serves ex:inRegion unconstrained)
+    assert cons["#Customer"] == [{"c_custkey": "5"}]
     assert cons["#Nation"] is None
+    # closures (p+/p*) never constrain — walked subjects are unbounded
+    cons2 = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?r WHERE { <http://example.org/nation/0> ex:inRegion+ ?r }""")
+    assert cons2["#Nation"] is None
 
 
 # -- tabular answering + plan audit -----------------------------------------

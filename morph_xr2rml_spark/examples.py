@@ -614,6 +614,71 @@ ORDER BY c
 """
 
 
+# Document-tier literal pushdown (round 5): flat order documents so the
+# object references are document-level (pushable into find()) — the
+# lineitem mapping's refs are iterator-relative and correctly stay
+# unpushed.
+ORDERDOC_FLAT_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#ODoc>
+    a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.orderflat.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/odoc/{$.ok}"; rr:class ex:ODoc ];
+    rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ xrr:reference "$.st" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:cust; rr:objectMap [ xrr:reference "$.ck" ] ].
+"""
+
+
+def orderflat_catalog(spark: SparkSession, sf_dir: str) -> SourceCatalog:
+    docs = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.to_json(F.struct(
+                F.col("o_orderkey").alias("ok"),
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_custkey").alias("ck"))).alias("content")))
+    return SourceCatalog().register_collection("orderflat", docs)
+
+
+def sparql_pushdown_doclit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-literal constant pushdown on the DOCUMENT tier: "P" inverts
+    to the internal $renderIn find() operator (render-mirror membership)
+    composed into the source filter — stays json-native compilable."""
+    from .rewrite import answer_documents
+    mapping = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    return answer_documents(spark, mapping, orderflat_catalog(spark, sf_dir),
+                            SPARQL_PREFIX + """
+        SELECT ?s WHERE { ?s ex:status "P" } ORDER BY ?s""")
+
+
+SPARQL_PUSHDOWN_DOCLIT_SQL = f"""
+SELECT '<{EX}odoc/' || o_orderkey || '>' AS s
+FROM orders WHERE o_orderstatus = 'P'
+ORDER BY s
+"""
+
+
+def sparql_pushdown_doccmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric comparison FILTER pushdown on the DOCUMENT tier: the
+    $numCmp find() operator (try_cast value predicate) prunes documents
+    at the scan."""
+    from .rewrite import answer_documents
+    mapping = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    return answer_documents(spark, mapping, orderflat_catalog(spark, sf_dir),
+                            SPARQL_PREFIX + """
+        SELECT ?s ?c WHERE { ?s ex:cust ?c . FILTER(?c < 10) }
+        ORDER BY ?s""")
+
+
+SPARQL_PUSHDOWN_DOCCMP_SQL = f"""
+SELECT '<{EX}odoc/' || o_orderkey || '>' AS s,
+       '"' || o_custkey || '"^^<{_XSD}integer>' AS c
+FROM orders WHERE o_custkey < 10
+ORDER BY s
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
     "sparql_pushdown_point": (sparql_pushdown_point,
@@ -623,6 +688,10 @@ EXTRA_QUERIES = {
     "sparql_pushdown_doc": (sparql_pushdown_doc, SPARQL_PUSHDOWN_DOC_SQL),
     "sparql_pushdown_lit": (sparql_pushdown_lit, SPARQL_PUSHDOWN_LIT_SQL),
     "sparql_pushdown_seg": (sparql_pushdown_seg, SPARQL_PUSHDOWN_SEG_SQL),
+    "sparql_pushdown_doclit": (sparql_pushdown_doclit,
+                               SPARQL_PUSHDOWN_DOCLIT_SQL),
+    "sparql_pushdown_doccmp": (sparql_pushdown_doccmp,
+                               SPARQL_PUSHDOWN_DOCCMP_SQL),
     "sparql_path_deep": (sparql_path_deep, SPARQL_PATH_DEEP_SQL),
     "sparql_lang_filter": (sparql_lang_filter, SPARQL_LANG_FILTER_SQL),
     "sparql_typed_lit": (sparql_typed_lit_pattern, SPARQL_TYPED_LIT_SQL),

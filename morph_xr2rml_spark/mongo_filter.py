@@ -64,10 +64,21 @@ def parse_filter(text: str) -> dict:
 
 
 def _json_lex(v: Any) -> str:
-    """The JSON lexical form get_json_object would return for a scalar."""
+    """The JSON lexical form get_json_object would return for a value
+    (structures re-serialized to compact JSON, matching both
+    get_json_object and the doc-tier term render _obj_to_text)."""
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     return str(v)
+
+
+def _num(v: Any):
+    try:
+        return float(v) if not isinstance(v, bool) else None
+    except (TypeError, ValueError):
+        return None
 
 
 def _get_path(doc: Any, path: str) -> tuple[bool, Any]:
@@ -109,6 +120,44 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                         ok, x = _get_path(d, k)
                         return ok and _json_lex(x) in vs
                     conds.append(lex_in)
+                elif op == "$renderIn":
+                    # internal pushdown operator (rewrite.py literal
+                    # constants): the doc-tier LITERAL RENDER of the
+                    # value (trim + encode_literal of the lexical form)
+                    # is in the list, OR the value compares numerically
+                    # equal to a numeric member (covers raw spellings
+                    # like 7.50 rendering "7.5")
+                    from .functions.encoding import encode_literal
+                    nums = tuple(n for n in (_num(v) for v in operand)
+                                 if n is not None)
+
+                    def render_in(d, k=key,
+                                  vs=tuple(str(v) for v in operand),
+                                  nums=nums):
+                        ok, x = _get_path(d, k)
+                        if not ok:
+                            return False
+                        if encode_literal(_json_lex(x).strip()) in vs:
+                            return True
+                        n = _num(x)
+                        return n is not None and n in nums
+                    conds.append(render_in)
+                elif op == "$numCmp":
+                    # internal pushdown operator (rewrite.py comparison
+                    # FILTERs): numeric value comparison; non-numeric
+                    # values never match (engine: numeric_value → NULL)
+                    _OPS = {"=": lambda a, b: a == b,
+                            "<": lambda a, b: a < b,
+                            ">": lambda a, b: a > b,
+                            "<=": lambda a, b: a <= b,
+                            ">=": lambda a, b: a >= b}
+
+                    def num_cmp(d, k=key, ops=tuple(operand.items())):
+                        ok, x = _get_path(d, k)
+                        n = _num(x) if ok else None
+                        return n is not None and \
+                            all(_OPS[o](n, float(v)) for o, v in ops)
+                    conds.append(num_cmp)
                 elif op == "$nin":
                     # Mongo: $nin also matches docs where the field is
                     # MISSING (unlike $in)

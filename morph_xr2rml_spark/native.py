@@ -500,6 +500,11 @@ class NativeCompiler:
         for conj in constraints:
             c = F.lit(True)
             for col, value in conj.items():
+                if col not in df.columns:
+                    # a non-column reference (doc-tier constraint leaking
+                    # into a tabular scan): dropping the term keeps a
+                    # SUPERSET of the rows — sound
+                    continue
                 c = c & pred_col(col, value)
             ored = c if ored is None else (ored | c)
         return ored if ored is not None else F.lit(True)

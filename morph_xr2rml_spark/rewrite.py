@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import namespaces as NS
 from .functions.templates import get_template_groups
-from .model import (COLUMN, CONSTANT, TEMPLATE, MappingDocument,
+from .model import (COLUMN, CONSTANT, REFERENCE, TEMPLATE, MappingDocument,
                     TriplesMap, parse_mongo_query)
 from .sparql import Group, SelectQuery, SparqlEngine, parse_sparql
 
@@ -224,6 +224,9 @@ def invert_object_literal(mapping: MappingDocument, tm: TriplesMap,
         for om in oms:
             if om.kind == COLUMN:
                 candidates.append({om.column: ("cmp", (("=", raw),))})
+            elif om.kind == REFERENCE and not om.language:
+                # doc tier: numeric value equality via the $numCmp arm
+                candidates.append({om.reference: ("cmp", (("=", raw),))})
             else:
                 # template/constant renders COULD carry a numeric value
                 candidates.append(AMBIGUOUS)
@@ -247,8 +250,11 @@ def invert_object_literal(mapping: MappingDocument, tm: TriplesMap,
                 if om.datatype is not None and \
                         f"^^<{om.datatype}>" != suffix:
                     continue
-                if om.datatype is None and om.kind != COLUMN:
-                    continue        # template/constant w/o dt: plain
+                if om.datatype is None and om.kind not in (COLUMN,
+                                                           REFERENCE):
+                    continue        # template/constant w/o dt render
+                    # plain; COLUMN/REFERENCE may infer a natural
+                    # datatype (schema / JSON value) — keep as candidate
             else:                   # plain literal, exactly
                 if om.language is not None:
                     continue
@@ -258,6 +264,13 @@ def invert_object_literal(mapping: MappingDocument, tm: TriplesMap,
         # datatype/lang suffix is acceptable, only the lexical binds
         if om.kind == COLUMN:
             candidates.append({om.column: ("lexeq", lex)})
+        elif om.kind == REFERENCE:
+            if om.datatype in (NS.XSD_DATETIME, NS.XSD_BOOLEAN):
+                # normalize_datetime/boolean rewrite the lexical AFTER
+                # encoding — the render mirror would diverge
+                candidates.append(AMBIGUOUS)
+            else:
+                candidates.append({om.reference: ("lexeq", lex)})
         elif om.kind == TEMPLATE:
             inv = invert_template(om.template, lex)
             if inv is None:
@@ -284,6 +297,8 @@ def invert_object_compare(mapping: MappingDocument, tm: TriplesMap,
     for om in oms:
         if om.kind == COLUMN:
             candidates.append({om.column: ("cmp", ((op, num_lex),))})
+        elif om.kind == REFERENCE and not om.language:
+            candidates.append({om.reference: ("cmp", ((op, num_lex),))})
         else:
             candidates.append(AMBIGUOUS)   # could render numeric lexicals
     return _merge_candidates(candidates)
@@ -736,19 +751,43 @@ def _lex_variants(value: str) -> list[str]:
     return list(dict.fromkeys(variants))
 
 
-def _conj_to_find(tm: TriplesMap, conj: dict) -> Optional[dict]:
+def _conj_to_find(tm: TriplesMap, conj: dict,
+                  push_render: bool = True) -> Optional[dict]:
     """Constraint conjunction → find() sub-filter over the pushable
     document-level fields (a partial conjunction is still sound); None
-    when nothing is pushable.  Uses the internal type-blind $lexIn
-    operator so the composed filter stays NATIVELY compilable
-    (sources.py: Mongo's type-sensitive numeric equality is not)."""
+    when nothing is pushable.  Internal operators keep the composed
+    filter NATIVELY compilable (sources.py): type-blind $lexIn for raw
+    template-inversion equalities, $renderIn for object-literal lexical
+    renders, $numCmp for numeric comparison FILTERs.  ``push_render``
+    is False when the engine config diverges from the default render
+    pipeline (literal_trim off / quote encoding on) — the $renderIn
+    mirror would be wrong, so those clauses are skipped."""
     clauses = []
     for ref, value in conj.items():
-        if isinstance(value, tuple):
-            continue    # lexeq/cmp constraints stay tabular-only; a
-            # partial conjunction is still a sound find() prune
         field = _doc_field_for_ref(tm, ref)
         if field is None:
+            continue
+        if isinstance(value, tuple):
+            if value[0] == "lexeq" and push_render:
+                clauses.append({field: {"$renderIn": [value[1]]}})
+            elif value[0] == "cmp":
+                ops = {}
+                for op, lex in value[1]:
+                    try:
+                        v = float(lex)
+                    except (TypeError, ValueError):
+                        ops = None
+                        break
+                    if op in ops:
+                        # duplicate op: keep the WEAKER bound so the
+                        # pushed filter stays a superset (sound)
+                        ops[op] = max(ops[op], v) if op in ("<", "<=") \
+                            else min(ops[op], v) if op in (">", ">=") \
+                            else ops[op]
+                    else:
+                        ops[op] = v
+                if ops:
+                    clauses.append({field: {"$numCmp": ops}})
             continue
         clauses.append({field: {"$lexIn": _lex_variants(value)}})
     if not clauses:
@@ -758,8 +797,8 @@ def _conj_to_find(tm: TriplesMap, conj: dict) -> Optional[dict]:
     return {"$and": clauses}
 
 
-def constrained_mapping(mapping: MappingDocument,
-                        constraints: dict) -> MappingDocument:
+def constrained_mapping(mapping: MappingDocument, constraints: dict,
+                        push_render: bool = True) -> MappingDocument:
     """Deep-copied mapping with derived constraints composed into each
     TM's find() filter; fully-excluded TMs are removed.  TMs referenced
     as ROM parents keep their full scan (the parent side of a join must
@@ -780,7 +819,8 @@ def constrained_mapping(mapping: MappingDocument,
         if not c:
             del m2.triples_maps[name]
             continue
-        ors = [f for f in (_conj_to_find(tm, conj) for conj in c)
+        ors = [f for f in (_conj_to_find(tm, conj, push_render)
+                           for conj in c)
                if f is not None]
         if not ors or len(ors) != len(c):
             continue    # some disjunct not pushable → full scan stays sound
@@ -800,10 +840,14 @@ def answer_documents(spark: SparkSession, mapping: MappingDocument,
     the restricted mapping routes through materialize_auto (json-native
     tier keeps the composed filter as Column predicates on the scan)."""
     from .api import materialize_auto
+    from .translate import EngineConfig
     q = query_text if isinstance(query_text, SelectQuery) \
         else parse_sparql(query_text)
     constraints = derive_tm_constraints(mapping, q)
-    m2 = constrained_mapping(mapping, constraints)
+    eff = cfg or EngineConfig()
+    # the $renderIn mirror assumes the DEFAULT literal render pipeline
+    push_render = eff.literal_trim and not eff.encode_literal_quotes
+    m2 = constrained_mapping(mapping, constraints, push_render)
     if not m2.triples_maps:
         from .engine import TRIPLE_SCHEMA
         triples = spark.createDataFrame([], TRIPLE_SCHEMA)

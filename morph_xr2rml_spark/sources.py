@@ -95,6 +95,35 @@ def _spec_to_column(spec: dict, content_col: str):
                         # type-sensitive numeric equality is not
                         cond = cond & extracted.isin(
                             [str(v) for v in operand])
+                    elif op == "$renderIn" and isinstance(operand, list):
+                        # INTERNAL (rewrite.py object-literal pushdown):
+                        # the doc-tier LITERAL RENDER of the field (trim
+                        # + encode_literal of the lexical) is in the
+                        # list, OR — for numeric members — the value
+                        # compares numerically equal (a raw "7.50"
+                        # renders "7.5"; the numeric arm keeps it)
+                        from .native import encode_literal_col
+                        rendered = encode_literal_col(F.trim(extracted))
+                        c = rendered.isin([str(v) for v in operand])
+                        nums = [float(v) for v in operand
+                                if _is_number(v) or
+                                _looks_numeric(str(v))]
+                        if nums:
+                            c = c | extracted.try_cast("double").isin(nums)
+                        cond = cond & c
+                    elif op == "$numCmp" and isinstance(operand, dict):
+                        # INTERNAL (rewrite.py comparison FILTERs):
+                        # numeric value predicates; non-numeric lexicals
+                        # try_cast to NULL and never match (the engine's
+                        # numeric_value semantics)
+                        num = extracted.try_cast("double")
+                        for o, v in operand.items():
+                            c = {"=": num == float(v), "<": num < float(v),
+                                 ">": num > float(v), "<=": num <= float(v),
+                                 ">=": num >= float(v)}.get(o)
+                            if c is None:
+                                return None
+                            cond = cond & c
                     else:
                         return None
             else:
@@ -143,6 +172,14 @@ def _spec_native_ok(spec: dict) -> bool:
                 elif op == "$lexIn":
                     if not isinstance(operand, list):
                         return False
+                elif op == "$renderIn":
+                    if not isinstance(operand, list):
+                        return False
+                elif op == "$numCmp":
+                    if not isinstance(operand, dict) or not all(
+                            o in ("=", "<", ">", "<=", ">=")
+                            and _is_number(v) for o, v in operand.items()):
+                        return False
                 else:
                     return False
         elif _is_number(val):
@@ -152,6 +189,14 @@ def _spec_native_ok(spec: dict) -> bool:
 
 def _is_number(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _looks_numeric(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def _json_scalar(v) -> str:

@@ -333,3 +333,104 @@ def test_closure_paths_still_unconstrained(spark):
     cons = derive_tm_constraints(mapping, PREFIX + """
         SELECT ?x WHERE { <http://example.org/nation/0> ex:inRegion+ ?x }""")
     assert cons["#Nation"] is None          # full scan for the closure
+
+
+# ---------------------------------------------------------------------------
+# Round-5 doc-tier literal pushdown: $renderIn / $numCmp find() operators
+# ---------------------------------------------------------------------------
+
+DOC_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#P> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.products.find({})" ];
+    rr:subjectMap [ rr:template "http://x/p/{$.id}" ];
+    rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ xrr:reference "$.name" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:price; rr:objectMap [ xrr:reference "$.price" ] ].
+"""
+
+
+def _products_catalog(spark):
+    import json as _json
+    from morph_xr2rml_spark.sources import SourceCatalog
+    docs = [_json.dumps({"id": i, "name": f"n{i}", "price": i * 10.5})
+            for i in range(10)]
+    # trim edge + numeric-looking string + a raw non-canonical spelling
+    docs.append(_json.dumps({"id": 99, "name": " padded ", "price": "77"}))
+    docs.append('{"id": 98, "name": "n98", "price": 7.50}')
+    df = spark.createDataFrame([(d,) for d in docs], "content string")
+    return SourceCatalog().register_collection("products", df)
+
+
+def test_doc_literal_composes_renderin(spark):
+    from morph_xr2rml_spark.rewrite import (constrained_mapping,
+                                            derive_tm_constraints)
+    from morph_xr2rml_spark.sources import mongo_filter_native_ok
+    mapping = MappingDocument.from_text(DOC_MAPPING)
+    cons = derive_tm_constraints(mapping,
+                                 PREFIX + 'SELECT ?s WHERE { ?s ex:name "n3" }')
+    assert cons["#P"] == [{"$.name": ("lexeq", "n3")}]
+    m2 = constrained_mapping(mapping, cons)
+    find = m2.triples_maps["#P"].logical_source.value
+    assert '"$renderIn": ["n3"]' in find
+    # the composed filter stays NATIVELY compilable (json tier keeps it)
+    assert mongo_filter_native_ok(find.split("find(", 1)[1][:-1])
+
+
+def test_doc_literal_answer_and_edges(spark):
+    from morph_xr2rml_spark.rewrite import answer_documents
+    mapping = MappingDocument.from_text(DOC_MAPPING)
+    cat = _products_catalog(spark)
+    got = answer_documents(spark, mapping, cat,
+                           PREFIX + 'SELECT ?s WHERE { ?s ex:name "n3" }')
+    assert [r.s for r in got.collect()] == ["<http://x/p/3>"]
+    # literal_trim: " padded " renders "padded" — the mirror must keep it
+    got = answer_documents(spark, mapping, cat,
+                           PREFIX + 'SELECT ?s WHERE { ?s ex:name "padded" }')
+    assert [r.s for r in got.collect()] == ["<http://x/p/99>"]
+    # raw 7.50 renders "7.5": the numeric arm must keep the doc
+    got = answer_documents(spark, mapping, cat, PREFIX +
+                           'SELECT ?s WHERE { ?s ex:price "7.5" }')
+    assert [r.s for r in got.collect()] == ["<http://x/p/98>"]
+
+
+def test_doc_numcmp_matches_engine_semantics(spark):
+    from morph_xr2rml_spark.rewrite import answer_documents
+    mapping = MappingDocument.from_text(DOC_MAPPING)
+    cat = _products_catalog(spark)
+    got = answer_documents(spark, mapping, cat, PREFIX + """
+        SELECT ?s WHERE { ?s ex:price ?p . FILTER(?p > 70) } ORDER BY ?s""")
+    # 73.5, 84.0, 94.5 AND the plain string "77" (numeric_value
+    # semantics); string ORDER BY puts p/99 before p/9 ('9' < '>')
+    assert [r.s for r in got.collect()] == [
+        "<http://x/p/7>", "<http://x/p/8>", "<http://x/p/99>",
+        "<http://x/p/9>"]
+
+
+def test_doc_pushdown_guard_nondefault_cfg(spark):
+    """With literal_trim off the $renderIn mirror would be wrong — the
+    answer must fall back to a full scan and stay correct."""
+    from morph_xr2rml_spark.rewrite import answer_documents
+    from morph_xr2rml_spark.translate import EngineConfig
+    mapping = MappingDocument.from_text(DOC_MAPPING)
+    cat = _products_catalog(spark)
+    cfg = EngineConfig(literal_trim=False)
+    got = answer_documents(spark, mapping, cat, PREFIX +
+                           'SELECT ?s WHERE { ?s ex:name " padded " }',
+                           cfg=cfg)
+    assert [r.s for r in got.collect()] == ["<http://x/p/99>"]
+
+
+def test_doc_iterator_refs_stay_unpushed(spark):
+    """Iterator-relative references are not document-level fields: the
+    constraint must be skipped (full scan), never mis-pushed."""
+    from morph_xr2rml_spark.examples import LINEITEM_JSON_MAPPING
+    from morph_xr2rml_spark.rewrite import (constrained_mapping,
+                                            derive_tm_constraints)
+    mapping = MappingDocument.from_text(LINEITEM_JSON_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX +
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n'
+        'SELECT ?s WHERE { ?s ex:qty "5"^^xsd:integer }')
+    m2 = constrained_mapping(mapping, cons)
+    assert "$renderIn" not in m2.triples_maps["#Lines"].logical_source.value

@@ -106,3 +106,72 @@ def test_jsonpath_wildcard_over_arrays(doc):
 def test_jsonpath_never_raises_on_text(s):
     # suppress-exceptions semantics: arbitrary text never raises
     assert isinstance(JSONPath("$.a.b").evaluate(s), list)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: template-inversion + render-mirror soundness (rewrite.py)
+# ---------------------------------------------------------------------------
+
+_SEP = st.sampled_from(["/", "-", ":", "_", ".", "~x~"])
+
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + string.digits,
+                        min_size=1, max_size=8), min_size=1, max_size=3),
+       _SEP, st.text(alphabet=string.ascii_letters, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_invert_template_never_wrong(values, sep, prefix):
+    """Render a template then invert the rendered value: the inversion
+    must be the exact group values or AMBIGUOUS — never a DIFFERENT
+    parse (the soundness contract rewrite.py's pushdown relies on)."""
+    from morph_xr2rml_spark.rewrite import AMBIGUOUS, invert_template
+    groups = [f"g{i}" for i in range(len(values))]
+    template = prefix + sep.join("{" + g + "}" for g in groups)
+    rendered = prefix + sep.join(values)
+    inv = invert_template(template, rendered)
+    assert inv is not None                    # it WAS produced
+    if isinstance(inv, dict):
+        assert inv == dict(zip(groups, values))
+    else:
+        assert inv is AMBIGUOUS
+
+
+@given(st.one_of(st.integers(-10**6, 10**6),
+                 st.floats(allow_nan=False, allow_infinity=False,
+                           width=32),
+                 st.booleans(), _TEXT,
+                 st.lists(st.integers(0, 99), max_size=4),
+                 st.dictionaries(_SAFE, st.integers(0, 99), max_size=3)))
+@settings(max_examples=300, deadline=None)
+def test_json_lex_matches_term_render_text(v):
+    """mongo_filter._json_lex must agree with the doc-tier term-boundary
+    text (_obj_to_text) — the $renderIn Python fallback and the engine
+    render read the same lexical."""
+    from morph_xr2rml_spark.mongo_filter import _json_lex
+    from morph_xr2rml_spark.translate import _obj_to_text
+    assert _json_lex(v) == _obj_to_text(v)
+
+
+@given(st.one_of(st.integers(-10**6, 10**6), _TEXT),
+       st.text(alphabet=string.ascii_letters + string.digits + "_",
+               min_size=1, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_renderin_keeps_every_rendering_doc(v, field):
+    # '.' excluded: it is the find() path separator by design
+    """Soundness of the $renderIn operator: a document whose field
+    RENDERS lexical L must be kept by {field: {$renderIn: [L]}}."""
+    from morph_xr2rml_spark.functions.encoding import encode_literal
+    from morph_xr2rml_spark.mongo_filter import _json_lex, compile_filter
+    rendered = encode_literal(_json_lex(v).strip())
+    pred = compile_filter({field: {"$renderIn": [rendered]}})
+    assert pred({field: v})
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32),
+       st.floats(allow_nan=False, allow_infinity=False, width=32))
+@settings(max_examples=200, deadline=None)
+def test_numcmp_python_op_matches_semantics(x, bound):
+    from morph_xr2rml_spark.mongo_filter import compile_filter
+    pred = compile_filter({"f": {"$numCmp": {">": bound}}})
+    assert pred({"f": x}) == (x > bound)
+    assert not pred({"f": "not-a-number"})
+    assert not pred({})                        # missing field never matches

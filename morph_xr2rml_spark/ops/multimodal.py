@@ -756,10 +756,58 @@ def multimodal_features_oracle_sql() -> str:
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame timestamp
     (native explode over the duration).  For MJPEG-in-AVI payloads the
-    frames themselves decode natively (decode_avi_mjpeg); for other
-    codecs only the sampling plan is real."""
+    frames themselves decode natively (decode_avi_mjpeg /
+    sample_video_frames); for other codecs only the sampling plan is
+    real."""
     frames = F.explode(F.sequence(
         F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
         F.lit(every_ms)))
     return (media.where(F.col("kind") == "video")
                  .select("media_id", frames.alias("frame_ts_ms")))
+
+
+FRAME_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_ts_ms", IntegerType(), False),
+    StructField("feature", ArrayType(FloatType()), True),
+])
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 500,
+                        grid: int = 4) -> DataFrame:
+    """Frame sampling WITH real decode: one row per sampled timestamp,
+    carrying the grid-pooled feature of the frame at that instant for
+    MJPEG-in-AVI payloads (each payload decoded ONCE per batch, frames
+    indexed by ts // us_per_frame).  Codecs without a native decoder
+    emit NULL features — the sampling plan stays real, the decode is
+    the documented swap-in point (ffmpeg)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids, tss, feats = [], [], []
+            for mid, mime, dur, payload in zip(
+                    pdf["media_id"], pdf["mime"], pdf["duration_ms"],
+                    pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dur = int(dur) if dur is not None and dur == dur else 0
+                decoded = None
+                if mime == "video/avi":
+                    d = decode_avi_mjpeg(b)
+                    decoded = [_grid_pool(w, h, px, grid)
+                               for w, h, px in d["frames"]]
+                    ms_per_frame = max(1, d["us_per_frame"] // 1000)
+                for ts in range(0, max(dur, 1), every_ms):
+                    ids.append(int(mid))
+                    tss.append(ts)
+                    if decoded is None:
+                        feats.append(None)
+                    else:
+                        idx = min(ts // ms_per_frame, len(decoded) - 1)
+                        feats.append(decoded[idx])
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": tss,
+                                "feature": feats})
+
+    return (media.where(F.col("kind") == "video")
+                 .select("media_id", "mime", "duration_ms", "payload")
+                 .mapInPandas(run, FRAME_FEATURE_SCHEMA))

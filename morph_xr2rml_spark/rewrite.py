@@ -8,25 +8,36 @@ R0-R9).  The materialize-then-query design replaces the rewriters with
 the DataFrame SPARQL evaluator, but a selective point query should not
 scan every source first.  This module closes that gap:
 
-1. every triple pattern with a CONSTANT subject IRI (directly, via
-   FILTER(?s = <iri>), or via a single-var VALUES block) is inverted
-   through each triples map's subject template into equality constraints
-   on the source columns / document fields;
-2. a TM whose subject template cannot produce any required constant —
-   and that no unconstrained pattern can touch — is eliminated from the
-   plan entirely (its source is never scanned);
-3. the surviving constraints become native `.where` predicates on the
-   tabular scans (pushed to parquet as PushedFilters) or composed into
-   the mapping's `find()` filter for document sources.
+1. constant subject IRIs (directly, via FILTER(?s = <iri>), OR'd
+   equality disjunctions, or VALUES columns) invert through each triples
+   map's subject template into equality constraints on the source
+   columns / document fields;
+2. constant objects invert too: IRIs through object templates and
+   referencing-object-map parent keys (transferring to the child's join
+   reference), literals and numeric comparison FILTERs through
+   column/reference object maps into typed value predicates (r5);
+3. a TM that cannot produce any required constant — and that no
+   unconstrained pattern can touch — is eliminated from the plan
+   entirely; patterns sharing a subject variable propagate their
+   constraints across each other (candidacy pruning under disjoint
+   subject spaces, AND-strengthening under provably-unique subjects —
+   the reference's bind_m reduction, r5);
+4. the surviving constraints become native `.where` predicates on the
+   tabular scans (pushed to parquet as PushedFilters) or compose into
+   the mapping's `find()` filter for document sources (internal
+   `$lexIn` / `$renderIn` / `$numCmp` operators, natively compilable).
 
 Soundness: the derived filters only PRUNE source rows that provably
 cannot generate any pattern-matching triple; the SPARQL evaluator then
 re-applies the exact constants on the restricted triple set, so
-ambiguous template inversions (a captured value containing a template
-separator, a percent-encoded value, an empty capture) simply fall back
-to "unconstrained" rather than risk dropping rows.  Object-position
-constants and property-path patterns never constrain (paths need the
-full graph for their closures).
+ambiguous inversions (a captured value containing a template separator,
+a percent-encoded value, an empty capture, a non-default render
+config) simply fall back to "unconstrained" rather than risk dropping
+rows.  Closure property paths (`+ * ?`) never constrain — they walk
+intermediate nodes — but the FIRST hop of a sequence path with a
+constant subject does (it is anchored there).  The differential
+harness (tests/test_pushdown_differential.py) asserts rewritten ==
+full-scan across the feature matrix.
 """
 
 from __future__ import annotations

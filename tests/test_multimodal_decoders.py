@@ -508,3 +508,29 @@ def test_video_feature_is_temporal_mean():
     want = [sum(f[i] for f in per_frame) / len(per_frame)
             for i in range(48)]
     assert video_feature(b) == want
+
+
+def test_sample_video_frames_real_decode(spark):
+    """sample_video_frames: AVI rows carry per-timestamp features from
+    the REAL frame at that instant; stub codecs carry NULL features but
+    the sampling plan is still emitted."""
+    from morph_xr2rml_spark.ops.multimodal import (_grid_pool,
+                                                   decode_avi_mjpeg,
+                                                   sample_video_frames,
+                                                   synthetic_media_df)
+    media = synthetic_media_df(spark, 12)      # ids 2, 5, 8, 11 are video
+    rows = sample_video_frames(media, every_ms=250).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # id 2 and 8 are AVI ((i//3) even), 5 and 11 the stand-in
+    avi = sorted(by_media[2], key=lambda r: r.frame_ts_ms)
+    assert [r.frame_ts_ms for r in avi] == [0, 250, 500, 750]
+    d = decode_avi_mjpeg(
+        [bytes(m.payload) for m in media.collect() if m.media_id == 2][0])
+    per_frame = [_grid_pool(w, h, px) for w, h, px in d["frames"]]
+    import pytest as _pytest
+    for r in avi:
+        idx = min(r.frame_ts_ms // 250, 3)
+        assert r.feature == _pytest.approx(per_frame[idx], rel=1e-5)
+    assert all(r.feature is None for r in by_media[5])   # stub codec

@@ -324,16 +324,16 @@ def make_sparql_query(name: str):
     sparql_text, _oracle = SPARQL_QUERIES[name]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from .sparql import SparqlEngine
-        # unfused RAW plan (dedup deferred into the engine): constant
-        # preds per union branch + per-pattern dedup-after-filter let the
-        # SPARQL pattern filters prune non-matching triples maps from
-        # the plan entirely
+        # full production path (r5): answer_tabular = constraint
+        # derivation (constant/literal inversion, cross-pattern
+        # propagation, TM elimination) over the unfused RAW plan, then
+        # the SPARQL evaluator with per-pattern dedup-after-filter —
+        # constant preds per union branch still let Catalyst prune
+        # non-matching triples-map branches from the plan
+        from .rewrite import answer_tabular
         mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
-        compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
-                                  fuse_projections=False)
-        return SparqlEngine(compiler.triples(dedup=False),
-                            dedup_source=True).sql(sparql_text)
+        return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                              sparql_text)
 
     return run
 
@@ -479,14 +479,16 @@ ORDER BY subj, pred, obj
 
 
 def sparql_describe_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DESCRIBE over the TPC-H KG: all triples in/out of nation/0."""
-    from .sparql import SparqlEngine
+    """DESCRIBE over the TPC-H KG: all triples in/out of nation/0 —
+    r5: answered through the pushdown path (the resource inverts in
+    BOTH positions: nation scan filtered to n_nationkey=0, customer
+    scan to c_nationkey=0 via the inNation ROM transfer, orders/region
+    eliminated)."""
+    from .rewrite import answer_tabular
     mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
-    compiler = NativeCompiler(spark, mapping, tpch_tables(spark, sf_dir),
-                              fuse_projections=False)
-    eng = SparqlEngine(compiler.triples(dedup=False), dedup_source=True)
-    return eng.sql("DESCRIBE <http://example.org/nation/0>") \
-              .orderBy("subj", "pred", "obj")
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          "DESCRIBE <http://example.org/nation/0>") \
+        .orderBy("subj", "pred", "obj")
 
 
 def sparql_describe_oracle_sql() -> str:

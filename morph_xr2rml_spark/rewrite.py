@@ -582,6 +582,46 @@ def _eval_variant(mapping: MappingDocument, tm: TriplesMap,
     return True, conj
 
 
+def _describe_constraints(mapping: MappingDocument, iris: list) -> dict:
+    """Constraints for an IRI-only DESCRIBE (r5): a source row matters
+    iff it can render one of the resources as its SUBJECT or as an
+    OBJECT under one of the TM's constant predicates (the evaluator's
+    expansion is exactly subject-edges ∪ object-edges,
+    SparqlQueryRewriter.scala:116-152)."""
+    out = {}
+    for name, tm in mapping.triples_maps.items():
+        emits = tm_pred_iris(tm)
+        conjs: list = []
+        seen: set = set()
+        unconstrained = emits is None    # dynamic preds: can't enumerate
+        for iri in iris:
+            if unconstrained:
+                break
+            parts = []
+            sc = invert_subject(tm, iri)
+            if sc is AMBIGUOUS or sc == {}:
+                unconstrained = True     # matches rows unconditionally
+                break
+            if isinstance(sc, dict):
+                parts.append(sc)
+            for p in emits:
+                oc = invert_object(mapping, tm, p, iri)
+                if oc is AMBIGUOUS or oc == {}:
+                    unconstrained = True
+                    break
+                if isinstance(oc, dict):
+                    parts.append(oc)
+            if unconstrained:
+                break
+            for c in parts:
+                key = frozenset(c.items())
+                if key not in seen:
+                    seen.add(key)
+                    conjs.append(c)
+        out[name] = None if unconstrained else conjs
+    return out
+
+
 def derive_tm_constraints(mapping: MappingDocument,
                           q: Union[str, SelectQuery],
                           tables: Optional[dict] = None) -> dict:
@@ -603,9 +643,11 @@ def derive_tm_constraints(mapping: MappingDocument,
     if isinstance(q, str):
         q = parse_sparql(q)
     if q.describe is not None:
-        # DESCRIBE matches the resource in OBJECT position too — object
-        # inversion is out of scope, so never constrain
-        return {name: None for name in mapping.triples_maps}
+        if any(k != "iri" for k, _v in q.describe):
+            # DESCRIBE ?var: resources come from WHERE bindings — never
+            # constrain
+            return {name: None for name in mapping.triples_maps}
+        return _describe_constraints(mapping, [v for _k, v in q.describe])
     pats: list = []
     _collect(q.where, pats, top=True)
     if q.construct:

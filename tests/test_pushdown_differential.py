@@ -65,6 +65,10 @@ QUERIES = [
     # typed literal object
     'SELECT ?o WHERE { ?o ex:status "F" . ?o ex:totalPrice ?p . '
     "FILTER(?p < 2000.0) }",
+    # IRI-only DESCRIBE (subject + object position constraints)
+    "DESCRIBE <http://example.org/customer/3>",
+    "DESCRIBE <http://example.org/region/1>",
+    "DESCRIBE <http://example.org/nation/2> <http://example.org/order/4>",
 ]
 
 

@@ -434,3 +434,49 @@ def test_doc_iterator_refs_stay_unpushed(spark):
         'SELECT ?s WHERE { ?s ex:qty "5"^^xsd:integer }')
     m2 = constrained_mapping(mapping, cons)
     assert "$renderIn" not in m2.triples_maps["#Lines"].logical_source.value
+
+
+def test_describe_pushdown_constrains_both_positions(spark):
+    """IRI-only DESCRIBE (r5): the resource inverts in subject AND
+    object position — nation scan filtered, customer scan filtered via
+    the ROM transfer, orders/region eliminated; result identical to the
+    full-scan evaluation."""
+    from morph_xr2rml_spark.native import NativeCompiler
+    from morph_xr2rml_spark.rewrite import derive_tm_constraints
+    from morph_xr2rml_spark.sparql import SparqlEngine
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping,
+                                 "DESCRIBE <http://example.org/nation/0>")
+    assert cons["#Nation"] == [{"n_nationkey": "0"}]
+    assert cons["#Customer"] == [{"c_nationkey": "0"}]
+    assert cons["#Orders"] == [] and cons["#Region"] == []
+    tables = tpch_tables(spark, SF_DIR)
+    fast = answer_tabular(spark, mapping, tables,
+                          "DESCRIBE <http://example.org/nation/0>")
+    plan = _plan(fast)
+    # Orders is gone entirely; Region's OWN branches are eliminated (its
+    # scans in the plan are only the inRegion ROM parent-key probes,
+    # which must stay complete), and every nation/customer scan carries
+    # the inverted key filter
+    assert "orders.parquet" not in plan
+    region_scan_cols = [l.split("[", 1)[1].split("]")[0]
+                        for l in plan.splitlines()
+                        if "FileScan" in l and "region.parquet" in l]
+    assert region_scan_cols and all(
+        c.startswith("r_regionkey#") and "," not in c
+        for c in region_scan_cols)
+    assert "(n_nationkey" in plan and "(c_nationkey" in plan
+    full = NativeCompiler(spark, mapping, tables,
+                          fuse_projections=False).triples(dedup=False)
+    slow = SparqlEngine(full, dedup_source=True).sql(
+        "DESCRIBE <http://example.org/nation/0>")
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
+
+
+def test_describe_var_stays_unconstrained(spark):
+    from morph_xr2rml_spark.rewrite import derive_tm_constraints
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX +
+        'DESCRIBE ?c WHERE { ?c ex:segment "BUILDING" }')
+    assert all(c is None for c in cons.values())

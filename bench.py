@@ -255,6 +255,24 @@ def q_kg_tpch_translate(spark, sf_dir: str):
                            dedup=False)
 
 
+def q_sparql_point_pushdown(spark, sf_dir: str):
+    """Selective SPARQL answering through the r5 pushdown path: the
+    point query + comparison FILTER compile to ONE filtered orders scan
+    (TM elimination + literal-comparison inversion) instead of
+    materializing the KG first — the latency class a point query should
+    have regardless of corpus size."""
+    from morph_xr2rml_spark.examples import TPCH_KG_MAPPING, tpch_tables
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.rewrite import answer_tabular
+
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(
+        spark, mapping, tpch_tables(spark, sf_dir),
+        "PREFIX ex: <http://example.com/>\n"
+        "SELECT ?o ?p WHERE { ?o ex:totalPrice ?p . "
+        "FILTER(?p > 400000.0) }")
+
+
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
@@ -263,6 +281,7 @@ def queries():
         "kg_tpch": q_kg_tpch,
         "kg_tpch_translate": q_kg_tpch_translate,
         "kg_skew_join": q_kg_skew_join,
+        "sparql_point_pushdown": q_sparql_point_pushdown,
     }
     try:
         from morph_xr2rml_spark.ops import registry

@@ -494,6 +494,16 @@ class NativeCompiler:
                     return lex_eq(col, value[1])
                 if value[0] == "cmp":
                     return num_cmp(col, value[1])
+                if value[0] == "lexpat":
+                    # STRSTARTS/STRENDS/CONTAINS over the rendered
+                    # lexical (STR() of the produced literal)
+                    rendered = rendered_lexical(col)
+                    kind, pat = value[1], value[2]
+                    if kind == "strstarts":
+                        return rendered.startswith(pat)
+                    if kind == "strends":
+                        return rendered.endswith(pat)
+                    return rendered.contains(pat)
             return typed_eq(col, value)
 
         ored = None

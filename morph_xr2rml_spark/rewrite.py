@@ -293,6 +293,45 @@ def invert_object_literal(mapping: MappingDocument, tm: TriplesMap,
     return _merge_candidates(candidates)
 
 
+def invert_object_lexpat(mapping: MappingDocument, tm: TriplesMap,
+                         pred_iri: str, kind: str, pat: str):
+    """STRSTARTS/STRENDS/CONTAINS on an object var → rendered-lexical
+    pattern predicate on string-column object maps.  Any other object
+    map (IRI, template, constant, reference, ROM) could still satisfy
+    the builtin via STR(), so their presence makes the result AMBIGUOUS
+    rather than a constraint; None only when the predicate has no object
+    maps at all."""
+    if any(c in pat for c in '"\\'):
+        return AMBIGUOUS            # escaped lexicals: mirror diverges
+    if pred_iri == NS.RDF_TYPE and tm.class_uris:
+        return AMBIGUOUS            # class IRIs could satisfy via STR()
+    candidates = []
+    found = False
+    for pom in tm.predicate_object_maps:
+        pred_consts = set()
+        for pm in pom.predicate_maps:
+            if pm.kind == CONSTANT and pm.constant is not None \
+                    and pm.constant[0] == "iri":
+                pred_consts.add(pm.constant[1])
+            else:
+                return AMBIGUOUS
+        if pred_iri not in pred_consts:
+            continue
+        for om in pom.object_maps:
+            found = True
+            if om.kind == COLUMN \
+                    and om.infer_term_type() == NS.RR_LITERAL:
+                candidates.append({om.column: ("lexpat", kind, pat)})
+            else:
+                candidates.append(AMBIGUOUS)
+        for _rom in pom.ref_object_maps:
+            found = True
+            candidates.append(AMBIGUOUS)
+    if not found:
+        return None
+    return _merge_candidates(candidates)
+
+
 def invert_object_compare(mapping: MappingDocument, tm: TriplesMap,
                           pred_iri: str, op: str, num_lex: str):
     """Numeric comparison FILTER on a var bound in object position →
@@ -402,6 +441,7 @@ def _collect(group: Group, out: list, top: bool = False,
     # equality, matching the engine's numeric_value evaluation).
     var_consts: dict[str, list] = {}
     var_cmps: dict[str, list] = {}
+    var_lexpats: dict[str, list] = {}
     conjuncts: list = []
 
     def _flatten_and(node):
@@ -454,6 +494,30 @@ def _collect(group: Group, out: list, top: bool = False,
                 elif op is not None and b[0] == "num":
                     # numeric comparison (incl. '='): value-based
                     var_cmps.setdefault(a[1], []).append((op, b[1]))
+            continue
+        if isinstance(flt, tuple) and flt[0] == "in":
+            # FILTER(?v IN (c1..cn)) ≡ an equality disjunction: every
+            # member constant → per-member pattern variants (OR)
+            v_term, members = flt[1], flt[2]
+            norm = []
+            for t in members:
+                if t[0] == "str" and '"' not in t[1] and "\\" not in t[1]:
+                    t = ("lit", f'"{t[1]}"')
+                if t[0] not in ("iri", "num") + _LIT_KINDS:
+                    norm = None
+                    break
+                norm.append(t)
+            if v_term[0] == "var" and norm:
+                var_consts.setdefault(v_term[1], []).extend(norm)
+            continue
+        if isinstance(flt, tuple) and flt[0] in ("strstarts", "strends",
+                                                 "contains"):
+            a, b = flt[1], flt[2]
+            if isinstance(a, tuple) and a[0] == "strfn":
+                a = a[1]            # STRSTARTS(STR(?v), p) — same lexical
+            if isinstance(a, tuple) and a[0] == "var" \
+                    and isinstance(b, tuple) and b[0] == "str":
+                var_lexpats.setdefault(a[1], []).append((flt[0], b[1]))
     for vars_, rows in group.values:
         # per-variable projection of a (possibly multi-var) VALUES block:
         # a column that is all constants (no UNDEF) bounds its variable;
@@ -473,7 +537,7 @@ def _collect(group: Group, out: list, top: bool = False,
                 # (<s> p/q ?o ⇒ p-triples only matter with subject <s>);
                 # the remaining steps stay unconstrained
                 out.append({"preds": {tp.p[1][0][1]}, "svar": None,
-                            "top": False, "cmps": [],
+                            "top": False, "cmps": [], "lexpats": [],
                             "variants": [(tp.s, ("var", "*"))]})
                 rest: Optional[set] = set()
                 for elt in tp.p[1][1:]:
@@ -483,12 +547,12 @@ def _collect(group: Group, out: list, top: bool = False,
                         break
                     rest |= sub
                 out.append({"preds": rest, "svar": None, "top": False,
-                            "cmps": [],
+                            "cmps": [], "lexpats": [],
                             "variants": [(("var", "*"), ("var", "*"))]})
                 continue
             # closures walk intermediate nodes: never constrain
             out.append({"preds": _path_iris(tp.p), "svar": None,
-                        "top": False, "cmps": [],
+                        "top": False, "cmps": [], "lexpats": [],
                         "variants": [(("var", "*"), ("var", "*"))]})
             continue
         preds = {tp.p[1]} if tp.p[0] == "iri" else None
@@ -503,10 +567,12 @@ def _collect(group: Group, out: list, top: bool = False,
 
         svar = tp.s[1] if tp.s[0] == "var" and not in_subquery else None
         cmps = var_cmps.get(tp.o[1], []) if tp.o[0] == "var" else []
+        lexpats = var_lexpats.get(tp.o[1], []) if tp.o[0] == "var" else []
         variants = [(s, o) for s in expand(tp.s, iri_only=True)
                     for o in expand(tp.o, iri_only=False)]
         out.append({"preds": preds, "svar": svar, "top": top,
-                    "cmps": cmps, "variants": variants})
+                    "cmps": cmps, "lexpats": lexpats,
+                    "variants": variants})
     for sub in group.optionals + group.minuses:
         _collect(sub, out, False, in_subquery)
     for left, right in group.unions:
@@ -550,7 +616,7 @@ def tm_pred_iris(tm: TriplesMap) -> Optional[set]:
 
 
 def _eval_variant(mapping: MappingDocument, tm: TriplesMap,
-                  s_term, o_term, single_pred, o_cmps):
+                  s_term, o_term, single_pred, o_cmps, o_lexpats=()):
     """(ok, conj) for one pattern instantiation against one TM.  ok=False
     means the TM provably cannot produce a triple matching it (with its
     filters); conj is the derived row constraint (possibly empty)."""
@@ -578,6 +644,12 @@ def _eval_variant(mapping: MappingDocument, tm: TriplesMap,
         if cmp_c is None:
             return False, None      # numeric filter can never hold here
         if isinstance(cmp_c, dict) and not _conj_merge(conj, cmp_c):
+            return False, None
+    for kind, pat in (o_lexpats if single_pred is not None else []):
+        pat_c = invert_object_lexpat(mapping, tm, single_pred, kind, pat)
+        if pat_c is None:
+            return False, None      # predicate has no object maps at all
+        if isinstance(pat_c, dict) and not _conj_merge(conj, pat_c):
             return False, None
     return True, conj
 
@@ -682,7 +754,7 @@ def derive_tm_constraints(mapping: MappingDocument,
             single_pred = next(iter(preds)) \
                 if preds is not None and len(preds) == 1 else None
             results = [_eval_variant(mapping, tm, s, o, single_pred,
-                                     rec["cmps"])
+                                     rec["cmps"], rec.get("lexpats", ()))
                        for s, o in rec["variants"]]
             evals.append((rec, results))
 

@@ -65,6 +65,13 @@ QUERIES = [
     # typed literal object
     'SELECT ?o WHERE { ?o ex:status "F" . ?o ex:totalPrice ?p . '
     "FILTER(?p < 2000.0) }",
+    # IN / string-pattern builtins
+    'SELECT ?c WHERE { ?c ex:segment ?s . '
+    'FILTER(?s IN ("BUILDING", "MACHINERY")) }',
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . ?c a ex:Customer . '
+    'FILTER STRSTARTS(STR(?n), "Customer#0000001") }',
+    'SELECT ?c WHERE { ?c ex:segment ?s . FILTER(CONTAINS(?s, "BUILD")) }',
+    'SELECT ?c WHERE { ?c ex:name ?n . FILTER STRENDS(STR(?n), "01") }',
     # IRI-only DESCRIBE (subject + object position constraints)
     "DESCRIBE <http://example.org/customer/3>",
     "DESCRIBE <http://example.org/region/1>",

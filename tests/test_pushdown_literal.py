@@ -480,3 +480,36 @@ def test_describe_var_stays_unconstrained(spark):
     cons = derive_tm_constraints(mapping, PREFIX +
         'DESCRIBE ?c WHERE { ?c ex:segment "BUILDING" }')
     assert all(c is None for c in cons.values())
+
+
+def test_in_filter_promotes_to_disjunction(spark):
+    from morph_xr2rml_spark.rewrite import derive_tm_constraints
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    cons = derive_tm_constraints(mapping, PREFIX + """
+        SELECT ?c WHERE { ?c ex:segment ?s .
+            FILTER(?s IN ("BUILDING", "MACHINERY")) }""")
+    assert cons["#Customer"] == [{"c_mktsegment": ("lexeq", "BUILDING")},
+                                 {"c_mktsegment": ("lexeq", "MACHINERY")}]
+    assert cons["#Orders"] == []
+
+
+def test_string_pattern_builtins_push(spark):
+    """STRSTARTS/CONTAINS on a column-bound object → rendered-lexical
+    pattern predicates at the scan; parity with DuckDB."""
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables, PREFIX + """
+        SELECT ?c ?n WHERE { ?c ex:name ?n . ?c a ex:Customer .
+            FILTER STRSTARTS(STR(?n), "Customer#00000001") }
+        ORDER BY ?c""")
+    plan = _plan(df)
+    for absent in ("nation.parquet", "region.parquet", "orders.parquet"):
+        assert absent not in plan
+    assert "StartsWith" in plan or "Customer#00000001" in plan
+    exp = _duck("""
+        SELECT '<http://example.org/customer/' || c_custkey || '>',
+               '"' || c_name || '"'
+        FROM customer WHERE c_name LIKE 'Customer#00000001%'
+        ORDER BY 1""")
+    assert [(r.c, r.n) for r in df.collect()] == [(a, b) for a, b in exp]
+    assert len(exp) > 0

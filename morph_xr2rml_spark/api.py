@@ -84,6 +84,12 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
                if n not in native_tms and n not in jn_tms}
 
     parts: list[DataFrame] = []
+    if native_tms and not jn_tms and not doc_tms:
+        # all-native mapping: delegate so the uniqueness-driven dedup
+        # elimination applies (provably-duplicate-free mappings skip the
+        # global dropDuplicates exchange entirely)
+        return NativeCompiler(spark, mapping, tables, cfg) \
+            .triples(dedup=dedup)
     if native_tms:
         nc = NativeCompiler(spark, mapping, tables, cfg)
         parts.extend(nc.tm_triples(tm) for tm in native_tms.values())
@@ -106,6 +112,49 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
         # re-emission) keep the default map-side collapse.
         out = dedup_triples(out, prepartition=not doc_tms)
     return out
+
+
+def answer_auto(spark: SparkSession, mapping: MappingDocument,
+                query_text,
+                catalog: Optional[SourceCatalog] = None,
+                tables: Optional[dict[str, DataFrame]] = None,
+                cfg: Optional[EngineConfig] = None,
+                **engine_kw) -> DataFrame:
+    """Answer a SPARQL query with source pushdown wherever the mapping
+    allows (the query-side twin of ``materialize_auto``):
+
+      - every TM tabular with its table present → ``answer_tabular``
+        (constraint inversion, cross-pattern propagation, TM
+        elimination, parquet PushedFilters);
+      - every TM a document source → ``answer_documents`` (constraints
+        composed into find() via $lexIn/$renderIn/$numCmp);
+      - mixed → SPARQL over the un-rewritten ``materialize_auto`` plan
+        (no pushdown, always sound)."""
+    from .rewrite import answer_documents, answer_tabular
+    tables = tables or {}
+
+    def tabular_ok(tm) -> bool:
+        return is_tabular_compilable(tm) and (
+            tm.logical_source.kind != "table"
+            or tm.logical_source.value in tables)
+
+    tms = mapping.triples_maps.values()
+    if tms and all(tabular_ok(tm) for tm in tms):
+        return answer_tabular(spark, mapping, tables, query_text,
+                              cfg=cfg, **engine_kw)
+    if tms and all(tm.logical_source.kind == "query" for tm in tms):
+        return answer_documents(spark, mapping,
+                                catalog or SourceCatalog(), query_text,
+                                cfg=cfg, **engine_kw)
+    from .sparql import SparqlEngine, parse_sparql
+    q = query_text if not isinstance(query_text, str) \
+        else parse_sparql(query_text)
+    triples = materialize_auto(spark, mapping, catalog=catalog,
+                               tables=tables, cfg=cfg, dedup=False)
+    eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
+    if q.construct is not None:
+        return eng.construct(q)
+    return eng.sql(q)
 
 
 def run_materialization(spark: SparkSession, properties_path: str,

@@ -148,11 +148,15 @@ class NativeCompiler:
         that a downstream pred filter can't match — best when querying the
         un-materialized pipeline (SPARQL over the plan).
 
-        tm_row_filters: {tm_name: [ {col: lexical_value, ...}, ... ]} —
+        tm_row_filters: {tm_name: [ {col: constraint, ...}, ... ]} —
         OR-of-conjunctions row constraints derived by rewrite.py's
-        subject-constant pushdown, applied to the TM's OWN scan only (a
-        ROM parent scan stays complete).  tm_skip: TMs proven unable to
-        contribute any matching triple — their sources are never read."""
+        pushdown, applied to the TM's OWN scan only (a ROM parent scan
+        stays complete).  A constraint is a raw-equality lexical string
+        (template inversion), ('lexeq', lex) rendered-literal equality,
+        ('cmp', ((op, num), ...)) numeric predicates, or
+        ('lexpat', kind, pat) STRSTARTS/STRENDS/CONTAINS mirrors — see
+        _constraint_col.  tm_skip: TMs proven unable to contribute any
+        matching triple — their sources are never read."""
         self.spark = spark
         self.mapping = mapping
         self.tables = tables

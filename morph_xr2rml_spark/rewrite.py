@@ -355,14 +355,22 @@ def invert_object_compare(mapping: MappingDocument, tm: TriplesMap,
 
 
 def _conj_merge(conj: dict, add: dict) -> bool:
-    """Merge ``add`` into ``conj``; False = provably unsatisfiable.
+    """Merge ``add`` into ``conj``; False = PROVABLY unsatisfiable.
     Comparison tuples on the same reference AND together; a comparison
-    meeting an equality is dropped (weaker constraint stays: sound)."""
+    meeting an equality is dropped (weaker constraint stays: sound).
+    Unsatisfiability is only declared for two DIFFERING constraints of
+    the same equality kind (two raw equalities, or two lexeq renders —
+    a row value renders exactly one lexical); any other mixed pair
+    (lexpat vs lexeq, raw vs lexeq, ...) could hold simultaneously, so
+    the existing constraint is kept and the new one dropped (superset,
+    sound)."""
     for k, v in add.items():
         if k not in conj:
             conj[k] = v
             continue
         cur = conj[k]
+        if cur == v:
+            continue
         cur_cmp = isinstance(cur, tuple) and cur[0] == "cmp"
         new_cmp = isinstance(v, tuple) and v[0] == "cmp"
         if cur_cmp and new_cmp:
@@ -371,8 +379,12 @@ def _conj_merge(conj: dict, add: dict) -> bool:
             conj[k] = v             # equality is stronger; cmp re-checked
         elif new_cmp:
             pass                    # keep the equality
-        elif cur != v:
-            return False            # two different equalities: no row
+        elif isinstance(cur, str) and isinstance(v, str):
+            return False            # two different raw equalities: no row
+        elif isinstance(cur, tuple) and isinstance(v, tuple) \
+                and cur[0] == v[0] == "lexeq":
+            return False            # one render, two lexicals: no row
+        # mixed kinds (lexpat vs eq, ...): keep cur, drop v — sound
     return True
 
 

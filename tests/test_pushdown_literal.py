@@ -513,3 +513,25 @@ def test_string_pattern_builtins_push(spark):
         ORDER BY 1""")
     assert [(r.c, r.n) for r in df.collect()] == [(a, b) for a, b in exp]
     assert len(exp) > 0
+
+
+def test_eq_plus_strstarts_conjunction_not_unsat(spark):
+    """Regression (r5): a literal equality AND a string-pattern builtin
+    on the same variable constrain the same column — that conjunction is
+    satisfiable and must NOT eliminate the TM."""
+    from morph_xr2rml_spark.rewrite import _conj_merge
+    conj = {"c_name": ("lexeq", "Customer#000000001")}
+    assert _conj_merge(conj, {"c_name": ("lexpat", "strstarts",
+                                         "Customer")})
+    assert conj["c_name"] == ("lexeq", "Customer#000000001")
+    # but two DIFFERENT renders on one column are genuinely unsat
+    assert not _conj_merge(dict(conj), {"c_name": ("lexeq", "other")})
+
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables, PREFIX + """
+        SELECT ?c WHERE { ?c ex:name ?n .
+            FILTER(?n = "Customer#000000001"
+                && STRSTARTS(STR(?n), "Customer")) }""")
+    assert [r.c for r in df.collect()] == \
+        ["<http://example.org/customer/1>"]

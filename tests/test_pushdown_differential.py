@@ -97,3 +97,65 @@ def test_rewritten_equals_full_scan(spark, fixture_env, qi):
                   answer_tabular(spark, mapping, tables, q).collect())
     slow = sorted(tuple(r) for r in engine.sql(q).collect())
     assert fast == slow, f"divergence on: {QUERIES[qi]}"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial mapping: every propagation precondition deliberately broken
+# — overlapping subject spaces, no declared unique keys, a constant
+# subject, rdf:type via an explicit POM, the same predicate from two
+# object maps.  The rewriter must refuse to prune and still agree with
+# the full scan on every query.
+# ---------------------------------------------------------------------------
+
+NASTY_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex:  <http://example.com/> .
+
+<#A> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "nation" ];
+    rr:subjectMap [ rr:template "http://example.org/thing/{n_nationkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rr:column "n_name" ] ];
+    rr:predicateObjectMap [ rr:predicate rdf:type; rr:objectMap [ rr:constant ex:Thing ] ].
+
+<#B> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer" ];
+    rr:subjectMap [ rr:template "http://example.org/thing/{c_nationkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rr:column "c_mktsegment" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rr:column "c_name" ] ].
+
+<#C> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "region" ];
+    rr:subjectMap [ rr:constant <http://example.org/thing/fixed> ];
+    rr:predicateObjectMap [ rr:predicate ex:label; rr:objectMap [ rr:column "r_name" ] ].
+"""
+
+NASTY_QUERIES = [
+    "SELECT ?p ?o WHERE { <http://example.org/thing/3> ?p ?o }",
+    "SELECT ?s WHERE { ?s a ex:Thing }",
+    'SELECT ?s WHERE { ?s ex:label "BUILDING" }',
+    'SELECT ?s ?l WHERE { ?s a ex:Thing . ?s ex:label ?l }',
+    "SELECT ?p ?o WHERE { <http://example.org/thing/fixed> ?p ?o }",
+    'SELECT ?s WHERE { ?s ex:label ?l . FILTER STRSTARTS(STR(?l), "A") }',
+    "DESCRIBE <http://example.org/thing/0>",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_env(spark):
+    mapping = MappingDocument.from_text(NASTY_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    full = NativeCompiler(spark, mapping, tables,
+                          fuse_projections=False).triples(dedup=False)
+    return mapping, tables, SparqlEngine(full, dedup_source=True)
+
+
+@pytest.mark.parametrize("qi", range(len(NASTY_QUERIES)))
+def test_nasty_mapping_rewritten_equals_full(spark, nasty_env, qi):
+    mapping, tables, engine = nasty_env
+    q = P + NASTY_QUERIES[qi]
+    fast = sorted(tuple(r) for r in
+                  answer_tabular(spark, mapping, tables, q).collect())
+    slow = sorted(tuple(r) for r in engine.sql(q).collect())
+    assert fast == slow, f"divergence on: {NASTY_QUERIES[qi]}"
+    assert len(slow) > 0 or qi in ()     # every query has answers here

@@ -30,7 +30,15 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
                      catalog: Optional[SourceCatalog] = None,
                      tables: Optional[dict[str, DataFrame]] = None,
                      cfg: Optional[EngineConfig] = None,
-                     dedup: bool = True, **engine_kw) -> DataFrame:
+                     dedup: bool = True,
+                     tm_row_filters: Optional[dict] = None,
+                     fuse_projections: bool = True,
+                     **engine_kw) -> DataFrame:
+    """tm_row_filters: per-TM OR-of-conjunction row constraints for the
+    NATIVE tier (rewrite.constrained_plan — document TMs carry theirs
+    inside the composed find() filter already); fuse_projections is
+    forwarded to NativeCompiler (False when SPARQL runs over the plan,
+    so Catalyst can constant-fold unreachable predicate branches)."""
     cfg = cfg or EngineConfig()
     tables = tables or {}
     catalog = catalog or SourceCatalog()
@@ -88,10 +96,14 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
         # all-native mapping: delegate so the uniqueness-driven dedup
         # elimination applies (provably-duplicate-free mappings skip the
         # global dropDuplicates exchange entirely)
-        return NativeCompiler(spark, mapping, tables, cfg) \
+        return NativeCompiler(spark, mapping, tables, cfg,
+                              tm_row_filters=tm_row_filters,
+                              fuse_projections=fuse_projections) \
             .triples(dedup=dedup)
     if native_tms:
-        nc = NativeCompiler(spark, mapping, tables, cfg)
+        nc = NativeCompiler(spark, mapping, tables, cfg,
+                            tm_row_filters=tm_row_filters,
+                            fuse_projections=fuse_projections)
         parts.extend(nc.tm_triples(tm) for tm in native_tms.values())
     if jn_tms:
         parts.extend(jc.tm_base(tm) for tm in jn_tms.values())
@@ -128,9 +140,17 @@ def answer_auto(spark: SparkSession, mapping: MappingDocument,
         elimination, parquet PushedFilters);
       - every TM a document source → ``answer_documents`` (constraints
         composed into find() via $lexIn/$renderIn/$numCmp);
-      - mixed → SPARQL over the un-rewritten ``materialize_auto`` plan
-        (no pushdown, always sound)."""
+      - MIXED relational + document (r6, the reference's federation
+        bread-and-butter: per-source condition generation in
+        MorphRDBUnfolder.scala:65-97 + MorphMongoDataSourceReader.scala:
+        52-70) → constraints derived ONCE, routed per TM: ``.where``
+        row filters / TM drops on the tabular scans, composed find()
+        filters on the document scans, then one union plan under the
+        evaluator;
+      - anything else → SPARQL over the un-rewritten
+        ``materialize_auto`` plan (no pushdown, always sound)."""
     from .rewrite import answer_documents, answer_tabular
+    from .sparql import SparqlEngine, parse_sparql
     tables = tables or {}
 
     def tabular_ok(tm) -> bool:
@@ -146,11 +166,28 @@ def answer_auto(spark: SparkSession, mapping: MappingDocument,
         return answer_documents(spark, mapping,
                                 catalog or SourceCatalog(), query_text,
                                 cfg=cfg, **engine_kw)
-    from .sparql import SparqlEngine, parse_sparql
     q = query_text if not isinstance(query_text, str) \
         else parse_sparql(query_text)
-    triples = materialize_auto(spark, mapping, catalog=catalog,
-                               tables=tables, cfg=cfg, dedup=False)
+    tm_row_filters = None
+    eff_mapping = mapping
+    if tms and all(tabular_ok(tm) or tm.logical_source.kind == "query"
+                   for tm in tms):
+        # mixed-tier pushdown: derive once, apply per tier
+        from .rewrite import constrained_plan, derive_tm_constraints
+        eff = cfg or EngineConfig()
+        push_render = eff.literal_trim and not eff.encode_literal_quotes
+        constraints = derive_tm_constraints(mapping, q, tables)
+        eff_mapping, tm_row_filters = constrained_plan(
+            mapping, constraints, push_render)
+        if not eff_mapping.triples_maps:
+            triples = spark.createDataFrame([], TRIPLE_SCHEMA)
+            eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
+            return eng.construct(q) if q.construct is not None \
+                else eng.sql(q)
+    triples = materialize_auto(spark, eff_mapping, catalog=catalog,
+                               tables=tables, cfg=cfg, dedup=False,
+                               tm_row_filters=tm_row_filters,
+                               fuse_projections=tm_row_filters is None)
     eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
     if q.construct is not None:
         return eng.construct(q)

@@ -627,10 +627,11 @@ ORDERDOC_FLAT_MAPPING = """
 
 <#ODoc>
     a rr:TriplesMap;
-    xrr:logicalSource [ xrr:query "db.orderflat.find({})" ];
+    xrr:logicalSource [ xrr:query "db.orderflat.find({})"; xrr:uniqueRef "$.ok" ];
     rr:subjectMap [ rr:template "http://example.org/odoc/{$.ok}"; rr:class ex:ODoc ];
     rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ xrr:reference "$.st" ] ];
-    rr:predicateObjectMap [ rr:predicate ex:cust; rr:objectMap [ xrr:reference "$.ck" ] ].
+    rr:predicateObjectMap [ rr:predicate ex:cust; rr:objectMap [ xrr:reference "$.ck" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:priority; rr:objectMap [ xrr:reference "$.pr" ] ].
 """
 
 
@@ -639,7 +640,8 @@ def orderflat_catalog(spark: SparkSession, sf_dir: str) -> SourceCatalog:
             .select(F.to_json(F.struct(
                 F.col("o_orderkey").alias("ok"),
                 F.col("o_orderstatus").alias("st"),
-                F.col("o_custkey").alias("ck"))).alias("content")))
+                F.col("o_custkey").alias("ck"),
+                F.col("o_orderpriority").alias("pr"))).alias("content")))
     return SourceCatalog().register_collection("orderflat", docs)
 
 
@@ -681,8 +683,119 @@ ORDER BY s
 """
 
 
+# Mixed relational + document mapping (round 6): one TM over the typed
+# customer table (native tier) and one over the flat order documents
+# (document tier) — the reference's federation case, where the runner
+# factory instantiates one translator per source and each source gets
+# its own conditions (MorphBaseRunnerFactory; RDB conditions
+# MorphRDBUnfolder.scala:65-97, Mongo conditions
+# MorphMongoDataSourceReader.scala:52-70).
+MIXED_KG_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#MCustomer>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer"; xrr:uniqueRef "c_custkey" ];
+    rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}"; rr:class ex:Customer ];
+    rr:predicateObjectMap [ rr:predicate ex:name; rr:objectMap [ rr:column "c_name" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:acctbal; rr:objectMap [ rr:column "c_acctbal" ] ].
+
+<#MOrder>
+    a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.orderflat.find({})"; xrr:uniqueRef "$.ok" ];
+    rr:subjectMap [ rr:template "http://example.org/odoc/{$.ok}"; rr:class ex:Order ];
+    rr:predicateObjectMap [ rr:predicate ex:status; rr:objectMap [ xrr:reference "$.st" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:placedBy;
+                            rr:objectMap [ rr:template "http://example.org/customer/{$.ck}" ] ].
+"""
+
+
+def sparql_pushdown_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-tier pushdown (round 6): ONE constraint derivation routed
+    per source — the numeric FILTER inverts to a typed predicate on the
+    customer PARQUET scan (PushedFilters: GreaterThan(c_acctbal,...))
+    while the literal constant composes into the order collection's
+    find() filter ($renderIn, json-native) — then one union plan joins
+    across the tiers.  tests/test_pushdown_mixed.py audits both."""
+    from .api import answer_auto
+    mapping = MappingDocument.from_text(MIXED_KG_MAPPING)
+    return answer_auto(spark, mapping, SPARQL_PREFIX + """
+        SELECT ?o ?c ?n WHERE {
+            ?o ex:placedBy ?c ; ex:status "F" .
+            ?c ex:name ?n ; ex:acctbal ?a .
+            FILTER(?a > 9000.0)
+        } ORDER BY ?o ?c""",
+        catalog=orderflat_catalog(spark, sf_dir),
+        tables={"customer": tpch_tables(spark, sf_dir)["customer"]})
+
+
+SPARQL_PUSHDOWN_MIXED_SQL = f"""
+SELECT '<{EX}odoc/' || o_orderkey || '>' AS o,
+       '<{EX}customer/' || c_custkey || '>' AS c,
+       '"' || c_name || '"' AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F' AND CAST(c_acctbal AS DECIMAL(12,2)) > 9000.0
+ORDER BY o, c
+"""
+
+
+def sparql_pushdown_docseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-tier cross-pattern AND-strengthening (round 6): the
+    declared xrr:uniqueRef through a single-group template is injective
+    with no schema, so the "F" constraint from the first pattern ANDs
+    into the unconstrained second pattern — ONE filtered collection
+    scan instead of a full scan (the tabular tier's bind_m analogue,
+    now on documents)."""
+    from .rewrite import answer_documents
+    mapping = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    return answer_documents(spark, mapping, orderflat_catalog(spark, sf_dir),
+                            SPARQL_PREFIX + """
+        SELECT ?s ?c WHERE { ?s ex:status "F" . ?s ex:cust ?c }
+        ORDER BY ?s""")
+
+
+SPARQL_PUSHDOWN_DOCSEG_SQL = f"""
+SELECT '<{EX}odoc/' || o_orderkey || '>' AS s,
+       '"' || o_custkey || '"^^<{_XSD}integer>' AS c
+FROM orders WHERE o_orderstatus = 'F'
+ORDER BY s
+"""
+
+
+def sparql_pushdown_docpat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-pattern pushdown on the DOCUMENT tier (round 6):
+    STRSTARTS inverts to the internal $renderPat find() operator
+    (rendered-lexical pattern mirror, nt-escaped like the engine's
+    lexical; numeric canonical arm) — json-native plan, documents
+    pruned at the scan."""
+    from .rewrite import answer_documents
+    mapping = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    return answer_documents(spark, mapping, orderflat_catalog(spark, sf_dir),
+                            SPARQL_PREFIX + """
+        SELECT ?s ?c WHERE {
+            ?s ex:priority ?c .
+            FILTER STRSTARTS(STR(?c), "1-URG")
+        } ORDER BY ?s""")
+
+
+SPARQL_PUSHDOWN_DOCPAT_SQL = f"""
+SELECT '<{EX}odoc/' || o_orderkey || '>' AS s,
+       '"' || o_orderpriority || '"' AS c
+FROM orders WHERE o_orderpriority LIKE '1-URG%'
+ORDER BY s
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
+    "sparql_pushdown_mixed": (sparql_pushdown_mixed,
+                              SPARQL_PUSHDOWN_MIXED_SQL),
+    "sparql_pushdown_docseg": (sparql_pushdown_docseg,
+                               SPARQL_PUSHDOWN_DOCSEG_SQL),
+    "sparql_pushdown_docpat": (sparql_pushdown_docpat,
+                               SPARQL_PUSHDOWN_DOCPAT_SQL),
     "sparql_pushdown_point": (sparql_pushdown_point,
                               sparql_pushdown_point_oracle_sql()),
     "sparql_pushdown_obj": (sparql_pushdown_obj,

@@ -142,6 +142,35 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                         n = _num(x)
                         return n is not None and n in nums
                     conds.append(render_in)
+                elif op == "$renderPat":
+                    # internal pushdown operator (rewrite.py STRSTARTS/
+                    # STRENDS/CONTAINS): pattern over the doc-tier
+                    # literal render, escaped like the engine's lexical
+                    # (sparql.lexical_value never unescapes); numeric
+                    # values also test their canonical lexical (the
+                    # native compiler's try_cast arm — kept in lockstep)
+                    from .functions.encoding import encode_literal
+                    from .translate import nt_escape
+
+                    def render_pat(d, k=key, kind=operand[0],
+                                   pat=str(operand[1])):
+                        ok, x = _get_path(d, k)
+                        if not ok:
+                            return False
+
+                        def m(s):
+                            if kind == "strstarts":
+                                return s.startswith(pat)
+                            if kind == "strends":
+                                return s.endswith(pat)
+                            return pat in s
+
+                        if m(nt_escape(encode_literal(
+                                _json_lex(x).strip()))):
+                            return True
+                        n = _num(x)
+                        return n is not None and m(str(n))
+                    conds.append(render_pat)
                 elif op == "$numCmp":
                     # internal pushdown operator (rewrite.py comparison
                     # FILTERs): numeric value comparison; non-numeric
@@ -155,8 +184,12 @@ def compile_filter(spec: dict) -> Callable[[Any], bool]:
                     def num_cmp(d, k=key, ops=tuple(operand.items())):
                         ok, x = _get_path(d, k)
                         n = _num(x) if ok else None
+                        # unknown op: keep the doc (superset, sound) —
+                        # rewrite.py only emits the five _OPS, this is
+                        # defense-in-depth
                         return n is not None and \
-                            all(_OPS[o](n, float(v)) for o, v in ops)
+                            all(_OPS[o](n, float(v)) for o, v in ops
+                                if o in _OPS)
                     conds.append(num_cmp)
                 elif op == "$nin":
                     # Mongo: $nin also matches docs where the field is

@@ -92,6 +92,27 @@ def encode_literal_col(col: Column, encode_quotes: bool = False) -> Column:
     return F.replace(out, F.lit("\r"), F.lit(""))
 
 
+# Python str.strip()'s whitespace set (str.isspace() over all of
+# Unicode).  The Python translation tiers trim literals/IRIs with
+# .strip() (translate.py — mirroring the reference's String.trim(),
+# MorphBaseDataTranslator.scala:261); every NATIVE render and every
+# native constraint mirror must trim the SAME set or a tab/NBSP-padded
+# value renders differently across tiers (and a pushed filter could
+# wrongly prune).  F.trim strips spaces only — never use it for the
+# literal/IRI render.
+_PY_STRIP_WS = "".join(map(chr, (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000)))
+
+
+def strip_ws_col(col: Column) -> Column:
+    """Native twin of Python str.strip(): character-set trim over the
+    exact isspace() alphabet (btrim is a set trim — no regex cost)."""
+    return F.btrim(col, F.lit(_PY_STRIP_WS))
+
+
 def nt_escape_col(col: Column) -> Column:
     out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
     out = F.replace(out, F.lit('"'), F.lit('\\"'))
@@ -208,9 +229,11 @@ class NativeCompiler:
             raw = _col_as_string(df, m.column)
             if tt == NS.RR_IRI:
                 iri = raw
-                if self.cfg.encode_unsafe_chars_in_uri:
-                    # string columns may hold unsafe chars; numerics can't
-                    if isinstance(df.schema[m.column].dataType, T.StringType):
+                if isinstance(df.schema[m.column].dataType, T.StringType):
+                    # createIRI trims unconditionally (translate.py:331)
+                    iri = strip_ws_col(iri)
+                    if self.cfg.encode_unsafe_chars_in_uri:
+                        # string columns may hold unsafe chars
                         iri = encode_reserved_col(iri)
                 return self._iri_term(iri)
             dtype = m.datatype or (natural_datatype(df.schema[m.column].dataType)
@@ -218,7 +241,7 @@ class NativeCompiler:
                                    else None)
             val = raw
             if self.cfg.literal_trim:
-                val = F.trim(val)
+                val = strip_ws_col(val)
             if isinstance(df.schema[m.column].dataType, T.StringType):
                 val = encode_literal_col(val, self.cfg.encode_literal_quotes)
             return self._literal_term(val, dtype, m.language)
@@ -463,7 +486,7 @@ class NativeCompiler:
             # the COLUMN-literal lexical pipeline of term_expr, mirrored
             val = _col_as_string(df, col)
             if self.cfg.literal_trim:
-                val = F.trim(val)
+                val = strip_ws_col(val)
             if isinstance(df.schema[col].dataType, T.StringType):
                 val = encode_literal_col(val, self.cfg.encode_literal_quotes)
             if self.term_style == "ntriples":
@@ -485,6 +508,9 @@ class NativeCompiler:
                 else _col_as_string(df, col).try_cast("double")
             cond = None
             for op, lex in ops:
+                if op not in self._CMP_OPS:
+                    continue    # unknown op: skip the conjunct (superset,
+                    # sound) — rewrite.py only emits the five _CMP_OPS
                 try:
                     c = self._CMP_OPS[op](base, F.lit(float(lex)))
                 except ValueError:
@@ -494,6 +520,13 @@ class NativeCompiler:
 
         def pred_col(col: str, value) -> Column:
             if isinstance(value, tuple):
+                if value[0] == "irieq":
+                    # COLUMN-IRI render strips the value (createIRI trim)
+                    # — mirror on the stripped column; non-string columns
+                    # render from the cast (no padding possible)
+                    if isinstance(df.schema[col].dataType, T.StringType):
+                        return strip_ws_col(F.col(col)) == value[1]
+                    return typed_eq(col, value[1])
                 if value[0] == "lexeq":
                     return lex_eq(col, value[1])
                 if value[0] == "cmp":
@@ -741,6 +774,37 @@ def subject_renders_unique(tm: TriplesMap, df: DataFrame) -> bool:
         if not sep or sep[0] in alphabet:
             return False
     return True
+
+
+def subject_renders_unique_schemaless(tm: TriplesMap) -> bool:
+    """Document-tier twin of subject_renders_unique — no schema is
+    available, so only the shapes that are injective for ANY value
+    alphabet qualify: a SINGLE-group subject template whose group is a
+    declared-unique reference (xrr:uniqueRef,
+    xR2RMLLogicalSource.scala:17-22).  The group must be a plain
+    (non-wildcard) path — a wildcard group renders one subject per
+    matched element.  Restricted to NO-iterator TMs so that one source
+    row IS one document: under an iterator a subject can repeat across
+    the document's items, and item-relative references take several
+    values per subject, which breaks cross-pattern AND-merging.
+
+    uniqueRef is read as strict uniqueness of the RENDERED lexical
+    (at most one document per stripped value lexical — the same
+    strictness leap the tabular proof documents for NULLs): distinct
+    documents then render distinct subjects, because a single-group
+    template is injective in the value string (fixed prefix/suffix;
+    percent-encoding encodes '%' first)."""
+    if tm.logical_source.iterator:
+        return False
+    sm = tm.subject_map
+    uniq = set(tm.logical_source.unique_refs)
+    if not uniq:
+        return False
+    if sm.kind == TEMPLATE:
+        groups = get_template_groups(sm.template)
+        return (len(groups) == 1 and groups[0] in uniq
+                and not any(ch in groups[0] for ch in "*[]()@"))
+    return False
 
 
 def subject_space(tm: TriplesMap):

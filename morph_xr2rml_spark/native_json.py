@@ -35,7 +35,8 @@ from . import namespaces as NS
 from .functions.templates import compile_template, get_template_groups
 from .model import (COLUMN, CONSTANT, REFERENCE, TEMPLATE, MappingDocument,
                     TermMap, TriplesMap)
-from .native import encode_literal_col, encode_reserved_col, nt_escape_col
+from .native import (encode_literal_col, encode_reserved_col,
+                     nt_escape_col, strip_ws_col)
 from .sources import SourceCatalog
 from .translate import EngineConfig
 
@@ -345,12 +346,12 @@ class JsonNativeCompiler:
                 # createIRI: trim + encodeUrl; numeric lexicals can't
                 # contain unsafe chars — keep the chain off the plan
                 if is_str:
-                    lex = F.trim(lex)
+                    lex = strip_ws_col(lex)
                     if cfg.encode_unsafe_chars_in_uri:
                         lex = encode_url_col(lex)
                 return F.concat(F.lit("<"), lex, F.lit(">"))
             if is_str and cfg.literal_trim:
-                lex = F.trim(lex)
+                lex = strip_ws_col(lex)
             if is_str:
                 lex = encode_literal_col(lex, cfg.encode_literal_quotes)
             dtype = m.datatype

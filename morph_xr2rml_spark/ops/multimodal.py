@@ -504,6 +504,10 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
     meta["frames"] = frames
     if meta["n_frames"] is None:
         meta["n_frames"] = len(frames)
+    if meta["us_per_frame"] is None or meta["us_per_frame"] <= 0:
+        # avih header absent/zeroed: assume 25 fps so timestamp-based
+        # sampling still works instead of crashing on None arithmetic
+        meta["us_per_frame"] = 1_000_000 // 25
     return meta
 
 

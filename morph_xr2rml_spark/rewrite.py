@@ -108,7 +108,14 @@ def invert_subject(tm: TriplesMap, iri: str):
             return AMBIGUOUS        # matches every row: no row constraint
         return None
     if sm.kind == COLUMN:
-        return {sm.column: iri}     # raw column holds the full IRI
+        if "%" in iri:
+            # a %-escaped IRI may come from a DECODED stored value (the
+            # render percent-encodes reserved chars) — raw equality
+            # would wrongly prune it
+            return AMBIGUOUS
+        # the render strips the column value (createIRI trim) — the
+        # mirror must compare the STRIPPED column, not the raw one
+        return {sm.column: ("irieq", iri)}
     if sm.kind == TEMPLATE:
         return invert_template(sm.template, iri)
     return AMBIGUOUS                # reference/dynamic subject: full scan
@@ -150,7 +157,8 @@ def invert_object(mapping: MappingDocument, tm: TriplesMap,
                         and om.constant[1] == obj_iri:
                     candidates.append(AMBIGUOUS)   # every row matches
             elif om.kind == COLUMN:
-                candidates.append({om.column: obj_iri})
+                candidates.append(AMBIGUOUS if "%" in obj_iri
+                                  else {om.column: ("irieq", obj_iri)})
             elif om.kind == TEMPLATE:
                 inv = invert_template(om.template, obj_iri)
                 if inv is AMBIGUOUS:
@@ -322,6 +330,15 @@ def invert_object_lexpat(mapping: MappingDocument, tm: TriplesMap,
             if om.kind == COLUMN \
                     and om.infer_term_type() == NS.RR_LITERAL:
                 candidates.append({om.column: ("lexpat", kind, pat)})
+            elif om.kind == REFERENCE \
+                    and om.infer_term_type() == NS.RR_LITERAL \
+                    and om.datatype not in (NS.XSD_DATETIME,
+                                            NS.XSD_BOOLEAN):
+                # document tier (r6): rendered-lexical pattern on the
+                # field, pushed as the internal $renderPat find()
+                # operator; dateTime/boolean normalizers rewrite the
+                # lexical post-encode, so those stay AMBIGUOUS
+                candidates.append({om.reference: ("lexpat", kind, pat)})
             else:
                 candidates.append(AMBIGUOUS)
         for _rom in pom.ref_object_maps:
@@ -360,10 +377,13 @@ def _conj_merge(conj: dict, add: dict) -> bool:
     meeting an equality is dropped (weaker constraint stays: sound).
     Unsatisfiability is only declared for two DIFFERING constraints of
     the same equality kind (two raw equalities, or two lexeq renders —
-    a row value renders exactly one lexical); any other mixed pair
-    (lexpat vs lexeq, raw vs lexeq, ...) could hold simultaneously, so
-    the existing constraint is kept and the new one dropped (superset,
-    sound)."""
+    a row value renders exactly one lexical) on a SINGLE-VALUED
+    reference: a wildcard/filter JSONPath ('$.xs.*', ...) yields one
+    value per matched element, so two different captures can coexist in
+    one document (r6 — cartesian multi-valued templates).  Any other
+    mixed pair (lexpat vs lexeq, raw vs lexeq, ...) could hold
+    simultaneously, so the existing constraint is kept and the new one
+    dropped (superset, sound)."""
     for k, v in add.items():
         if k not in conj:
             conj[k] = v
@@ -373,16 +393,19 @@ def _conj_merge(conj: dict, add: dict) -> bool:
             continue
         cur_cmp = isinstance(cur, tuple) and cur[0] == "cmp"
         new_cmp = isinstance(v, tuple) and v[0] == "cmp"
+        multi_valued = any(ch in k for ch in "*[]()@")
         if cur_cmp and new_cmp:
             conj[k] = ("cmp", tuple(cur[1]) + tuple(v[1]))
         elif cur_cmp:
             conj[k] = v             # equality is stronger; cmp re-checked
         elif new_cmp:
             pass                    # keep the equality
+        elif multi_valued:
+            pass                    # per-element values: keep cur, drop v
         elif isinstance(cur, str) and isinstance(v, str):
             return False            # two different raw equalities: no row
         elif isinstance(cur, tuple) and isinstance(v, tuple) \
-                and cur[0] == v[0] == "lexeq":
+                and cur[0] == v[0] and cur[0] in ("lexeq", "irieq"):
             return False            # one render, two lexicals: no row
         # mixed kinds (lexpat vs eq, ...): keep cur, drop v — sound
     return True
@@ -503,8 +526,12 @@ def _collect(group: Group, out: list, top: bool = False,
                     b = ("lit", f'"{b[1]}"')
                 if op == "=" and b[0] in ("iri", "lit", "lit_exact"):
                     var_consts.setdefault(a[1], []).append(b)
-                elif op is not None and b[0] == "num":
-                    # numeric comparison (incl. '='): value-based
+                elif op in _CMP_FLIP and b[0] == "num":
+                    # numeric comparison (incl. '='): value-based.  Only
+                    # the ordered ops push: '!=' keeps IRI-vs-number rows
+                    # (SPARQL '=' on non-literal pairs is false, not an
+                    # error) so a value predicate would wrongly prune,
+                    # and it is never selective anyway — full scan.
                     var_cmps.setdefault(a[1], []).append((op, b[1]))
             continue
         if isinstance(flt, tuple) and flt[0] == "in":
@@ -737,7 +764,8 @@ def derive_tm_constraints(mapping: MappingDocument,
     if q.construct:
         pass    # CONSTRUCT template doesn't read sources
 
-    from .native import (subject_renders_unique, subject_space,
+    from .native import (subject_renders_unique,
+                         subject_renders_unique_schemaless, subject_space,
                          subject_spaces_disjoint)
     spaces = {n: subject_space(tm) for n, tm in mapping.triples_maps.items()}
     disjoint, unique = {}, {}
@@ -746,10 +774,16 @@ def derive_tm_constraints(mapping: MappingDocument,
             other == name or subject_spaces_disjoint(spaces[name], osp)
             for other, osp in spaces.items())
         uq = False
-        if disjoint[name] and tables is not None \
-                and tm.logical_source.kind == "table" \
-                and tm.logical_source.value in tables:
-            uq = subject_renders_unique(tm, tables[tm.logical_source.value])
+        if disjoint[name]:
+            if tables is not None \
+                    and tm.logical_source.kind == "table" \
+                    and tm.logical_source.value in tables:
+                uq = subject_renders_unique(
+                    tm, tables[tm.logical_source.value])
+            elif tm.logical_source.kind == "query":
+                # document tier (r6): schema-free injectivity — a
+                # single-group template over a declared-unique reference
+                uq = subject_renders_unique_schemaless(tm)
         unique[name] = uq
 
     out = {}
@@ -907,6 +941,9 @@ def _conj_to_find(tm: TriplesMap, conj: dict,
         if isinstance(value, tuple):
             if value[0] == "lexeq" and push_render:
                 clauses.append({field: {"$renderIn": [value[1]]}})
+            elif value[0] == "lexpat" and push_render:
+                # STRSTARTS/STRENDS/CONTAINS over the rendered lexical
+                clauses.append({field: {"$renderPat": [value[1], value[2]]}})
             elif value[0] == "cmp":
                 ops = {}
                 for op, lex in value[1]:
@@ -934,28 +971,45 @@ def _conj_to_find(tm: TriplesMap, conj: dict,
     return {"$and": clauses}
 
 
-def constrained_mapping(mapping: MappingDocument, constraints: dict,
-                        push_render: bool = True) -> MappingDocument:
-    """Deep-copied mapping with derived constraints composed into each
-    TM's find() filter; fully-excluded TMs are removed.  TMs referenced
-    as ROM parents keep their full scan (the parent side of a join must
-    stay complete) — same reason the tabular path filters only the
-    child scan."""
+def constrained_plan(mapping: MappingDocument, constraints: dict,
+                     push_render: bool = True
+                     ) -> tuple[MappingDocument, dict]:
+    """Apply derived constraints PER TIER (r6 — the analogue of the
+    reference's per-source condition generation: the runner factory
+    instantiates one translator per source,
+    MorphRDBUnfolder.scala:65-97 for the RDB conditions and
+    MorphMongoDataSourceReader.scala:52-70 for the Mongo ones).
+
+    Returns ``(m2, tm_row_filters)``: a deep-copied mapping where
+      - fully-excluded TMs of ANY tier are removed,
+      - document TMs' constraints are composed into their find() filter
+        (internal $lexIn/$renderIn/$numCmp operators, natively
+        compilable),
+    and ``tm_row_filters`` carries the tabular TMs' constraints for
+    ``NativeCompiler`` (``.where`` on the scan → parquet PushedFilters).
+    TMs referenced as ROM parents keep their full scan (the parent side
+    of a join must stay complete)."""
     m2 = copy.deepcopy(mapping)
     rom_parents = {rom.parent_tm
                    for tm in m2.triples_maps.values()
                    for pom in tm.predicate_object_maps
                    for rom in pom.ref_object_maps}
+    row_filters: dict = {}
     for name in list(m2.triples_maps):
         c = constraints.get(name)
         if c is None or name in rom_parents:
             continue
         tm = m2.triples_maps[name]
-        if tm.logical_source.kind != "query":
-            continue
         if not c:
+            # TM provably generates no pattern-matching triple — drop it
+            # whatever its tier
             del m2.triples_maps[name]
             continue
+        if tm.logical_source.kind == "table":
+            row_filters[name] = c
+            continue
+        if tm.logical_source.kind != "query":
+            continue    # rr:sqlQuery sources: full scan stays sound
         ors = [f for f in (_conj_to_find(tm, conj, push_render)
                            for conj in c)
                if f is not None]
@@ -967,7 +1021,15 @@ def constrained_mapping(mapping: MappingDocument, constraints: dict,
         orig = parse_filter(ftext)
         new = derived if not orig else {"$and": [orig, derived]}
         tm.logical_source.value = f"db.{coll}.find({json.dumps(new)})"
-    return m2
+    return m2, row_filters
+
+
+def constrained_mapping(mapping: MappingDocument, constraints: dict,
+                        push_render: bool = True) -> MappingDocument:
+    """Deep-copied mapping with derived constraints composed into each
+    document TM's find() filter; fully-excluded TMs are removed (see
+    constrained_plan — this keeps the document-only surface)."""
+    return constrained_plan(mapping, constraints, push_render)[0]
 
 
 def answer_documents(spark: SparkSession, mapping: MappingDocument,

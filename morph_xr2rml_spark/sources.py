@@ -102,8 +102,8 @@ def _spec_to_column(spec: dict, content_col: str):
                         # list, OR — for numeric members — the value
                         # compares numerically equal (a raw "7.50"
                         # renders "7.5"; the numeric arm keeps it)
-                        from .native import encode_literal_col
-                        rendered = encode_literal_col(F.trim(extracted))
+                        from .native import encode_literal_col, strip_ws_col
+                        rendered = encode_literal_col(strip_ws_col(extracted))
                         c = rendered.isin([str(v) for v in operand])
                         nums = [float(v) for v in operand
                                 if _is_number(v) or
@@ -111,6 +111,34 @@ def _spec_to_column(spec: dict, content_col: str):
                         if nums:
                             c = c | extracted.try_cast("double").isin(nums)
                         cond = cond & c
+                    elif op == "$renderPat" and isinstance(operand, list) \
+                            and len(operand) == 2:
+                        # INTERNAL (rewrite.py STRSTARTS/STRENDS/CONTAINS
+                        # pushdown): pattern predicate over the doc-tier
+                        # LITERAL RENDER of the field.  The engine
+                        # compares the ESCAPED lexical (sparql.py
+                        # lexical_value extracts without unescaping), so
+                        # the mirror nt-escapes like the render does.
+                        # Numeric values render their CANONICAL lexical
+                        # ('1e3' → '1000.0'), which the raw text misses —
+                        # the cast arm keeps those (superset, sound).
+                        from .native import (encode_literal_col,
+                                             nt_escape_col, strip_ws_col)
+                        kind, pat = operand
+
+                        def _pat(c, kind=kind, pat=str(pat)):
+                            if kind == "strstarts":
+                                return c.startswith(pat)
+                            if kind == "strends":
+                                return c.endswith(pat)
+                            return c.contains(pat)
+
+                        rendered = nt_escape_col(
+                            encode_literal_col(strip_ws_col(extracted)))
+                        num = extracted.try_cast("double")
+                        cond = cond & (_pat(rendered) |
+                                       (num.isNotNull() &
+                                        _pat(num.cast("string"))))
                     elif op == "$numCmp" and isinstance(operand, dict):
                         # INTERNAL (rewrite.py comparison FILTERs):
                         # numeric value predicates; non-numeric lexicals
@@ -174,6 +202,11 @@ def _spec_native_ok(spec: dict) -> bool:
                         return False
                 elif op == "$renderIn":
                     if not isinstance(operand, list):
+                        return False
+                elif op == "$renderPat":
+                    if not (isinstance(operand, list) and len(operand) == 2
+                            and operand[0] in ("strstarts", "strends",
+                                               "contains")):
                         return False
                 elif op == "$numCmp":
                     if not isinstance(operand, dict) or not all(

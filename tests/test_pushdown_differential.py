@@ -35,6 +35,12 @@ QUERIES = [
     "SELECT ?o WHERE { ?o ex:totalPrice ?p . "
     "FILTER(?p >= 50000 && ?p < 60000) }",
     'SELECT ?o WHERE { ?o ex:status "P" }',
+    # '!=' never pushes (r6: it was collected but uncompilable — crash);
+    # IRI-vs-number '!=' is true in SPARQL, so pushing a value predicate
+    # would be unsound anyway
+    "SELECT ?o ?p WHERE { ?o ex:totalPrice ?p . FILTER(?p != 200000.0) }",
+    "SELECT ?o WHERE { ?o ex:totalPrice ?p . "
+    "FILTER(?p > 50000 && ?p != 57288.56) }",
     # cross-pattern propagation
     'SELECT ?c ?n WHERE { ?c ex:segment "HOUSEHOLD" . ?c ex:name ?n }',
     'SELECT ?c ?b WHERE { ?c ex:segment "BUILDING" . '

@@ -117,6 +117,12 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
     for p in parts[1:]:
         out = out.unionByName(p)
     if dedup:
+        from .native_json import provably_distinct_json
+        if not native_tms and provably_distinct_json(mapping):
+            # document/json-native mapping provably emits no duplicate
+            # (r6 — the doc-tier twin of the native compiler's dedup
+            # elimination): skip the global exchange entirely
+            return out
         from .engine import dedup_triples
         # native-tier TMs emit one triple per (row, term map) — mostly
         # distinct, where the map-side partial agg only burns memory

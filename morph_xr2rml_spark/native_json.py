@@ -109,6 +109,106 @@ def compilable(tm: TriplesMap) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Compile-time duplicate-freeness (document tier, r6)
+# ---------------------------------------------------------------------------
+
+def provably_distinct_json(mapping, skip: frozenset = frozenset()) -> bool:
+    """Document-tier twin of NativeCompiler.provably_distinct — tier-
+    independent (the proof is about mapping semantics: the same shapes
+    emit identically from the json-native and the Arrow document
+    compilers).  True when the mapping provably emits no duplicate
+    triple, so the global dedup exchange / the evaluator's per-pattern
+    dropDuplicates are compile-time no-ops.  Per TM:
+
+      - NO iterator and no logical-source pushDown (one row == one
+        document; under an iterator a subject repeats across items);
+      - subject unique per document (xrr:uniqueRef through a
+        single-group template — subject_renders_unique_schemaless);
+      - no referencing object maps, graph maps, nested maps,
+        collections, language references;
+      - every predicate a constant IRI and every object slot
+        single-valued (constant, or a STATIC non-wildcard reference /
+        template — a static path yields ONE value per document, arrays
+        render as their JSON dump);
+      - a predicate emitted twice only with pairwise-distinct constant
+        objects (two references under one predicate could hold equal
+        values → same triple).
+
+    Across TMs: pairwise-disjoint subject spaces or disjoint constant
+    predicate sets (mirrors the tabular proof).  Iterator mappings
+    (e.g. the lineitem example) correctly stay unprovable."""
+    from .native import (subject_renders_unique_schemaless, subject_space,
+                         subject_spaces_disjoint)
+    from .rewrite import tm_pred_iris
+
+    def om_sig(om):
+        """Object signature, or None = unprovable slot."""
+        if om.nested is not None or om.language_ref is not None \
+                or om.is_collection_type():
+            return None
+        if om.kind == CONSTANT and om.constant is not None:
+            return ("const",) + tuple(om.constant)
+        if om.kind == REFERENCE:
+            if _static_path(om.reference) is None:
+                return None
+            return ("ref", om.reference, om.datatype, om.language)
+        if om.kind == TEMPLATE:
+            groups = get_template_groups(om.template)
+            if any(_static_path(g) is None for g in groups):
+                return None
+            return ("tpl", om.template, om.datatype, om.language)
+        return None
+
+    infos = []
+    for name, tm in mapping.triples_maps.items():
+        if name in skip:
+            continue
+        ls = tm.logical_source
+        if ls.iterator or ls.pushdowns:
+            return False
+        if not subject_renders_unique_schemaless(tm):
+            return False
+        if tm.graph_maps:
+            return False
+        by_pred: dict = {}
+        for cls in tm.class_uris:
+            by_pred.setdefault(NS.RDF_TYPE, []).append(("const", "iri", cls))
+        for pom in tm.predicate_object_maps:
+            if pom.graph_maps or pom.ref_object_maps:
+                return False
+            preds = []
+            for pm in pom.predicate_maps:
+                if pm.kind != CONSTANT or pm.constant is None \
+                        or pm.constant[0] != "iri":
+                    return False
+                preds.append(pm.constant[1])
+            for p in preds:
+                for om in pom.object_maps:
+                    sig = om_sig(om)
+                    if sig is None:
+                        return False
+                    by_pred.setdefault(p, []).append(sig)
+        for _p, entries in by_pred.items():
+            if len(entries) == 1:
+                continue
+            if any(e[0] != "const" for e in entries):
+                return False
+            if len(set(entries)) != len(entries):
+                return False
+        infos.append((subject_space(tm), tm_pred_iris(tm)))
+    for i in range(len(infos)):
+        for j in range(i + 1, len(infos)):
+            (sp_a, pr_a), (sp_b, pr_b) = infos[i], infos[j]
+            if sp_a is not None and sp_b is not None \
+                    and subject_spaces_disjoint(sp_a, sp_b):
+                continue
+            if pr_a is not None and pr_b is not None and not (pr_a & pr_b):
+                continue
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
 # Schema inference by sampling
 # ---------------------------------------------------------------------------
 

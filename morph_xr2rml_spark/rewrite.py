@@ -883,7 +883,12 @@ def answer_tabular(spark: SparkSession, mapping: MappingDocument,
                               fuse_projections=False,
                               tm_row_filters=tm_row_filters,
                               tm_skip=tm_skip)
-    eng = SparqlEngine(compiler.triples(dedup=False), dedup_source=True,
+    # provably duplicate-free plan (r5 uniqueness proofs): skip the
+    # evaluator's per-pattern dropDuplicates — a top-k query then
+    # compiles to TakeOrderedAndProject directly over the filtered
+    # scan, with no exchange at all (r6)
+    eng = SparqlEngine(compiler.triples(dedup=False),
+                       dedup_source=not compiler.provably_distinct(),
                        **engine_kw)
     if q.construct is not None:
         return eng.construct(q)
@@ -1053,7 +1058,10 @@ def answer_documents(spark: SparkSession, mapping: MappingDocument,
     else:
         triples = materialize_auto(spark, m2, catalog=catalog, cfg=cfg,
                                    dedup=False)
-    eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
+    from .native_json import provably_distinct_json
+    eng = SparqlEngine(triples,
+                       dedup_source=not provably_distinct_json(m2),
+                       **engine_kw)
     if q.construct is not None:
         return eng.construct(q)
     return eng.sql(q)

@@ -273,6 +273,27 @@ def q_sparql_point_pushdown(spark, sf_dir: str):
         "FILTER(?p > 400000.0) }")
 
 
+def q_sparql_mixed_pushdown(spark, sf_dir: str):
+    """Mixed relational + document answering through answer_auto (r6):
+    one derivation routed per tier — numeric FILTER → parquet-side
+    predicate on the customer scan, literal constant → composed find()
+    on the order documents — joined across the tiers with NO evaluator
+    dedup (both sides provably duplicate-free)."""
+    from morph_xr2rml_spark.api import answer_auto
+    from morph_xr2rml_spark.examples import (MIXED_KG_MAPPING,
+                                             orderflat_catalog, tpch_tables)
+    from morph_xr2rml_spark.model import MappingDocument
+
+    mapping = MappingDocument.from_text(MIXED_KG_MAPPING)
+    return answer_auto(
+        spark, mapping,
+        "PREFIX ex: <http://example.com/>\n"
+        'SELECT ?o ?c ?n WHERE { ?o ex:placedBy ?c ; ex:status "F" . '
+        "?c ex:name ?n ; ex:acctbal ?a . FILTER(?a > 9000.0) }",
+        catalog=orderflat_catalog(spark, sf_dir),
+        tables={"customer": tpch_tables(spark, sf_dir)["customer"]})
+
+
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
@@ -282,6 +303,7 @@ def queries():
         "kg_tpch_translate": q_kg_tpch_translate,
         "kg_skew_join": q_kg_skew_join,
         "sparql_point_pushdown": q_sparql_point_pushdown,
+        "sparql_mixed_pushdown": q_sparql_mixed_pushdown,
     }
     try:
         from morph_xr2rml_spark.ops import registry

@@ -194,7 +194,14 @@ def answer_auto(spark: SparkSession, mapping: MappingDocument,
                                tables=tables, cfg=cfg, dedup=False,
                                tm_row_filters=tm_row_filters,
                                fuse_projections=tm_row_filters is None)
-    eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
+    dedup_source = True
+    if tm_row_filters is not None and eff_mapping.triples_maps:
+        # mixed plan provably duplicate-free → skip the evaluator's
+        # per-pattern dedup (same elimination the pure tiers get)
+        from .rewrite import plan_provably_distinct
+        dedup_source = not plan_provably_distinct(spark, eff_mapping,
+                                                  tables)
+    eng = SparqlEngine(triples, dedup_source=dedup_source, **engine_kw)
     if q.construct is not None:
         return eng.construct(q)
     return eng.sql(q)

@@ -506,15 +506,36 @@ class NativeCompiler:
             dtype = df.schema[col].dataType
             base = F.col(col) if isinstance(dtype, self._NUMERIC_TYPES) \
                 else _col_as_string(df, col).try_cast("double")
+            # natively-DECIMAL columns: a double literal forces
+            # cast(col as double) > lit, which parquet cannot push.  When
+            # the literal is exactly representable at the column's scale
+            # AND the column's values are double-exact (precision <= 15,
+            # within 2^53), a typed decimal compare is semantically
+            # identical to the engine's double compare and lands in
+            # PushedFilters (row-group skipping at scale).
+            dec_ok = isinstance(dtype, T.DecimalType) and dtype.precision <= 15
             cond = None
             for op, lex in ops:
                 if op not in self._CMP_OPS:
                     continue    # unknown op: skip the conjunct (superset,
                     # sound) — rewrite.py only emits the five _CMP_OPS
-                try:
-                    c = self._CMP_OPS[op](base, F.lit(float(lex)))
-                except ValueError:
-                    return F.lit(False)
+                rhs = None
+                if dec_ok:
+                    from decimal import Decimal, InvalidOperation
+                    try:
+                        d = Decimal(lex)
+                        dq = d.quantize(Decimal(1).scaleb(-dtype.scale))
+                        if d == dq and \
+                                len(dq.as_tuple().digits) <= dtype.precision:
+                            rhs = (F.col(col), F.lit(dq).cast(dtype))
+                    except (InvalidOperation, ValueError):
+                        return F.lit(False)
+                if rhs is None:
+                    try:
+                        rhs = (base, F.lit(float(lex)))
+                    except ValueError:
+                        return F.lit(False)
+                c = self._CMP_OPS[op](*rhs)
                 cond = c if cond is None else (cond & c)
             return cond if cond is not None else F.lit(True)
 

@@ -1029,6 +1029,55 @@ def constrained_plan(mapping: MappingDocument, constraints: dict,
     return m2, row_filters
 
 
+def plan_provably_distinct(spark: SparkSession, mapping: MappingDocument,
+                           tables: dict[str, DataFrame]) -> bool:
+    """Duplicate-freeness proof for a MIXED relational+document plan
+    (r6): the tabular side via NativeCompiler.provably_distinct (doc TMs
+    skipped), the document side via provably_distinct_json (tabular TMs
+    skipped), plus cross-TIER pairwise disjointness (subject spaces or
+    constant predicate sets).  Used by answer_auto's mixed branch to
+    drop the evaluator's per-pattern dedup."""
+    from .native import (NativeCompiler, is_tabular_compilable,
+                         subject_space, subject_spaces_disjoint)
+    from .native_json import provably_distinct_json
+    tab, doc = [], []
+    for name, tm in mapping.triples_maps.items():
+        if tm.logical_source.kind == "table" \
+                and tm.logical_source.value in tables \
+                and is_tabular_compilable(tm):
+            tab.append((name, tm))
+        elif tm.logical_source.kind == "query":
+            doc.append((name, tm))
+        else:
+            return False
+    for _n, tm in tab:
+        # the tabular proof's ROM reasoning assumes tabular parents
+        for pom in tm.predicate_object_maps:
+            for rom in pom.ref_object_maps:
+                parent = mapping.triples_maps[rom.parent_tm]
+                if parent.logical_source.kind != "table":
+                    return False
+    if doc and not provably_distinct_json(
+            mapping, skip=frozenset(n for n, _ in tab)):
+        return False
+    if tab:
+        nc = NativeCompiler(spark, mapping, tables,
+                            tm_skip={n for n, _ in doc})
+        if not nc.provably_distinct():
+            return False
+    for _n1, t1 in tab:
+        for _n2, t2 in doc:
+            s1, s2 = subject_space(t1), subject_space(t2)
+            if s1 is not None and s2 is not None \
+                    and subject_spaces_disjoint(s1, s2):
+                continue
+            p1, p2 = tm_pred_iris(t1), tm_pred_iris(t2)
+            if p1 is not None and p2 is not None and not (p1 & p2):
+                continue
+            return False
+    return True
+
+
 def constrained_mapping(mapping: MappingDocument, constraints: dict,
                         push_render: bool = True) -> MappingDocument:
     """Deep-copied mapping with derived constraints composed into each

@@ -110,6 +110,63 @@ def test_iterator_mapping_stays_unprovable(spark):
     assert "hashpartitioning" in _plan(df)      # dedup exchange stays
 
 
+def test_decimal_native_comparison_pushes_to_parquet(spark, tmp_path):
+    """A comparison FILTER over a NATIVELY-decimal parquet column lands
+    in PushedFilters as a typed decimal predicate (r6): the double-cast
+    form blocked row-group skipping.  Exactness guard: precision <= 15
+    and the literal representable at the column scale — otherwise the
+    double path (DataFilters) stays."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "orders_dec")
+    (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+     .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)"))
+     .write.mode("overwrite").parquet(path))
+    tables = {"orders": spark.read.parquet(path),
+              **{n: tpch_tables(spark, SF_DIR)[n]
+                 for n in ("region", "nation", "customer")}}
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    df = answer_tabular(spark, mapping, tables, P + """
+        SELECT ?o WHERE { ?o ex:totalPrice ?p . FILTER(?p > 200000.0) }""")
+    plan = _plan(df)
+    assert "GreaterThan(o_totalprice,200000.00)" in plan
+    # result parity with the double-path engine semantics
+    n = spark.read.parquet(path).where("o_totalprice > 200000.0").count()
+    assert df.count() == n
+
+
+def test_mixed_plan_provably_distinct(spark):
+    from morph_xr2rml_spark.examples import MIXED_KG_MAPPING
+    from morph_xr2rml_spark.rewrite import plan_provably_distinct
+    mapping = MappingDocument.from_text(MIXED_KG_MAPPING)
+    tables = {"customer": tpch_tables(spark, SF_DIR)["customer"]}
+    assert plan_provably_distinct(spark, mapping, tables)
+    # adversarial: doc TM without uniqueRef → refused
+    weak = MappingDocument.from_text(
+        MIXED_KG_MAPPING.replace('; xrr:uniqueRef "$.ok"', ""))
+    assert not plan_provably_distinct(spark, weak, tables)
+    # adversarial: doc TM rendering into the customer subject space
+    clash = MappingDocument.from_text(MIXED_KG_MAPPING.replace(
+        "http://example.org/odoc/{$.ok}",
+        "http://example.org/customer/{$.ok}"))
+    assert not plan_provably_distinct(spark, clash, tables)
+
+
+def test_mixed_answering_drops_evaluator_dedup(spark):
+    """A SELECT over the mixed mapping has NO aggregate in its plan —
+    per-pattern dropDuplicates (HashAggregate over subj/pred/obj) is
+    eliminated by the cross-tier distinctness proof."""
+    from morph_xr2rml_spark.api import answer_auto
+    from morph_xr2rml_spark.examples import MIXED_KG_MAPPING
+    mapping = MappingDocument.from_text(MIXED_KG_MAPPING)
+    df = answer_auto(
+        spark, mapping,
+        P + 'SELECT ?o ?c WHERE { ?o ex:placedBy ?c ; ex:status "F" }',
+        catalog=orderflat_catalog(spark, SF_DIR),
+        tables={"customer": tpch_tables(spark, SF_DIR)["customer"]})
+    assert "Aggregate" not in _plan(df)
+    assert df.count() > 0
+
+
 def test_no_uniqueref_stays_unprovable():
     text = ORDERDOC_FLAT_MAPPING.replace('; xrr:uniqueRef "$.ok"', "")
     assert not provably_distinct_json(MappingDocument.from_text(text))

@@ -186,10 +186,10 @@ def answer_auto(spark: SparkSession, mapping: MappingDocument,
         eff_mapping, tm_row_filters = constrained_plan(
             mapping, constraints, push_render)
         if not eff_mapping.triples_maps:
+            from .rewrite import _eng_answer
             triples = spark.createDataFrame([], TRIPLE_SCHEMA)
             eng = SparqlEngine(triples, dedup_source=True, **engine_kw)
-            return eng.construct(q) if q.construct is not None \
-                else eng.sql(q)
+            return _eng_answer(spark, eng, q)
     triples = materialize_auto(spark, eff_mapping, catalog=catalog,
                                tables=tables, cfg=cfg, dedup=False,
                                tm_row_filters=tm_row_filters,
@@ -201,10 +201,9 @@ def answer_auto(spark: SparkSession, mapping: MappingDocument,
         from .rewrite import plan_provably_distinct
         dedup_source = not plan_provably_distinct(spark, eff_mapping,
                                                   tables)
+    from .rewrite import _eng_answer
     eng = SparqlEngine(triples, dedup_source=dedup_source, **engine_kw)
-    if q.construct is not None:
-        return eng.construct(q)
-    return eng.sql(q)
+    return _eng_answer(spark, eng, q)
 
 
 def run_materialization(spark: SparkSession, properties_path: str,

@@ -788,8 +788,48 @@ ORDER BY s
 """
 
 
+def sparql_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k answering with the dedup elimination (round 6): the pool is
+    provably duplicate-free, the evaluator skips per-pattern dedup, and
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject directly over the
+    one filtered orders scan — zero shuffles
+    (tests/test_round6_plans.py audits the plan)."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?o ?p WHERE { ?o ex:totalPrice ?p }
+        ORDER BY ?o LIMIT 25""")
+
+
+SPARQL_TOPK_SQL = f"""
+SELECT '<{EX}order/' || o_orderkey || '>' AS o,
+       '"' || CAST(o_totalprice AS DECIMAL(12,2)) || '"^^<{_XSD}decimal>' AS p
+FROM orders
+ORDER BY o LIMIT 25
+"""
+
+
+def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK through the pushdown answering path (round 6): returns a
+    one-row boolean frame; the pattern constants still invert into the
+    customer scan filter before the existence probe."""
+    from .api import answer_auto
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_auto(spark, mapping, SPARQL_PREFIX + """
+        ASK { ?c ex:segment "BUILDING" }""",
+        tables=tpch_tables(spark, sf_dir))
+
+
+SPARQL_ASK_SQL = """
+SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
+    "sparql_topk_pushdown": (sparql_topk_pushdown, SPARQL_TOPK_SQL),
+    "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),
     "sparql_pushdown_docseg": (sparql_pushdown_docseg,

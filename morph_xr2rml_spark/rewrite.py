@@ -859,6 +859,19 @@ def derive_tm_constraints(mapping: MappingDocument,
     return out
 
 
+
+def _eng_answer(spark: SparkSession, eng: SparqlEngine, q: SelectQuery):
+    """Dispatch a parsed query against an engine: CONSTRUCT/DESCRIBE and
+    SELECT return binding/triple DataFrames; ASK returns a one-row
+    boolean frame (r6 — the answer paths previously fell through to the
+    SELECT evaluator and returned an empty bindings frame)."""
+    if q.construct is not None:
+        return eng.construct(q)
+    if q.is_ask:
+        return spark.createDataFrame([(eng.ask(q),)], "ask boolean")
+    return eng.sql(q)
+
+
 # ---------------------------------------------------------------------------
 # Tabular (native-compiler) answering
 # ---------------------------------------------------------------------------
@@ -890,9 +903,7 @@ def answer_tabular(spark: SparkSession, mapping: MappingDocument,
     eng = SparqlEngine(compiler.triples(dedup=False),
                        dedup_source=not compiler.provably_distinct(),
                        **engine_kw)
-    if q.construct is not None:
-        return eng.construct(q)
-    return eng.sql(q)
+    return _eng_answer(spark, eng, q)
 
 
 # ---------------------------------------------------------------------------
@@ -1111,6 +1122,4 @@ def answer_documents(spark: SparkSession, mapping: MappingDocument,
     eng = SparqlEngine(triples,
                        dedup_source=not provably_distinct_json(m2),
                        **engine_kw)
-    if q.construct is not None:
-        return eng.construct(q)
-    return eng.sql(q)
+    return _eng_answer(spark, eng, q)

@@ -167,6 +167,24 @@ def test_mixed_answering_drops_evaluator_dedup(spark):
     assert df.count() > 0
 
 
+def test_ask_through_answer_paths(spark):
+    """ASK returns a one-row boolean frame from every answering path
+    (previously it fell through to the SELECT evaluator)."""
+    from morph_xr2rml_spark.api import answer_auto
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    t = answer_auto(spark, mapping,
+                    P + 'ASK { ?c ex:segment "BUILDING" }', tables=tables)
+    assert [r["ask"] for r in t.collect()] == [True]
+    f = answer_auto(spark, mapping,
+                    P + 'ASK { ?c ex:segment "NO_SUCH" }', tables=tables)
+    assert [r["ask"] for r in f.collect()] == [False]
+    dm = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    d = answer_documents(spark, dm, orderflat_catalog(spark, SF_DIR),
+                         P + 'ASK { ?s ex:status "F" }')
+    assert [r["ask"] for r in d.collect()] == [True]
+
+
 def test_no_uniqueref_stays_unprovable():
     text = ORDERDOC_FLAT_MAPPING.replace('; xrr:uniqueRef "$.ok"', "")
     assert not provably_distinct_json(MappingDocument.from_text(text))

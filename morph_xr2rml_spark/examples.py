@@ -616,6 +616,35 @@ ORDER BY c
 """
 
 
+def sparql_pushdown_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex mandatory-literal pushdown + type-facet candidacy (round 6).
+    An unanchored-find regex whose pattern starts with ``^lit`` implies
+    STRSTARTS(lexical, lit) — a sound lexpat constraint fed to the scan
+    (parquet StartsWith PushedFilter) while the evaluator still applies
+    the full pattern; ``isLiteral(?n)`` is a per-term-map constant facet
+    deciding TM candidacy (the reference applies the same compatibility
+    conditions when binding triple patterns to candidate term maps,
+    MorphBaseTriplePatternBinder).  Nation/region/orders are never read
+    (class pattern + disjoint subject spaces)."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?c ?n WHERE {
+            ?c ex:name ?n . ?c a ex:Customer .
+            FILTER(regex(STR(?n), "^Customer#000000[0-9]*1$")
+                   && isLiteral(?n))
+        } ORDER BY ?c""")
+
+
+SPARQL_PUSHDOWN_REGEX_SQL = f"""
+SELECT '<{EX}customer/' || c_custkey || '>' AS c,
+       '"' || c_name || '"' AS n
+FROM customer WHERE regexp_matches(c_name, '^Customer#000000[0-9]*1$')
+ORDER BY c
+"""
+
+
 # Document-tier literal pushdown (round 5): flat order documents so the
 # object references are document-level (pushable into find()) — the
 # lineitem mapping's refs are iterator-relative and correctly stay
@@ -843,6 +872,8 @@ EXTRA_QUERIES = {
     "sparql_pushdown_doc": (sparql_pushdown_doc, SPARQL_PUSHDOWN_DOC_SQL),
     "sparql_pushdown_lit": (sparql_pushdown_lit, SPARQL_PUSHDOWN_LIT_SQL),
     "sparql_pushdown_seg": (sparql_pushdown_seg, SPARQL_PUSHDOWN_SEG_SQL),
+    "sparql_pushdown_regex": (sparql_pushdown_regex,
+                              SPARQL_PUSHDOWN_REGEX_SQL),
     "sparql_pushdown_doclit": (sparql_pushdown_doclit,
                                SPARQL_PUSHDOWN_DOCLIT_SQL),
     "sparql_pushdown_doccmp": (sparql_pushdown_doccmp,

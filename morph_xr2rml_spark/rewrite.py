@@ -349,6 +349,170 @@ def invert_object_lexpat(mapping: MappingDocument, tm: TriplesMap,
     return _merge_candidates(candidates)
 
 
+_RE_META = set(".[]{}()*+?^$|")
+
+
+def _regex_lexpats(pat: str) -> list:
+    """Mandatory-literal constraint implied by a SPARQL regex pattern
+    (``rlike`` = unanchored Java ``find()``): ``^lit...`` means every
+    match starts with ``lit``, ``lit$`` that it ends with it, a leading
+    literal run that it contains it.  Superset semantics only — the
+    evaluator still runs the full regex; this merely feeds the sound
+    lexpat inversion.  Conservative bails: alternation / groups / inline
+    flags / ``\\Q`` quoting anywhere → no constraint; a quantifier that
+    can erase the preceding atom (``* ? {``) drops that atom from the
+    literal (``+`` keeps it: at least one occurrence is mandatory)."""
+    if "|" in pat or "(" in pat or "\\Q" in pat:
+        return []
+    anchored = pat.startswith("^")
+    body = pat[1:] if anchored else pat
+    lit: list = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            nxt = body[i + 1] if i + 1 < len(body) else ""
+            if nxt and not nxt.isalnum():
+                lit.append(nxt)         # escaped punctuation: literal char
+                i += 2
+                continue
+            break                       # metaclass (\d, \w, \n, ...): stop
+        if c in _RE_META:
+            if c in "*?{" and lit:
+                lit.pop()               # preceding atom became optional
+            break
+        lit.append(c)
+        i += 1
+    if not lit:
+        return []
+    s = "".join(lit)
+    if anchored:
+        return [("strstarts", s)]
+    if i == len(body) - 1 and body[i] == "$":
+        return [("strends", s)]         # fully-literal body before '$'
+    return [("contains", s)]
+
+
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _subject_satisfies_typereq(tm: TriplesMap, req) -> bool:
+    """Type-facet FILTER on a variable bound in SUBJECT position.
+    Subjects are IRIs or blank nodes, so LANG()/datatype() facets can
+    never hold (the evaluator yields NULL → filter false) and the term
+    type is a compile-time constant of the subject map."""
+    kind_, arg = req
+    if kind_ != "termtype":
+        return False
+    tt = tm.subject_map.infer_term_type()
+    if tt == NS.RR_IRI:
+        return arg == "iri"
+    if tt == NS.RR_BLANKNODE:
+        return arg == "blank"           # (isNumeric of IRI/BNode is false)
+    return True                         # exotic term types: unknown, keep
+
+
+def invert_object_typereq(mapping: MappingDocument, tm: TriplesMap,
+                          pred_iri: str, req):
+    """Type-facet FILTERs on an object variable — ``isIRI/isLiteral/
+    isBlank``, ``LANG(?o) = t`` / ``langMatches(LANG(?o), r)``,
+    ``datatype(?o) = dt`` — decide TM candidacy: ``None`` when NO object
+    produced under the predicate can satisfy the facet (the TM is
+    eliminated for this pattern), ``{}`` otherwise.  Facets are per-
+    term-map constants (rr:language, rr:datatype, term type), so there
+    is never a row constraint; the reference applies the same per-term-
+    map compatibility checks when binding triple patterns to candidate
+    term maps (MorphBaseTriplePatternBinder compatibility conditions).
+    Always a superset: unknown facets — dynamic language references,
+    natural datatypes without schema, constant terms with embedded
+    tags, dynamic predicates — count as satisfiable."""
+    kind_, arg = req
+
+    def om_ok(om) -> bool:
+        tt = om.infer_term_type()
+        if om.kind == CONSTANT and om.constant is not None:
+            ck = om.constant[0]
+            if ck == "iri":
+                tt = NS.RR_IRI
+            elif ck in _LIT_KINDS or ck.startswith("lit"):
+                tt = NS.RR_LITERAL
+            elif kind_ == "termtype":
+                return True             # unrecognised constant form
+        if tt not in (NS.RR_IRI, NS.RR_LITERAL, NS.RR_BLANKNODE):
+            return True                 # collection/container shapes
+        if kind_ == "termtype":
+            if arg == "numeric":
+                # lenient: any literal kept (the evaluator accepts plain
+                # literals whose lexical casts); IRI/BNode never numeric
+                return tt == NS.RR_LITERAL
+            want = {"iri": NS.RR_IRI, "literal": NS.RR_LITERAL,
+                    "blank": NS.RR_BLANKNODE}[arg]
+            return tt == want
+        # lang/datatype facets only ever hold on literals
+        if tt != NS.RR_LITERAL:
+            return False
+        if om.kind == CONSTANT:
+            return True                 # tag/datatype embedded in the term
+        if om.language_ref is not None:
+            return True                 # tag comes from the data: unknown
+        if kind_ == "lang":             # LANG(?o) = "tag"; case-insensitive
+            if arg == "":               # acceptance is a superset of both
+                return om.language is None   # tag-normalisation conventions
+            return om.language is not None \
+                and om.language.lower() == arg.lower()
+        if kind_ == "langmatch":
+            if om.language is None:
+                return False            # LANG() = "" matches no range
+            if arg == "*":
+                return True
+            low = om.language.lower()
+            return low == arg.lower() or low.startswith(arg.lower() + "-")
+        if kind_ == "dtype":
+            if om.language is not None:
+                return arg == _RDF_LANGSTRING
+            if om.datatype is not None:
+                return om.datatype == arg
+            if om.kind in (COLUMN, REFERENCE):
+                return True             # natural datatype: schema-dependent
+            return arg == NS.XSD_STRING  # plain template literal
+        return True
+
+    found = False
+    satisfiable = False
+    if pred_iri == NS.RDF_TYPE and tm.class_uris:
+        found = True                    # class IRIs: plain IRI objects
+        if kind_ == "termtype":
+            satisfiable = satisfiable or arg == "iri"
+    for pom in tm.predicate_object_maps:
+        pred_consts = set()
+        for pm in pom.predicate_maps:
+            if pm.kind == CONSTANT and pm.constant is not None \
+                    and pm.constant[0] == "iri":
+                pred_consts.add(pm.constant[1])
+            else:
+                return {}               # dynamic predicate: can't enumerate
+        if pred_iri not in pred_consts:
+            continue
+        for om in pom.object_maps:
+            found = True
+            satisfiable = satisfiable or om_ok(om)
+        for rom in pom.ref_object_maps:
+            found = True
+            parent = mapping.triples_maps.get(rom.parent_tm)
+            if parent is None:
+                satisfiable = True      # unresolvable parent: unknown
+            elif kind_ == "termtype":
+                ptt = parent.subject_map.infer_term_type()
+                satisfiable = satisfiable \
+                    or (ptt == NS.RR_IRI and arg == "iri") \
+                    or (ptt == NS.RR_BLANKNODE and arg == "blank") \
+                    or ptt not in (NS.RR_IRI, NS.RR_BLANKNODE)
+            # lang/datatype facets never hold on parent subjects (IRI/BNode)
+    if not found:
+        return None
+    return {} if satisfiable else None
+
+
 def invert_object_compare(mapping: MappingDocument, tm: TriplesMap,
                           pred_iri: str, op: str, num_lex: str):
     """Numeric comparison FILTER on a var bound in object position →
@@ -477,6 +641,7 @@ def _collect(group: Group, out: list, top: bool = False,
     var_consts: dict[str, list] = {}
     var_cmps: dict[str, list] = {}
     var_lexpats: dict[str, list] = {}
+    var_typereqs: dict[str, list] = {}
     conjuncts: list = []
 
     def _flatten_and(node):
@@ -518,6 +683,18 @@ def _collect(group: Group, out: list, top: bool = False,
         if isinstance(flt, tuple) and flt[0] == "cmp":
             sides = (flt[2], flt[3])
             for a, b in (sides, sides[::-1]):
+                if isinstance(a, tuple) and a[0] in ("langfn", "datatypefn") \
+                        and flt[1] == "=" and isinstance(a[1], tuple) \
+                        and a[1][0] == "var":
+                    # LANG(?v) = "tag" / datatype(?v) = <dt>: per-term-map
+                    # constant facets → candidacy requirement on ?v
+                    if a[0] == "langfn" and b[0] == "str":
+                        var_typereqs.setdefault(a[1][1], []).append(
+                            ("lang", b[1]))
+                    elif a[0] == "datatypefn" and b[0] == "iri":
+                        var_typereqs.setdefault(a[1][1], []).append(
+                            ("dtype", b[1]))
+                    continue
                 if a[0] != "var":
                     continue
                 op = flt[1] if (a, b) == sides else _CMP_FLIP.get(flt[1])
@@ -557,6 +734,57 @@ def _collect(group: Group, out: list, top: bool = False,
             if isinstance(a, tuple) and a[0] == "var" \
                     and isinstance(b, tuple) and b[0] == "str":
                 var_lexpats.setdefault(a[1], []).append((flt[0], b[1]))
+            continue
+        if isinstance(flt, tuple) and flt[0] == "regex":
+            # regex over a var's lexical: a mandatory-literal prefix /
+            # suffix / substring is a sound lexpat constraint (superset;
+            # the evaluator still applies the full pattern)
+            a = flt[1]
+            if isinstance(a, tuple) and a[0] == "strfn":
+                a = a[1]                # regex(STR(?v), p): same lexical
+            flags = flt[3][1] if len(flt) > 3 \
+                and isinstance(flt[3], tuple) else ""
+            if isinstance(a, tuple) and a[0] == "var" \
+                    and isinstance(flt[2], tuple) and flt[2][0] == "str" \
+                    and not flags:
+                for kp in _regex_lexpats(flt[2][1]):
+                    var_lexpats.setdefault(a[1], []).append(kp)
+            continue
+        if isinstance(flt, tuple) and flt[0] == "langmatches":
+            a, b = flt[1], flt[2]
+            if isinstance(a, tuple) and a[0] == "langfn" \
+                    and isinstance(a[1], tuple) and a[1][0] == "var" \
+                    and isinstance(b, tuple) and b[0] == "str":
+                var_typereqs.setdefault(a[1][1], []).append(
+                    ("langmatch", b[1]))
+            continue
+        if isinstance(flt, tuple) and flt[0] in ("isiri", "isliteral",
+                                                 "isblank") \
+                and isinstance(flt[1], tuple) and flt[1][0] == "var":
+            var_typereqs.setdefault(flt[1][1], []).append(
+                ("termtype", flt[0][2:]))
+            continue
+        if isinstance(flt, tuple) and flt[0] == "isnumeric" \
+                and isinstance(flt[1], tuple) and flt[1][0] == "var":
+            # numeric_value() is NULL for every IRI/BNode term string:
+            # only literal term maps can satisfy isNumeric (kept leniently
+            # — the evaluator accepts plain literals with numeric lexicals)
+            var_typereqs.setdefault(flt[1][1], []).append(
+                ("termtype", "numeric"))
+            continue
+        if isinstance(flt, tuple) and flt[0] == "sameterm":
+            # sameTerm(?v, const): term identity implies the '='-style
+            # constant constraint (value equality is a superset of term
+            # identity, and the evaluator still applies sameTerm itself)
+            sides = (flt[1], flt[2])
+            for a, b in (sides, sides[::-1]):
+                if not (isinstance(a, tuple) and a[0] == "var"
+                        and isinstance(b, tuple)):
+                    continue
+                if b[0] == "str" and '"' not in b[1] and "\\" not in b[1]:
+                    b = ("lit", f'"{b[1]}"')
+                if b[0] in ("iri", "lit", "lit_exact"):
+                    var_consts.setdefault(a[1], []).append(b)
     for vars_, rows in group.values:
         # per-variable projection of a (possibly multi-var) VALUES block:
         # a column that is all constants (no UNDEF) bounds its variable;
@@ -607,10 +835,14 @@ def _collect(group: Group, out: list, top: bool = False,
         svar = tp.s[1] if tp.s[0] == "var" and not in_subquery else None
         cmps = var_cmps.get(tp.o[1], []) if tp.o[0] == "var" else []
         lexpats = var_lexpats.get(tp.o[1], []) if tp.o[0] == "var" else []
+        typereqs = var_typereqs.get(tp.o[1], []) if tp.o[0] == "var" else []
+        s_typereqs = var_typereqs.get(tp.s[1], []) \
+            if tp.s[0] == "var" else []
         variants = [(s, o) for s in expand(tp.s, iri_only=True)
                     for o in expand(tp.o, iri_only=False)]
         out.append({"preds": preds, "svar": svar, "top": top,
                     "cmps": cmps, "lexpats": lexpats,
+                    "typereqs": typereqs, "s_typereqs": s_typereqs,
                     "variants": variants})
     for sub in group.optionals + group.minuses:
         _collect(sub, out, False, in_subquery)
@@ -655,11 +887,15 @@ def tm_pred_iris(tm: TriplesMap) -> Optional[set]:
 
 
 def _eval_variant(mapping: MappingDocument, tm: TriplesMap,
-                  s_term, o_term, single_pred, o_cmps, o_lexpats=()):
+                  s_term, o_term, single_pred, o_cmps, o_lexpats=(),
+                  o_typereqs=(), s_typereqs=()):
     """(ok, conj) for one pattern instantiation against one TM.  ok=False
     means the TM provably cannot produce a triple matching it (with its
     filters); conj is the derived row constraint (possibly empty)."""
     conj: dict = {}
+    for req in s_typereqs:
+        if not _subject_satisfies_typereq(tm, req):
+            return False, None      # subject term type can't satisfy
     if s_term[0] == "iri":
         sub_c = invert_subject(tm, s_term[1])
         if sub_c is None:
@@ -690,6 +926,9 @@ def _eval_variant(mapping: MappingDocument, tm: TriplesMap,
             return False, None      # predicate has no object maps at all
         if isinstance(pat_c, dict) and not _conj_merge(conj, pat_c):
             return False, None
+    for req in (o_typereqs if single_pred is not None else []):
+        if invert_object_typereq(mapping, tm, single_pred, req) is None:
+            return False, None      # no object under this pred satisfies
     return True, conj
 
 
@@ -800,7 +1039,9 @@ def derive_tm_constraints(mapping: MappingDocument,
             single_pred = next(iter(preds)) \
                 if preds is not None and len(preds) == 1 else None
             results = [_eval_variant(mapping, tm, s, o, single_pred,
-                                     rec["cmps"], rec.get("lexpats", ()))
+                                     rec["cmps"], rec.get("lexpats", ()),
+                                     rec.get("typereqs", ()),
+                                     rec.get("s_typereqs", ()))
                        for s, o in rec["variants"]]
             evals.append((rec, results))
 

@@ -1402,12 +1402,14 @@ class SparqlEngine:
                 return l.endswith(r)
             return l.contains(r)
         if kind == "regex":
-            var = ast[1][1]
+            # first arg may be any string operand — ?v, STR(?v), an
+            # expression — regex applies to its lexical form (§17.4.3.14)
+            text = self._operand_col(ast[1], lexical=True)
             pat = ast[2][1]
             flags = ast[3][1] if len(ast) > 3 else ""
             if "i" in flags:
                 pat = "(?i)" + pat
-            return lexical_value(F.col(var)).rlike(pat)
+            return text.rlike(pat)
         if kind == "langmatches":
             lang = self._operand_col(ast[1], lexical=True)
             pat = ast[2][1]

@@ -78,6 +78,36 @@ QUERIES = [
     'FILTER STRSTARTS(STR(?n), "Customer#0000001") }',
     'SELECT ?c WHERE { ?c ex:segment ?s . FILTER(CONTAINS(?s, "BUILD")) }',
     'SELECT ?c WHERE { ?c ex:name ?n . FILTER STRENDS(STR(?n), "01") }',
+    # regex mandatory-literal extraction (r6): anchored prefix, suffix,
+    # substring, metachar-bounded prefix, STR() wrapper, 'i' flag refusal
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . ?c a ex:Customer . '
+    'FILTER regex(STR(?n), "^Customer#0000001") }',
+    'SELECT ?c WHERE { ?c ex:segment ?s . FILTER regex(?s, "ING$") }',
+    'SELECT ?c WHERE { ?c ex:segment ?s . FILTER regex(?s, "BUILD") }',
+    'SELECT ?c WHERE { ?c ex:segment ?s . FILTER regex(?s, "^BU.LD") }',
+    'SELECT ?c WHERE { ?c ex:segment ?s . FILTER regex(?s, "^build", "i") }',
+    'SELECT ?c ?n WHERE { ?c ex:segment "HOUSEHOLD" . ?c ex:name ?n . '
+    'FILTER regex(STR(?n), "^Customer#00000") }',
+    # type facets (r6): per-term-map constants decide TM candidacy
+    "SELECT ?s ?o WHERE { ?s ex:placedBy ?o . FILTER(isLiteral(?o)) }",
+    "SELECT ?s ?o WHERE { ?s ex:placedBy ?o . FILTER(isIRI(?o)) }",
+    "SELECT ?s WHERE { ?s a ex:Nation . FILTER(isLiteral(?s)) }",
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . FILTER(LANG(?n) = "en") }',
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . FILTER(LANG(?n) = "") }',
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . '
+    'FILTER langMatches(LANG(?n), "*") }',
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . '
+    "FILTER(datatype(?n) = xsd:string) }",
+    'SELECT ?o ?p WHERE { ?o ex:totalPrice ?p . '
+    "FILTER(isLiteral(?p) && ?p > 250000.0) }",
+    # isNumeric / sameTerm (r6)
+    "SELECT ?s ?o WHERE { ?s ex:placedBy ?o . FILTER(isNumeric(?o)) }",
+    'SELECT ?o ?p WHERE { ?o ex:totalPrice ?p . FILTER(isNumeric(?p)) }',
+    "SELECT ?p ?o WHERE { ?s ?p ?o . "
+    "FILTER sameTerm(?s, <http://example.org/customer/5>) }",
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . '
+    'FILTER sameTerm(?n, "Customer#000000021") }',
+    'SELECT ?c WHERE { ?c ex:segment ?s . FILTER sameTerm("BUILDING", ?s) }',
     # IRI-only DESCRIBE (subject + object position constraints)
     "DESCRIBE <http://example.org/customer/3>",
     "DESCRIBE <http://example.org/region/1>",
@@ -143,6 +173,8 @@ NASTY_QUERIES = [
     'SELECT ?s ?l WHERE { ?s a ex:Thing . ?s ex:label ?l }',
     "SELECT ?p ?o WHERE { <http://example.org/thing/fixed> ?p ?o }",
     'SELECT ?s WHERE { ?s ex:label ?l . FILTER STRSTARTS(STR(?l), "A") }',
+    'SELECT ?s WHERE { ?s ex:label ?l . FILTER regex(STR(?l), "^A") }',
+    "SELECT ?s ?l WHERE { ?s ex:label ?l . FILTER(isLiteral(?l)) }",
     "DESCRIBE <http://example.org/thing/0>",
 ]
 

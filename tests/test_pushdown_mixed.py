@@ -249,6 +249,20 @@ DOC_PAT_DIFFERENTIAL = [
     # combined with AND-strengthened sibling pattern
     'SELECT ?s ?k WHERE { ?s ex:priority ?c . ?s ex:cust ?k . '
     'FILTER STRSTARTS(STR(?c), "5-LOW") }',
+    # regex mandatory-literal → $renderPat (r6)
+    'SELECT ?s ?c WHERE { ?s ex:priority ?c . '
+    'FILTER regex(STR(?c), "^1-URG") }',
+    'SELECT ?s ?c WHERE { ?s ex:priority ?c . '
+    'FILTER regex(?c, "ENT$") }',
+    'SELECT ?s ?c WHERE { ?s ex:priority ?c . '
+    'FILTER regex(?c, "^2-.IGH") }',
+    # 'i' flag refuses pushdown but must still agree
+    'SELECT ?s ?c WHERE { ?s ex:priority ?c . '
+    'FILTER regex(?c, "^1-urg", "i") }',
+    # type facets over document term maps (r6)
+    "SELECT ?s ?c WHERE { ?s ex:priority ?c . FILTER(isLiteral(?c)) }",
+    "SELECT ?s ?c WHERE { ?s ex:priority ?c . FILTER(isIRI(?c)) }",
+    'SELECT ?s ?c WHERE { ?s ex:priority ?c . FILTER(LANG(?c) = "en") }',
 ]
 
 

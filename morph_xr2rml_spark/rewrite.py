@@ -785,6 +785,24 @@ def _collect(group: Group, out: list, top: bool = False,
                     b = ("lit", f'"{b[1]}"')
                 if b[0] in ("iri", "lit", "lit_exact"):
                     var_consts.setdefault(a[1], []).append(b)
+    for var, expr in group.binds:
+        # BIND(const AS ?v): the evaluator joins the constant against
+        # pattern occurrences of ?v (sequential-scope equality), so it
+        # constrains exactly like FILTER(?v = const).  Computed
+        # expressions derive nothing (full scan).  Several constraints
+        # on one var stay OR-variants — a superset, sound.
+        if not isinstance(expr, tuple):
+            continue
+        if expr[0] == "str" and '"' not in expr[1] and "\\" not in expr[1]:
+            var_consts.setdefault(var, []).append(("lit", f'"{expr[1]}"'))
+        elif expr[0] == "iri":
+            var_consts.setdefault(var, []).append(expr)
+        elif expr[0] == "termlit":
+            var_consts.setdefault(var, []).append(("lit_exact", expr[1]))
+        elif expr[0] == "num":
+            # value-equality join (the evaluator compares numeric_value):
+            # mirrors FILTER(?v = n) pushdown
+            var_cmps.setdefault(var, []).append(("=", expr[1]))
     for vars_, rows in group.values:
         # per-variable projection of a (possibly multi-var) VALUES block:
         # a column that is all constants (no UNDEF) bounds its variable;

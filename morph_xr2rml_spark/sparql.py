@@ -1145,13 +1145,24 @@ class SparqlEngine:
             # the unit relation; VALUES/BIND-only groups build on it
             df = self.triples.sparkSession.range(1).select()
         for var, expr in g.binds:
-            c = self._bind_col(expr)
+            tc = self._bind_term_const(expr)
+            c = tc if tc is not None else self._bind_col(expr)
             if var in df.columns:
                 # the var is also pattern-bound: patterns evaluate first
                 # here, so emulate sequential scope (BIND introduces the
                 # var, later patterns join on it) with an equality —
-                # same solutions as bind-then-join
-                df = df.where(F.col(var) == c)
+                # same solutions as bind-then-join.  Constants and term
+                # constructors compare term strings directly; computed
+                # plain values compare against the term's numeric /
+                # lexical value (the engine's '=' value semantics)
+                if tc is not None or expr[0] == "termctor":
+                    df = df.where(F.col(var) == c)
+                elif expr[0] in ("num", "arith", "numop"):
+                    df = df.where(numeric_value(F.col(var)) ==
+                                  c.cast("double"))
+                else:
+                    df = df.where(lexical_value(F.col(var)) ==
+                                  c.cast("string"))
             else:
                 df = df.withColumn(var, c)
         for vars_, rows in g.values:
@@ -1707,6 +1718,21 @@ class SparqlEngine:
             enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
             return F.replace(enc, F.lit("%7E"), F.lit("~"))
         raise ValueError(f"unsupported string function {func}")
+
+    def _bind_term_const(self, ast) -> Optional[Column]:
+        """Term-string form of a CONSTANT BIND expression, or None for a
+        computed one.  A bound constant is an RDF term — it must join
+        against pattern-bound variables and project exactly like VALUES
+        and the term constructors do (r6 fix: the plain-value form broke
+        BIND-then-pattern joins and serialized bare lexicals)."""
+        kind = ast[0]
+        if kind == "str":
+            return F.lit(f'"{ast[1]}"')
+        if kind == "iri":
+            return F.lit(f"<{ast[1]}>")
+        if kind == "termlit":
+            return F.lit(ast[1])
+        return None
 
     def _bind_col(self, ast) -> Column:
         """BIND expression → Column.  Arithmetic works on extracted

@@ -108,6 +108,19 @@ QUERIES = [
     'SELECT ?c ?n WHERE { ?c ex:name ?n . '
     'FILTER sameTerm(?n, "Customer#000000021") }',
     'SELECT ?c WHERE { ?c ex:segment ?s . FILTER sameTerm("BUILDING", ?s) }',
+    # BIND constant propagation (r6): constrains like FILTER(?v = const)
+    'SELECT ?c WHERE { BIND("BUILDING" AS ?s) ?c ex:segment ?s }',
+    'SELECT ?p ?o WHERE { BIND(<http://example.org/customer/5> AS ?c) '
+    "?c ?p ?o }",
+    "SELECT ?o WHERE { BIND(200000.0 AS ?p) ?o ex:totalPrice ?p }",
+    'SELECT ?c ?n WHERE { BIND("MACHINERY" AS ?s) ?c ex:segment ?s . '
+    "?c ex:name ?n }",
+    # contradictory BIND + FILTER must agree (OR-variants stay superset)
+    'SELECT ?c WHERE { BIND("BUILDING" AS ?s) ?c ex:segment ?s . '
+    'FILTER(?s = "FURNITURE") }',
+    # computed BIND derives nothing but must not break
+    'SELECT ?c ?x WHERE { ?c ex:segment ?s . '
+    'BIND(CONCAT(?s, "!") AS ?x) FILTER(?x = "BUILDING!") }',
     # IRI-only DESCRIBE (subject + object position constraints)
     "DESCRIBE <http://example.org/customer/3>",
     "DESCRIBE <http://example.org/region/1>",
@@ -175,6 +188,7 @@ NASTY_QUERIES = [
     'SELECT ?s WHERE { ?s ex:label ?l . FILTER STRSTARTS(STR(?l), "A") }',
     'SELECT ?s WHERE { ?s ex:label ?l . FILTER regex(STR(?l), "^A") }',
     "SELECT ?s ?l WHERE { ?s ex:label ?l . FILTER(isLiteral(?l)) }",
+    'SELECT ?s WHERE { BIND("BUILDING" AS ?l) ?s ex:label ?l }',
     "DESCRIBE <http://example.org/thing/0>",
 ]
 

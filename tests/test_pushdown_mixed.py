@@ -263,6 +263,10 @@ DOC_PAT_DIFFERENTIAL = [
     "SELECT ?s ?c WHERE { ?s ex:priority ?c . FILTER(isLiteral(?c)) }",
     "SELECT ?s ?c WHERE { ?s ex:priority ?c . FILTER(isIRI(?c)) }",
     'SELECT ?s ?c WHERE { ?s ex:priority ?c . FILTER(LANG(?c) = "en") }',
+    # BIND constant propagation composes into find() (r6)
+    'SELECT ?s WHERE { BIND("1-URGENT" AS ?c) ?s ex:priority ?c }',
+    'SELECT ?k WHERE { BIND("2-HIGH" AS ?c) ?s ex:priority ?c . '
+    "?s ex:cust ?k }",
 ]
 
 

@@ -384,3 +384,52 @@ def test_exists_in_compound_filter(eng):
     df = eng.sql('SELECT * WHERE { ?s <http://ex/name> ?n '
                  'FILTER(EXISTS { ?s <http://ex/age> ?a } || bound(?n)) }')
     assert not [c for c in df.columns if c.startswith("#exists")]
+
+
+def test_bind_constant_joins_pattern(eng):
+    """BIND(const AS ?v) then a pattern using ?v joins on the TERM (r6
+    fix: the plain-value form never equalled the term strings, silently
+    yielding zero rows)."""
+    got = q(eng, 'SELECT ?s WHERE { BIND("Bob" AS ?n) '
+                 '?s <http://ex/name> ?n }')
+    assert got == [("<http://ex/b>",)]
+    # IRI constant in SUBJECT position via BIND
+    got = q(eng, 'SELECT ?n WHERE { BIND(<http://ex/b> AS ?s) '
+                 '?s <http://ex/name> ?n }')
+    assert got == [('"Bob"',)]
+    # typed-literal constant
+    got = q(eng, 'SELECT ?s WHERE { '
+                 f'BIND("30"^^<{XSD_INT}> AS ?a) '
+                 '?s <http://ex/age> ?a }')
+    assert got == [("<http://ex/a>",)]
+    # numeric constant joins by VALUE (engine '=' semantics)
+    got = q(eng, "SELECT ?s WHERE { BIND(25 AS ?a) "
+                 "?s <http://ex/age> ?a }")
+    assert got == [("<http://ex/b>",)]
+    # non-matching constant: empty, not everything
+    got = q(eng, 'SELECT ?s WHERE { BIND("Zed" AS ?n) '
+                 '?s <http://ex/name> ?n }')
+    assert got == []
+
+
+def test_bind_constant_projects_term_form(eng):
+    """Fresh BIND constants serialize as terms — consistent with VALUES
+    and pattern-bound variables (r6 fix: was the bare lexical)."""
+    assert q(eng, 'SELECT ?x WHERE { BIND("a" AS ?x) }') == [('"a"',)]
+    assert q(eng, "SELECT ?x WHERE { BIND(<http://ex/z> AS ?x) }") \
+        == [("<http://ex/z>",)]
+    # computed expressions keep the documented plain-value convention
+    got = eng.sql("SELECT ?y WHERE { BIND(2 + 3 AS ?y) }").collect()
+    assert got[0].y == 5.0
+
+
+def test_bind_computed_collision_compares_by_value(eng):
+    """A computed BIND over a pattern-bound var filters by value."""
+    got = q(eng, 'SELECT ?s WHERE { ?s <http://ex/name> ?n '
+                 '. ?s <http://ex/age> ?a . BIND(?a - 5 AS ?b) '
+                 "FILTER(?b = 20) }")
+    assert got == [("<http://ex/b>",)]
+    # CONCAT collision: lexical-value comparison
+    got = q(eng, 'SELECT ?s WHERE { ?s <http://ex/name> ?n '
+                 '. BIND(CONCAT("B", "ob") AS ?n) }')
+    assert got == [("<http://ex/b>",)]

@@ -307,6 +307,27 @@ SPARQL_QUERIES = {
              AND t2.obj = '<http://example.com/Customer>'
         WHERE t1.pred = '<http://example.com/name>'
         ORDER BY c"""),
+    # var-var numeric comparison (r6): FILTER(?p < ?b) compares two
+    # pattern-bound decimal literals by VALUE across a join
+    "sparql_varvar_cmp": (
+        SPARQL_PREFIX + """
+        SELECT ?o ?c WHERE {
+            ?o ex:placedBy ?c .
+            ?o ex:totalPrice ?p .
+            ?c ex:acctbal ?b .
+            FILTER(?p < ?b)
+        } ORDER BY ?o""",
+        """
+        SELECT t1.subj AS o, t1.obj AS c
+        FROM triples t1
+        JOIN triples t2 ON t2.subj = t1.subj
+             AND t2.pred = '<http://example.com/totalPrice>'
+        JOIN triples t3 ON t3.subj = t1.obj
+             AND t3.pred = '<http://example.com/acctbal>'
+        WHERE t1.pred = '<http://example.com/placedBy>'
+          AND CAST(regexp_extract(t2.obj, '^"([^"]*)"', 1) AS DOUBLE)
+            < CAST(regexp_extract(t3.obj, '^"([^"]*)"', 1) AS DOUBLE)
+        ORDER BY o"""),
     # UNION + DISTINCT
     "sparql_all_names": (
         SPARQL_PREFIX + """

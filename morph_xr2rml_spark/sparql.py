@@ -852,6 +852,31 @@ def numeric_value(col: Column) -> Column:
              .otherwise(s.try_cast("double")))
 
 
+_NUMERIC_DT_RE = (r'\^\^<http://www\.w3\.org/2001/XMLSchema#(integer|'
+                  r'decimal|double|float|long|int|short|byte|'
+                  r'nonNegativeInteger|nonPositiveInteger|negativeInteger|'
+                  r'positiveInteger|unsignedLong|unsignedInt|unsignedShort|'
+                  r'unsignedByte)>$')
+
+
+def term_order_keys(col: Column) -> list[Column]:
+    """SPARQL §15.4 ORDER BY keys for a term-string column: unbound <
+    blank < IRI < literal, numeric literals by VALUE ("9" before "10" —
+    a raw string sort gets this wrong), everything else by lexical form
+    (codepoint; canonical dateTimes sort correctly there).  The order
+    between numeric and non-numeric literals is implementation-defined
+    in the spec; the composite key makes it deterministic (non-numeric
+    first — Spark's nulls-first on the value key)."""
+    s = col.cast("string")
+    rank = (F.when(s.isNull(), F.lit(0))
+             .when(s.startswith("_:"), F.lit(1))
+             .when(s.startswith("<"), F.lit(2))
+             .otherwise(F.lit(3)))
+    num = F.when(s.rlike(_NUMERIC_DT_RE),
+                 F.regexp_extract(s, _LEX_RE, 1).try_cast("double"))
+    return [rank, num, lexical_value(col)]
+
+
 class SparqlEngine:
     """Evaluate parsed SELECT queries against a (subj, pred, obj[, graph])
     triple DataFrame.  Variable bindings are the canonical lexical term
@@ -1463,6 +1488,18 @@ class SparqlEngine:
                     or right[0] in ("num", "arith", "numop"):
                 return ops[op](self._numeric_operand(left),
                                self._numeric_operand(right))
+            if left[0] == "var" and right[0] == "var":
+                # var-var: numeric literals compare by VALUE when both
+                # sides carry a numeric datatype ("42"^^xsd:integer =
+                # "42.0"^^xsd:decimal is true; "9" < "10" numerically);
+                # any other pair keeps the lexical comparison (r6 fix)
+                ls, rs = F.col(left[1]), F.col(right[1])
+                both_num = (ls.cast("string").rlike(_NUMERIC_DT_RE)
+                            & rs.cast("string").rlike(_NUMERIC_DT_RE))
+                return F.when(both_num, ops[op](numeric_value(ls),
+                                                numeric_value(rs))) \
+                        .otherwise(ops[op](lexical_value(ls),
+                                           lexical_value(rs)))
             lcol = self._operand_col(left, lexical=True)
             rcol = self._operand_col(right, lexical=True)
             return ops[op](lcol, rcol)
@@ -1909,11 +1946,19 @@ class SparqlEngine:
         if q.distinct:
             df = df.distinct()
         if q.order_by:
-            def _okey(v) -> Column:
-                return F.col(v) if isinstance(v, str) else \
-                    self._operand_col(v, lexical=True)
-            df = df.orderBy(*[_okey(v).asc() if a else _okey(v).desc()
-                              for v, a in q.order_by])
+            dtypes = dict(df.dtypes)
+
+            def _okeys(v) -> list:
+                if not isinstance(v, str):
+                    return [self._operand_col(v, lexical=True)]
+                if dtypes.get(v, "string") != "string":
+                    # plain computed column (BIND arithmetic, aggregate
+                    # alias): its native type already sorts by value
+                    return [F.col(v)]
+                return term_order_keys(F.col(v))
+            df = df.orderBy(*[k.asc() if a else k.desc()
+                              for v, a in q.order_by
+                              for k in _okeys(v)])
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:

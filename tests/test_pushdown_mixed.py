@@ -55,7 +55,7 @@ def _duck(sql: str):
 def test_mixed_gate_matches_oracle(spark):
     got = [tuple(r) for r in sparql_pushdown_mixed(spark, SF_DIR).collect()]
     exp = [tuple(r) for r in _duck(SPARQL_PUSHDOWN_MIXED_SQL)]
-    assert got == exp and len(got) > 0
+    assert sorted(got) == sorted(exp) and len(got) > 0
 
 
 def test_mixed_constraints_route_per_tier(spark):
@@ -157,7 +157,7 @@ def test_mixed_rewritten_equals_full_scan(spark, mixed_env, qi):
 def test_docseg_gate_matches_oracle(spark):
     got = [tuple(r) for r in sparql_pushdown_docseg(spark, SF_DIR).collect()]
     exp = [tuple(r) for r in _duck(SPARQL_PUSHDOWN_DOCSEG_SQL)]
-    assert got == exp and len(got) > 0
+    assert sorted(got) == sorted(exp) and len(got) > 0
 
 
 def test_doc_and_strengthening_composes_one_scan(spark):
@@ -214,7 +214,7 @@ def test_docpat_gate_matches_oracle(spark):
                                              sparql_pushdown_docpat)
     got = [tuple(r) for r in sparql_pushdown_docpat(spark, SF_DIR).collect()]
     exp = [tuple(r) for r in _duck(SPARQL_PUSHDOWN_DOCPAT_SQL)]
-    assert got == exp and len(got) > 0
+    assert sorted(got) == sorted(exp) and len(got) > 0
 
 
 def test_docpat_composes_renderpat_and_stays_native(spark):

@@ -433,3 +433,53 @@ def test_bind_computed_collision_compares_by_value(eng):
     got = q(eng, 'SELECT ?s WHERE { ?s <http://ex/name> ?n '
                  '. BIND(CONCAT("B", "ob") AS ?n) }')
     assert got == [("<http://ex/b>",)]
+
+
+def test_order_by_numeric_literals_sorts_by_value(spark):
+    """SPARQL §15.4: numeric literals order by VALUE — a raw term-string
+    sort puts "10" before "9" (r6 fix).  Mixed kinds rank unbound <
+    blank < IRI < literal, deterministically."""
+    rows = [("<http://ex/a>", "<http://ex/v>", f'"9"^^<{XSD_INT}>'),
+            ("<http://ex/b>", "<http://ex/v>", f'"10"^^<{XSD_INT}>'),
+            ("<http://ex/c>", "<http://ex/v>", f'"2"^^<{XSD_INT}>'),
+            ("<http://ex/d>", "<http://ex/w>", '"zzz"'),
+            ("_:bn", "<http://ex/w>", "<http://ex/iri>")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    e2 = SparqlEngine(df)
+    got = [r.v for r in e2.sql(
+        "SELECT ?v WHERE { ?s <http://ex/v> ?v } ORDER BY ?v").collect()]
+    assert [v[1:v.index('"', 1)] for v in got] == ["2", "9", "10"]
+    got = [r.v for r in e2.sql(
+        "SELECT ?v WHERE { ?s <http://ex/v> ?v } "
+        "ORDER BY DESC(?v)").collect()]
+    assert [v[1:v.index('"', 1)] for v in got] == ["10", "9", "2"]
+    # subject position: blank node sorts before IRIs
+    got = [r.s for r in e2.sql(
+        "SELECT ?s WHERE { ?s <http://ex/w> ?o } ORDER BY ?s").collect()]
+    assert got == ["_:bn", "<http://ex/d>"]
+    # plain computed columns keep native value ordering
+    got = [r.y for r in e2.sql(
+        "SELECT ?y WHERE { ?s <http://ex/v> ?v . BIND(?v * 1 AS ?y) } "
+        "ORDER BY ?y").collect()]
+    assert got == [2.0, 9.0, 10.0]
+
+
+def test_var_var_numeric_value_comparison(spark):
+    """FILTER(?a op ?b) on two numeric literals compares VALUES even
+    when lexical forms / datatypes differ (r6 fix: lexical comparison
+    said "42" != "42.0" and "9" > "10")."""
+    XD = "http://www.w3.org/2001/XMLSchema#decimal"
+    rows = [("<http://ex/p1>", "<http://ex/lo>", f'"42"^^<{XSD_INT}>'),
+            ("<http://ex/p1>", "<http://ex/hi>", f'"42.0"^^<{XD}>'),
+            ("<http://ex/p2>", "<http://ex/lo>", f'"9"^^<{XSD_INT}>'),
+            ("<http://ex/p2>", "<http://ex/hi>", f'"10"^^<{XSD_INT}>'),
+            ("<http://ex/p3>", "<http://ex/lo>", '"abc"'),
+            ("<http://ex/p3>", "<http://ex/hi>", '"abd"')]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    e2 = SparqlEngine(df)
+    base = "SELECT ?s WHERE { ?s <http://ex/lo> ?a . " \
+           "?s <http://ex/hi> ?b . FILTER(?a %s ?b) }"
+    assert q(e2, base % "=") == [("<http://ex/p1>",)]
+    assert q(e2, base % "<") == [("<http://ex/p2>",), ("<http://ex/p3>",)]
+    assert q(e2, base % "!=") == [("<http://ex/p2>",), ("<http://ex/p3>",)]
+    assert q(e2, base % ">=") == [("<http://ex/p1>",)]

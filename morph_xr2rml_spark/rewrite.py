@@ -869,8 +869,14 @@ def _collect(group: Group, out: list, top: bool = False,
         _collect(right, out, False, in_subquery)
     for _gterm, sub in group.graphs:
         _collect(sub, out, False, in_subquery)
-    for _pos, sub in group.exists:
-        _collect(sub, out, False, in_subquery)
+    for pos, sub in group.exists:
+        # a bare top-level FILTER EXISTS is a REQUIRED semi-join: an
+        # outer binding survives only if the inner pattern matches, so
+        # the inner group's direct patterns define candidacy and
+        # AND-strengthen exactly like required siblings (r6).  NOT
+        # EXISTS (and EXISTS embedded in compound boolean filters,
+        # collected below) never constrain — they are not required.
+        _collect(sub, out, top and pos, in_subquery)
     for sq in group.subqueries:
         _collect(sq.where, out, False, True)
     # EXISTS embedded in compound filters

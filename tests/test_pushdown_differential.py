@@ -121,6 +121,17 @@ QUERIES = [
     # computed BIND derives nothing but must not break
     'SELECT ?c ?x WHERE { ?c ex:segment ?s . '
     'BIND(CONCAT(?s, "!") AS ?x) FILTER(?x = "BUILDING!") }',
+    # FILTER EXISTS strengthening (r6): a bare top-level EXISTS is a
+    # required semi-join; NOT EXISTS / ||-embedded EXISTS never constrain
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . ?c a ex:Customer . '
+    'FILTER EXISTS { ?c ex:segment "BUILDING" } }',
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . ?c a ex:Customer . '
+    'FILTER NOT EXISTS { ?c ex:segment "BUILDING" } }',
+    'SELECT ?c ?n WHERE { ?c ex:name ?n . ?c a ex:Customer . '
+    'FILTER(EXISTS { ?c ex:segment "BUILDING" } '
+    '|| STRSTARTS(STR(?n), "Customer#0000001")) }',
+    'SELECT ?o WHERE { ?o a ex:Order . '
+    "FILTER EXISTS { ?o ex:totalPrice ?p . FILTER(?p > 250000.0) } }",
     # IRI-only DESCRIBE (subject + object position constraints)
     "DESCRIBE <http://example.org/customer/3>",
     "DESCRIBE <http://example.org/region/1>",

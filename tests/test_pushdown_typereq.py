@@ -172,3 +172,33 @@ def test_regex_prefix_reaches_scan_as_startswith(spark):
     # only the customer table is ever read
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert scans and all("c_name" in l for l in scans)
+
+
+# ---------------------------------------------------------------------------
+# FILTER EXISTS strengthening (r6): bare top-level EXISTS is required
+# ---------------------------------------------------------------------------
+
+def test_exists_and_strengthens_to_one_filtered_scan(spark):
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    df = answer_tabular(spark, mapping, tables,
+                        P + "SELECT ?c ?n WHERE { ?c ex:name ?n . "
+                        "?c a ex:Customer . "
+                        'FILTER EXISTS { ?c ex:segment "BUILDING" } }')
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("customer.parquet" in l for l in scans)
+    assert "BUILDING" in plan      # the inner constraint reached the scan
+    assert df.count() > 0
+
+
+def test_not_exists_and_embedded_exists_never_constrain(spark):
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    for flt in ('FILTER NOT EXISTS { ?c ex:segment "BUILDING" }',
+                'FILTER(EXISTS { ?c ex:segment "BUILDING" } '
+                '|| STRSTARTS(STR(?n), "X"))'):
+        c = derive_tm_constraints(
+            mapping, P + "SELECT ?c ?n WHERE { ?c ex:name ?n . "
+            "?c a ex:Customer . %s }" % flt, tables=tables)
+        assert c["#Customer"] is None, flt

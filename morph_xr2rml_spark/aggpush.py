@@ -1,0 +1,348 @@
+"""Aggregate / DISTINCT pushdown for the tabular answering path.
+
+The evaluator answers ``SELECT ?k (SUM(?v) AS ?s) ... GROUP BY ?k`` by
+materializing the mapping's triple pool (term strings for every
+predicate-object slot, union across slots, per-pattern dedup), joining
+the patterns, parsing numeric values back OUT of the term strings, and
+grouping.  At scale that renders one subject-template concat and one
+object term per POM per source row before a single row is aggregated.
+
+When the query's shape lets us prove bindings == source rows, the whole
+query instead compiles to::
+
+    scan(cols).where(slot-not-null).groupBy(key).agg(...)
+
+-- the plan a SQL user would write by hand: the scan reads ONLY the
+referenced columns (pruned ReadSchema), there is no per-POM union, no
+triple dedup exchange, no subject render unless the subject is
+projected, and SUM/AVG/MIN/MAX run on native numeric casts instead of
+string-parsed lexicals.  Map-side partial aggregation then makes the
+one remaining exchange carry group rows, not source rows.
+
+The reference cannot do this at all: its abstract-query rewriter emits
+per-pattern target queries and evaluates joins/aggregates in Jena over
+the materialized model (MorphMongoQueryProcessor.scala:45-150 evaluates
+the SPARQL against an in-memory Model; aggregation never reaches the
+source).  Proving bindings == rows needs the compile-time uniqueness
+theorems (native.subject_renders_unique) that only exist here.
+
+Soundness discipline (same as rewrite.py): this is a FAST PATH -- on
+ANY shape or provability doubt `try_aggregate_pushdown` returns None
+and the caller falls back to the full evaluator.  A pushed plan must be
+an EXACT mirror (not a superset): there is no evaluator behind it to
+re-apply the real semantics.  The preconditions:
+
+* WHERE is one BGP: triple patterns only -- no FILTER/OPTIONAL/UNION/
+  VALUES/BIND/GRAPH/subquery/MINUS/EXISTS (those keep evaluator
+  semantics the mirror does not replicate);
+* every pattern is ``?s <const-pred> ?o`` with ONE common subject
+  variable (rdf:type excluded: class objects multiply per class);
+* every mapping TM has compile-time-constant predicates (otherwise a
+  TM's contribution cannot be bounded) and any TM emitting SOME of the
+  pattern predicates has a subject space pairwise disjoint from every
+  other contributor (so no binding can straddle two TMs and no triple
+  is emitted twice);
+* a contributing TM emits EVERY pattern predicate through exactly one
+  plain object slot (no RefObjectMap, no same-pred second slot);
+* bindings == rows needs distinct triples and a self-join-free subject
+  join, so each contributor must pass `subject_renders_unique`
+  (xrr:uniqueRef through an injective render).  Exception: a
+  SINGLE-pattern DISTINCT-only query projects away multiplicity, so it
+  pushes with no uniqueness proof at all.
+
+Aggregate input mirrors (vs the evaluator's ``fn(numeric_value(term))``
+over doubles):
+
+* COUNT(?v) / COUNT(*): every surviving row binds ?v (the not-null
+  conditions are the binding conditions), so ``count(1)`` is exact;
+* COUNT(DISTINCT ?v) / SAMPLE / GROUP_CONCAT: computed over the exact
+  rendered term (same `NativeCompiler.term_expr` the pool would use);
+* SUM/AVG/MIN/MAX: ``cast(col as double)`` where the lexical round-trip
+  is provably value-identical (integral, decimal, double columns --
+  both paths round-to-nearest-double the same value); everything else
+  (strings, templates, float's shortest-repr round-trip, non-numeric
+  lexicals) keeps the evaluator's own ``numeric_value(term)``
+  expression, which is exact by construction.
+
+Float-sum caveat shared with the evaluator: double addition is
+reassociated by partial aggregation in BOTH paths, so neither defines a
+bit-exact sum order; the mirrors produce the same input multiset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from . import namespaces as NS
+from .functions.templates import get_template_groups
+from .model import COLUMN, CONSTANT, TEMPLATE, MappingDocument, TermMap
+from .native import (NativeCompiler, is_tabular_compilable, subject_space,
+                     subject_spaces_disjoint, subject_renders_unique)
+from .sparql import (SelectQuery, lexical_value, numeric_value,
+                     term_order_keys)
+
+# direct cast(col as double) provably equals Double.parse(lexical(col)):
+# both are round-to-nearest-double of the exact decimal value.  FLOAT is
+# excluded (cast widens the binary value; the lexical is the SHORTEST
+# decimal repr, which parses to a different double for most floats).
+_EXACT_DOUBLE_CAST = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                      T.DecimalType, T.DoubleType)
+# lexical forms that can never parse as a double
+_NEVER_NUMERIC = (T.TimestampType, T.TimestampNTZType, T.DateType,
+                  T.BooleanType)
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+
+def _term_notnull(m: TermMap) -> Column:
+    """The exact null condition of `NativeCompiler.term_expr`: constants
+    never null, a COLUMN term is null iff the column is, a TEMPLATE term
+    is null iff ALL its groups are (NULL groups render '' --
+    MorphRDBDataTranslator.scala:357-372)."""
+    if m.kind == CONSTANT:
+        return F.lit(True)
+    if m.kind == COLUMN:
+        return F.col(m.column).isNotNull()
+    cond = None
+    for g in get_template_groups(m.template):
+        c = F.col(g).isNotNull()
+        cond = c if cond is None else (cond | c)
+    return cond if cond is not None else F.lit(True)
+
+
+def _numeric_mirror(compiler: NativeCompiler, df: DataFrame,
+                    m: TermMap) -> Column:
+    """Mirror of ``numeric_value(term_expr(m))`` (the evaluator's
+    SUM/AVG/MIN/MAX input), using a native cast exactly where the
+    round-trip is provably value-identical."""
+    if m.kind == COLUMN:
+        dtype = df.schema[m.column].dataType
+        if isinstance(dtype, _EXACT_DOUBLE_CAST):
+            return F.col(m.column).cast("double")
+        if isinstance(dtype, _NEVER_NUMERIC):
+            return F.lit(None).cast("double")
+    return numeric_value(compiler.term_expr(df, m))
+
+
+def _tm_needed_slots(tm, needed: set):
+    """How a TM relates to the pattern predicates.
+
+    Returns None when any predicate map is non-constant (the TM's
+    emissions cannot be bounded -- caller must fall back), else
+    ``(slots, clean)`` where slots maps each needed predicate the TM
+    emits to its object-map list and clean is False when a needed
+    predicate also has a RefObjectMap slot."""
+    slots: dict = {}
+    clean = True
+    if tm.class_uris and NS.RDF_TYPE in needed:
+        # class triples bind the object to a constant per class; the
+        # shape gate refuses rdf:type patterns, so just mark the TM as
+        # an (unsupported) contributor
+        clean = False
+        slots[NS.RDF_TYPE] = []
+    for pom in tm.predicate_object_maps:
+        preds = []
+        for pm in pom.predicate_maps:
+            if pm.kind != CONSTANT or pm.constant is None \
+                    or pm.constant[0] != "iri":
+                return None
+            preds.append(pm.constant[1])
+        for p in preds:
+            if p not in needed:
+                continue
+            slots.setdefault(p, []).extend(pom.object_maps)
+            if pom.ref_object_maps:
+                clean = False
+    return slots, clean
+
+
+def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
+                           tables: dict, q: SelectQuery,
+                           cfg=None) -> Optional[DataFrame]:
+    """Compile an aggregate/DISTINCT SELECT directly onto the source
+    scans when bindings provably equal source rows; None = not provable
+    or out of shape -- caller falls back to the full evaluator."""
+    # ---- query shape ---------------------------------------------------
+    if q.construct is not None or q.is_ask or q.describe:
+        return None
+    if q.select_exprs or q.having:
+        return None
+    if not q.aggregates and not q.distinct:
+        return None
+    g = q.where
+    if g is None or not g.patterns:
+        return None
+    if (g.filters or g.optionals or g.unions or g.values or g.binds
+            or g.graphs or g.subqueries or g.minuses or g.exists):
+        return None
+    for v, _asc in q.order_by:
+        if not isinstance(v, str):
+            return None
+    for func, var, _dist, _alias, _sep in q.aggregates:
+        if func not in _AGG_FUNCS:
+            return None
+        if var is None and func != "COUNT":
+            return None
+
+    subj = None
+    var_pred: dict = {}          # object var -> its pattern predicate
+    needed: set = set()
+    seen_pats: set = set()
+    for tp in g.patterns:
+        if tp.s[0] != "var" or tp.p[0] != "iri" or tp.o[0] != "var":
+            return None
+        if tp.p[1] == NS.RDF_TYPE:
+            return None
+        if subj is None:
+            subj = tp.s[1]
+        elif tp.s[1] != subj:
+            return None
+        if tp.o[1] == subj:
+            return None
+        if tp.o[1] in var_pred and var_pred[tp.o[1]] != tp.p[1]:
+            return None          # same var under two predicates: a join
+        var_pred[tp.o[1]] = tp.p[1]
+        needed.add(tp.p[1])
+        seen_pats.add((tp.p[1], tp.o[1]))
+
+    known_vars = set(var_pred) | {subj}
+
+    # variables that must surface as rendered term columns
+    if q.aggregates:
+        term_vars = list(dict.fromkeys(q.group_by))
+        for func, var, dist, _alias, _sep in q.aggregates:
+            if var is None:
+                continue
+            if var not in known_vars:
+                return None
+            if func in ("SAMPLE", "GROUP_CONCAT") \
+                    or (func == "COUNT" and dist):
+                if var not in term_vars:
+                    term_vars.append(var)
+        if not set(q.group_by) <= known_vars:
+            return None
+    else:
+        if q.variables and q.variables != ["*"]:
+            if len(set(q.variables)) != len(q.variables):
+                return None      # duplicate projection: keep evaluator
+            term_vars = list(q.variables)
+        else:
+            term_vars = list(dict.fromkeys(
+                [subj] + [tp.o[1] for tp in g.patterns]))
+        if not set(term_vars) <= known_vars:
+            return None
+
+    # ---- mapping-side proof -------------------------------------------
+    contributors = []            # (tm, full_slots or None)
+    for tm in mapping.triples_maps.values():
+        info = _tm_needed_slots(tm, needed)
+        if info is None:
+            return None          # dynamic predicates: cannot bound
+        slots, clean = info
+        if not slots:
+            continue             # emits no pattern predicate: irrelevant
+        full = (clean and set(slots) == needed
+                and all(len(oms) == 1 for oms in slots.values())
+                and all(oms[0].kind in (CONSTANT, COLUMN, TEMPLATE)
+                        for oms in slots.values())
+                and is_tabular_compilable(tm))
+        if set(slots) == needed and not full:
+            return None          # a contributor we cannot compile
+        contributors.append((tm, {p: oms[0] for p, oms in slots.items()}
+                             if full else None))
+
+    cands = [(tm, slots) for tm, slots in contributors if slots is not None]
+    if not cands:
+        return None              # provably empty is possible here, but
+        #                          the evaluator handles it just as well
+    spaces = [subject_space(tm) for tm, _ in contributors]
+    for i in range(len(spaces)):
+        for j in range(i + 1, len(spaces)):
+            if not subject_spaces_disjoint(spaces[i], spaces[j]):
+                return None      # bindings could straddle TMs / dup triples
+
+    compiler = NativeCompiler(spark, mapping, tables, cfg,
+                              fuse_projections=False)
+    # bindings == rows needs per-row-distinct triples and a trivial
+    # subject self-join; a single-pattern DISTINCT projects both away
+    need_unique = bool(q.aggregates) or len(seen_pats) > 1
+    if need_unique:
+        for tm, _slots in cands:
+            if not subject_renders_unique(tm, compiler._source_df(tm)):
+                return None
+
+    # ---- per-TM binding frames ----------------------------------------
+    frames = []
+    for tm, slots in cands:
+        df = compiler._source_df(tm)
+        cond = _term_notnull(tm.subject_map)
+        for p in needed:
+            cond = cond & _term_notnull(slots[p])
+
+        def tmap(v: str) -> TermMap:
+            return tm.subject_map if v == subj else slots[var_pred[v]]
+
+        cols = [compiler.term_expr(df, tmap(v)).alias(v)
+                for v in term_vars]
+        for i, (func, var, dist, _alias, _sep) in enumerate(q.aggregates):
+            if func == "COUNT" and not (dist and var is not None):
+                continue         # count(1) needs no input column
+            src = tmap(var)
+            if func in ("SUM", "AVG", "MIN", "MAX"):
+                cols.append(_numeric_mirror(compiler, df, src)
+                            .alias(f"#a{i}"))
+            elif func == "GROUP_CONCAT":
+                cols.append(lexical_value(compiler.term_expr(df, src))
+                            .alias(f"#a{i}"))
+            else:                # COUNT DISTINCT / SAMPLE: exact term
+                cols.append(compiler.term_expr(df, src).alias(f"#a{i}"))
+        frames.append(df.where(cond).select(*cols))
+
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+
+    # ---- aggregate / distinct + the evaluator's SELECT tail -----------
+    if q.aggregates:
+        aggs = []
+        for i, (func, var, dist, alias, sep) in enumerate(q.aggregates):
+            col = F.col(f"#a{i}")
+            if func == "COUNT":
+                aggs.append((F.count_distinct(col) if dist and var is not None
+                             else F.count(F.lit(1))).alias(alias))
+            elif func == "GROUP_CONCAT":
+                coll = F.collect_set(col) if dist else F.collect_list(col)
+                aggs.append(F.array_join(F.sort_array(coll), sep)
+                            .alias(alias))
+            elif func == "SAMPLE":
+                aggs.append(F.min(col).alias(alias))
+            else:
+                fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min,
+                      "MAX": F.max}[func]
+                aggs.append(fn(col).alias(alias))
+        out = u.groupBy(*q.group_by).agg(*aggs) if q.group_by \
+            else u.agg(*aggs)
+        visible = [a[3] for a in q.aggregates]
+        proj = list(dict.fromkeys(
+            [v for v in q.variables if v != "*"] + q.group_by + visible))
+        out = out.select(*proj)
+    else:
+        out = u.select(*term_vars)
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        dtypes = dict(out.dtypes)
+        keys = []
+        for v, asc in q.order_by:
+            ks = [F.col(v)] if dtypes.get(v, "string") != "string" \
+                else term_order_keys(F.col(v))
+            keys.extend([k.asc() if asc else k.desc() for k in ks])
+        out = out.orderBy(*keys)
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

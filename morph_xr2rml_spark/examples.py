@@ -860,6 +860,39 @@ ORDER BY o LIMIT 25
 """
 
 
+def sparql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown (round 6, aggpush.py): bindings provably equal
+    customer rows (xrr:uniqueRef subject through an injective template),
+    so the GROUP BY compiles straight onto the customer scan — pruned
+    3-column ReadSchema, no per-POM union, no triple dedup, map-side
+    partial aggregation, MIN/MAX over a native double cast.  The oracle
+    aggregates the base table independently (the reference evaluates
+    aggregates in Jena over the materialized model — it cannot reach
+    the source at all).  SUM/AVG are exercised differentially instead
+    (tests/test_agg_pushdown.py): float addition reassociates across
+    engines, so a cross-engine hash gate pins only the exact
+    aggregates."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?seg (COUNT(*) AS ?n) (MIN(?b) AS ?lo) (MAX(?b) AS ?hi)
+        WHERE { ?c ex:segment ?seg . ?c ex:acctbal ?b }
+        GROUP BY ?seg ORDER BY ?seg""")
+
+
+SPARQL_AGG_SQL = """
+SELECT '"' || c_mktsegment || '"' AS seg,
+       COUNT(*) AS n,
+       MIN(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)) AS lo,
+       MAX(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)) AS hi
+FROM customer
+WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  AND c_acctbal IS NOT NULL
+GROUP BY c_mktsegment ORDER BY seg
+"""
+
+
 def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK through the pushdown answering path (round 6): returns a
     one-row boolean frame; the pattern constants still invert into the
@@ -879,6 +912,7 @@ SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
     "sparql_topk_pushdown": (sparql_topk_pushdown, SPARQL_TOPK_SQL),
+    "sparql_agg_pushdown": (sparql_agg_pushdown, SPARQL_AGG_SQL),
     "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),

@@ -1152,6 +1152,15 @@ def answer_tabular(spark: SparkSession, mapping: MappingDocument,
     from .native import NativeCompiler
     q = query_text if isinstance(query_text, SelectQuery) \
         else parse_sparql(query_text)
+    if not engine_kw:
+        # aggregate/DISTINCT pushdown (aggpush.py): when bindings
+        # provably equal source rows, a GROUP BY compiles straight onto
+        # the scan -- no triple pool, no term render before the
+        # aggregate's own exchange.  None = out of shape / unprovable.
+        from .aggpush import try_aggregate_pushdown
+        fast = try_aggregate_pushdown(spark, mapping, tables, q, cfg)
+        if fast is not None:
+            return fast
     constraints = derive_tm_constraints(mapping, q, tables)
     tm_row_filters = {n: c for n, c in constraints.items()
                       if c is not None and c}

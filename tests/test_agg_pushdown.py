@@ -1,0 +1,254 @@
+"""Differential + engagement battery for aggregate/DISTINCT pushdown
+(aggpush.py, round 6).
+
+Every battery query is answered twice:
+  (a) through answer_tabular — which takes the aggregate fast path when
+      the bindings==rows proof holds;
+  (b) over the full un-rewritten plan (NativeCompiler triples +
+      SparqlEngine) with evaluator-side aggregation.
+Result multisets must agree (doubles compared at 9 significant digits:
+partial aggregation reassociates float addition in BOTH paths, so the
+last ulp is not defined in either).
+
+Engagement tests pin WHICH queries take the fast path; adversarial
+mappings (no uniqueRef, overlapping subject spaces, ROM predicate,
+same-pred second slot, dynamic predicates) must refuse — except the
+single-pattern DISTINCT case, which is sound without any uniqueness.
+"""
+
+import pytest
+
+from morph_xr2rml_spark.aggpush import try_aggregate_pushdown
+from morph_xr2rml_spark.examples import TPCH_KG_MAPPING, tpch_tables
+from morph_xr2rml_spark.model import MappingDocument
+from morph_xr2rml_spark.native import NativeCompiler
+from morph_xr2rml_spark.rewrite import answer_tabular
+from morph_xr2rml_spark.sparql import SparqlEngine, parse_sparql
+
+SF_DIR = "/root/testdata/sf0.001"
+P = "PREFIX ex: <http://example.com/>\n" \
+    "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+# (query, should_push)
+QUERIES = [
+    # single pattern, grouped counts
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg } "
+     "GROUP BY ?seg ORDER BY ?seg", True),
+    ("SELECT ?seg (COUNT(?c) AS ?n) WHERE { ?c ex:segment ?seg } "
+     "GROUP BY ?seg", True),
+    # numeric aggregates over a decimal column, multi-pattern AND
+    ("SELECT ?seg (SUM(?b) AS ?s) (AVG(?b) AS ?a) (MIN(?b) AS ?lo) "
+     "(MAX(?b) AS ?hi) WHERE { ?c ex:segment ?seg . ?c ex:acctbal ?b } "
+     "GROUP BY ?seg ORDER BY ?seg", True),
+    # global aggregates, COUNT DISTINCT
+    ("SELECT (COUNT(DISTINCT ?seg) AS ?n) WHERE { ?c ex:segment ?seg }",
+     True),
+    ("SELECT (COUNT(*) AS ?n) (SUM(?p) AS ?tot) "
+     "WHERE { ?o ex:totalPrice ?p }", True),
+    # GROUP_CONCAT / SAMPLE keep exact term/lexical semantics
+    ("SELECT ?seg (GROUP_CONCAT(DISTINCT ?seg) AS ?g) "
+     "WHERE { ?c ex:segment ?seg } GROUP BY ?seg", True),
+    ("SELECT ?seg (SAMPLE(?n) AS ?one) WHERE "
+     "{ ?c ex:segment ?seg . ?c ex:name ?n } GROUP BY ?seg", True),
+    # non-numeric aggregate inputs: date column and string column both
+    # aggregate to NULL through numeric_value — mirrors must agree
+    ("SELECT (MIN(?d) AS ?lo) WHERE { ?o ex:orderDate ?d }", True),
+    ("SELECT (SUM(?st) AS ?s) WHERE { ?o ex:status ?st }", True),
+    # DISTINCT projections (single pattern: no uniqueness needed)
+    ("SELECT DISTINCT ?seg WHERE { ?c ex:segment ?seg } ORDER BY ?seg",
+     True),
+    ("SELECT DISTINCT ?c ?seg WHERE { ?c ex:segment ?seg } "
+     "ORDER BY ?c LIMIT 7", True),
+    ("SELECT DISTINCT * WHERE { ?c ex:segment ?seg } "
+     "ORDER BY ?c OFFSET 3 LIMIT 5", True),
+    # same predicate bound to two vars: both map to the one slot
+    ("SELECT DISTINCT ?a ?b WHERE { ?c ex:segment ?a . ?c ex:segment ?b }",
+     True),
+    # multi-TM: ex:name is emitted by Region, Nation AND Customer —
+    # three disjoint subject spaces union under one aggregate
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?s ex:name ?x }", True),
+    ("SELECT DISTINCT ?x WHERE { ?s ex:name ?x } ORDER BY ?x LIMIT 10",
+     True),
+    # ORDER BY an aggregate alias (native numeric sort) + limit
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg } "
+     "GROUP BY ?seg ORDER BY ?n ?seg LIMIT 3", True),
+    # ---- refusals: the evaluator keeps these ----
+    # FILTER present
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     'FILTER(?seg != "BUILDING") } GROUP BY ?seg', False),
+    # rdf:type pattern
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", False),
+    # ROM-backed predicate
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:inNation ?x }", False),
+    # two subject variables
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
+     "?o ex:placedBy ?c }", False),
+    # same var under two predicates (a real join)
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?x . ?c ex:segment ?x }",
+     False),
+    # OPTIONAL
+    ("SELECT (COUNT(?b) AS ?n) WHERE { ?c ex:segment ?s . "
+     "OPTIONAL { ?c ex:acctbal ?b } }", False),
+    # plain SELECT (no aggregate, no DISTINCT)
+    ("SELECT ?c ?seg WHERE { ?c ex:segment ?seg }", False),
+]
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(float(f"{v:.9g}") if isinstance(v, float) else v
+                         for v in r))
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    full = NativeCompiler(spark, mapping, tables,
+                          fuse_projections=False).triples(dedup=False)
+    engine = SparqlEngine(full, dedup_source=True)
+    return mapping, tables, engine
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_pushed_equals_evaluator(spark, env, qi):
+    mapping, tables, engine = env
+    q, _push = QUERIES[qi]
+    fast = _norm(answer_tabular(spark, mapping, tables, P + q).collect())
+    slow = _norm(engine.sql(P + q).collect())
+    assert fast == slow, f"divergence on: {q}"
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_engagement(spark, env, qi):
+    mapping, tables, _engine = env
+    q, push = QUERIES[qi]
+    got = try_aggregate_pushdown(spark, mapping, tables,
+                                 parse_sparql(P + q))
+    assert (got is not None) == push, q
+
+
+# ---------------------------------------------------------------------------
+# Adversarial mappings
+# ---------------------------------------------------------------------------
+
+NO_UNIQUE_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.com/> .
+<#C> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer" ];
+    rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:segment;
+                            rr:objectMap [ rr:column "c_mktsegment" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:name;
+                            rr:objectMap [ rr:column "c_name" ] ].
+"""
+
+OVERLAP_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#A> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "nation"; xrr:uniqueRef "n_nationkey" ];
+    rr:subjectMap [ rr:template "http://example.org/thing/{n_nationkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+                            rr:objectMap [ rr:column "n_name" ] ].
+<#B> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer"; xrr:uniqueRef "c_custkey" ];
+    rr:subjectMap [ rr:template "http://example.org/thing/{c_custkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+                            rr:objectMap [ rr:column "c_mktsegment" ] ].
+"""
+
+TWO_SLOT_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#C> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer"; xrr:uniqueRef "c_custkey" ];
+    rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+                            rr:objectMap [ rr:column "c_mktsegment" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+                            rr:objectMap [ rr:column "c_name" ] ].
+"""
+
+
+def test_no_uniqueref_refuses_aggregates_allows_distinct(spark, env):
+    _m, tables, _e = env
+    mapping = MappingDocument.from_text(NO_UNIQUE_MAPPING)
+    agg = parse_sparql(P + "SELECT (COUNT(*) AS ?n) WHERE "
+                           "{ ?c ex:segment ?s }")
+    assert try_aggregate_pushdown(spark, mapping, tables, agg) is None
+    multi = parse_sparql(P + "SELECT DISTINCT ?s WHERE "
+                             "{ ?c ex:segment ?s . ?c ex:name ?n }")
+    assert try_aggregate_pushdown(spark, mapping, tables, multi) is None
+    # single-pattern DISTINCT is sound with no uniqueness proof at all
+    single = parse_sparql(P + "SELECT DISTINCT ?s WHERE "
+                              "{ ?c ex:segment ?s }")
+    pushed = try_aggregate_pushdown(spark, mapping, tables, single)
+    assert pushed is not None
+    full = NativeCompiler(spark, mapping, tables,
+                          fuse_projections=False).triples(dedup=False)
+    slow = SparqlEngine(full, dedup_source=True).sql(
+        P + "SELECT DISTINCT ?s WHERE { ?c ex:segment ?s }")
+    assert _norm(pushed.collect()) == _norm(slow.collect())
+
+
+def test_overlapping_subject_spaces_refuse(spark, env):
+    _m, tables, _e = env
+    mapping = MappingDocument.from_text(OVERLAP_MAPPING)
+    for q in ("SELECT (COUNT(*) AS ?n) WHERE { ?t ex:label ?l }",
+              "SELECT DISTINCT ?l WHERE { ?t ex:label ?l }"):
+        assert try_aggregate_pushdown(
+            spark, mapping, tables, parse_sparql(P + q)) is None
+
+
+def test_same_pred_second_slot_refuses(spark, env):
+    _m, tables, _e = env
+    mapping = MappingDocument.from_text(TWO_SLOT_MAPPING)
+    q = parse_sparql(P + "SELECT (COUNT(*) AS ?n) WHERE "
+                         "{ ?c ex:label ?l }")
+    assert try_aggregate_pushdown(spark, mapping, tables, q) is None
+
+
+# ---------------------------------------------------------------------------
+# Plan audits: the pushed plan is the one a SQL user would write
+# ---------------------------------------------------------------------------
+
+def test_plan_single_scan_pruned_schema(spark, env):
+    mapping, tables, _e = env
+    df = answer_tabular(spark, mapping, tables, P +
+                        "SELECT ?seg (COUNT(*) AS ?n) (SUM(?b) AS ?s) "
+                        "WHERE { ?c ex:segment ?seg . ?c ex:acctbal ?b } "
+                        "GROUP BY ?seg")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan                      # no per-POM union
+    assert "dropDuplicates" not in plan
+    # exactly one scan, reading only the three referenced columns
+    assert plan.count("Scan parquet") == 1
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 1
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"c_custkey", "c_mktsegment", "c_acctbal"}
+
+
+def test_plan_multi_tm_unions_three_scans(spark, env):
+    mapping, tables, _e = env
+    df = answer_tabular(spark, mapping, tables, P +
+                        "SELECT (COUNT(*) AS ?n) WHERE { ?s ex:name ?x }")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 3          # region/nation/customer
+    assert [r["n"] for r in df.collect()] == [
+        _count_names(spark, tables)]
+
+
+def _count_names(spark, tables):
+    n = 0
+    for t, c in (("region", "r_name"), ("nation", "n_name"),
+                 ("customer", "c_name")):
+        n += tables[t].where(f"{c} is not null").count()
+    return n

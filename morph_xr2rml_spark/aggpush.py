@@ -10,7 +10,7 @@ object term per POM per source row before a single row is aggregated.
 When the query's shape lets us prove bindings == source rows, the whole
 query instead compiles to::
 
-    scan(cols).where(slot-not-null).groupBy(key).agg(...)
+    scan(cols).where(slot-not-null & filters).groupBy(key).agg(...)
 
 -- the plan a SQL user would write by hand: the scan reads ONLY the
 referenced columns (pruned ReadSchema), there is no per-POM union, no
@@ -32,11 +32,19 @@ and the caller falls back to the full evaluator.  A pushed plan must be
 an EXACT mirror (not a superset): there is no evaluator behind it to
 re-apply the real semantics.  The preconditions:
 
-* WHERE is one BGP: triple patterns only -- no FILTER/OPTIONAL/UNION/
-  VALUES/BIND/GRAPH/subquery/MINUS/EXISTS (those keep evaluator
+* WHERE is one BGP of triple patterns plus FILTERs -- no OPTIONAL/
+  UNION/VALUES/BIND/GRAPH/subquery/MINUS/EXISTS (those keep evaluator
   semantics the mirror does not replicate);
-* every pattern is ``?s <const-pred> ?o`` with ONE common subject
-  variable (rdf:type excluded: class objects multiply per class);
+* every pattern is ``?s <const-pred> ?o-or-constant`` with ONE common
+  subject variable (rdf:type excluded: class objects multiply per
+  class).  Constant objects mirror `_pattern_df`'s exact match forms
+  (IRI equality, plain-literal prefix match, typed-literal exact
+  match, numeric-value equality);
+* FILTER and HAVING expressions are compiled by the EVALUATOR'S OWN
+  expression compiler over the native bindings frame (an empty-pool
+  SparqlEngine borrowed for `_filter_col`/`_operand_col`), so their
+  semantics are exact by construction, not by re-implementation.
+  EXISTS-bearing filters are refused (they need the triple pool);
 * every mapping TM has compile-time-constant predicates (otherwise a
   TM's contribution cannot be bounded) and any TM emitting SOME of the
   pattern predicates has a subject space pairwise disjoint from every
@@ -48,7 +56,8 @@ re-apply the real semantics.  The preconditions:
   join, so each contributor must pass `subject_renders_unique`
   (xrr:uniqueRef through an injective render).  Exception: a
   SINGLE-pattern DISTINCT-only query projects away multiplicity, so it
-  pushes with no uniqueness proof at all.
+  pushes with no uniqueness proof at all (filters are deterministic,
+  so filter-then-distinct commutes with distinct-then-filter).
 
 Aggregate input mirrors (vs the evaluator's ``fn(numeric_value(term))``
 over doubles):
@@ -81,8 +90,13 @@ from .functions.templates import get_template_groups
 from .model import COLUMN, CONSTANT, TEMPLATE, MappingDocument, TermMap
 from .native import (NativeCompiler, is_tabular_compilable, subject_space,
                      subject_spaces_disjoint, subject_renders_unique)
-from .sparql import (SelectQuery, lexical_value, numeric_value,
-                     term_order_keys)
+from .sparql import (SelectQuery, SparqlEngine, lexical_value,
+                     numeric_value, term_order_keys)
+
+# filter/operand AST nodes that depend on evaluation-time state the
+# borrowed expression compiler cannot supply here: EXISTS needs the
+# triple pool; aggref nodes resolve in the HAVING block only
+_FORBIDDEN_AST = {"existsexpr", "existsflag", "aggref"}
 
 # direct cast(col as double) provably equals Double.parse(lexical(col)):
 # both are round-to-nearest-double of the exact decimal value.  FLOAT is
@@ -95,6 +109,50 @@ _NEVER_NUMERIC = (T.TimestampType, T.TimestampNTZType, T.DateType,
                   T.BooleanType)
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+
+def _ast_vars(node, out: set) -> bool:
+    """Collect variable references into `out`; False when the AST holds
+    a pool-dependent node kind the borrowed compiler cannot evaluate."""
+    if isinstance(node, tuple):
+        if node and node[0] in _FORBIDDEN_AST:
+            return False
+        if node and node[0] == "var":
+            out.add(node[1])
+            return True
+        return all(_ast_vars(e, out) for e in node)
+    if isinstance(node, list):
+        return all(_ast_vars(e, out) for e in node)
+    return True
+
+
+def _having_ok(node, group_keys: set, known_vars: set) -> bool:
+    """HAVING ASTs may hold aggref nodes (resolved to hidden aliases);
+    their inputs must be pattern variables, and plain variable
+    references must be group keys (the evaluator filters the aggregated
+    frame, where only keys and aliases exist)."""
+    if isinstance(node, tuple):
+        if node and node[0] == "aggref":
+            return (node[1] in _AGG_FUNCS
+                    and (node[2] is None or node[2] in known_vars))
+        if node and node[0] in ("existsexpr", "existsflag"):
+            return False
+        if node and node[0] == "var":
+            return node[1] in group_keys
+        return all(_having_ok(e, group_keys, known_vars) for e in node)
+    if isinstance(node, list):
+        return all(_having_ok(e, group_keys, known_vars) for e in node)
+    return True
+
+
+def _expr_engine(spark: SparkSession) -> SparqlEngine:
+    """A SparqlEngine over an EMPTY pool, borrowed purely for its
+    filter/operand expression compiler (`_filter_col`/`_operand_col`
+    are pool-independent for the AST kinds admitted above): filters
+    over the native bindings frame then carry the evaluator's exact
+    semantics by construction, not by re-implementation."""
+    from .engine import TRIPLE_SCHEMA
+    return SparqlEngine(spark.createDataFrame([], TRIPLE_SCHEMA))
 
 
 def _term_notnull(m: TermMap) -> Column:
@@ -116,8 +174,9 @@ def _term_notnull(m: TermMap) -> Column:
 def _numeric_mirror(compiler: NativeCompiler, df: DataFrame,
                     m: TermMap) -> Column:
     """Mirror of ``numeric_value(term_expr(m))`` (the evaluator's
-    SUM/AVG/MIN/MAX input), using a native cast exactly where the
-    round-trip is provably value-identical."""
+    SUM/AVG/MIN/MAX input and numeric-constant pattern probe), using a
+    native cast exactly where the round-trip is provably
+    value-identical."""
     if m.kind == COLUMN:
         dtype = df.schema[m.column].dataType
         if isinstance(dtype, _EXACT_DOUBLE_CAST):
@@ -168,31 +227,24 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
     # ---- query shape ---------------------------------------------------
     if q.construct is not None or q.is_ask or q.describe:
         return None
-    if q.select_exprs or q.having:
+    if q.select_exprs:
         return None
     if not q.aggregates and not q.distinct:
         return None
     g = q.where
     if g is None or not g.patterns:
         return None
-    if (g.filters or g.optionals or g.unions or g.values or g.binds
+    if (g.optionals or g.unions or g.values or g.binds
             or g.graphs or g.subqueries or g.minuses or g.exists):
         return None
-    for v, _asc in q.order_by:
-        if not isinstance(v, str):
-            return None
-    for func, var, _dist, _alias, _sep in q.aggregates:
-        if func not in _AGG_FUNCS:
-            return None
-        if var is None and func != "COUNT":
-            return None
 
     subj = None
     var_pred: dict = {}          # object var -> its pattern predicate
+    const_pats: list = []        # (pred, okind, oval)
     needed: set = set()
     seen_pats: set = set()
     for tp in g.patterns:
-        if tp.s[0] != "var" or tp.p[0] != "iri" or tp.o[0] != "var":
+        if tp.s[0] != "var" or tp.p[0] != "iri":
             return None
         if tp.p[1] == NS.RDF_TYPE:
             return None
@@ -200,40 +252,110 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
             subj = tp.s[1]
         elif tp.s[1] != subj:
             return None
-        if tp.o[1] == subj:
+        okind, oval = tp.o[0], tp.o[1]
+        if okind == "var":
+            if oval == subj:
+                return None
+            if oval in var_pred and var_pred[oval] != tp.p[1]:
+                return None      # same var under two predicates: a join
+            var_pred[oval] = tp.p[1]
+        elif okind in ("iri", "lit", "lit_exact", "num"):
+            const_pats.append((tp.p[1], okind, oval))
+        else:
             return None
-        if tp.o[1] in var_pred and var_pred[tp.o[1]] != tp.p[1]:
-            return None          # same var under two predicates: a join
-        var_pred[tp.o[1]] = tp.p[1]
         needed.add(tp.p[1])
-        seen_pats.add((tp.p[1], tp.o[1]))
+        seen_pats.add((tp.p[1], okind, oval))
 
     known_vars = set(var_pred) | {subj}
 
-    # variables that must surface as rendered term columns
-    if q.aggregates:
-        term_vars = list(dict.fromkeys(q.group_by))
-        for func, var, dist, _alias, _sep in q.aggregates:
-            if var is None:
-                continue
-            if var not in known_vars:
-                return None
-            if func in ("SAMPLE", "GROUP_CONCAT") \
-                    or (func == "COUNT" and dist):
-                if var not in term_vars:
-                    term_vars.append(var)
+    # filters: evaluator-compiled over the bindings frame; vars must all
+    # be pattern-bound and no pool-dependent node may appear
+    filter_vars: set = set()
+    for flt in g.filters:
+        if not _ast_vars(flt, filter_vars):
+            return None
+    if not filter_vars <= known_vars:
+        return None
+
+    # HAVING: mirror the evaluator's hidden-aggregate machinery
+    specs = [tuple(a) for a in q.aggregates]
+    visible = [a[3] for a in q.aggregates]
+    agg_alias = {(f_, v_, d_): a_ for f_, v_, d_, a_, _s in specs}
+
+    def _collect_aggrefs(x):
+        if isinstance(x, tuple):
+            if x and x[0] == "aggref":
+                key = (x[1], x[2], x[3])
+                if key not in agg_alias:
+                    alias = f"#hav{len(specs)}"
+                    specs.append((x[1], x[2], x[3], alias, " "))
+                    agg_alias[key] = alias
+            else:
+                for e in x:
+                    _collect_aggrefs(e)
+        elif isinstance(x, list):
+            for e in x:
+                _collect_aggrefs(e)
+
+    for h in q.having:
+        if not _having_ok(h, set(q.group_by), known_vars):
+            return None
+        _collect_aggrefs(h)
+    if q.having and not q.aggregates and not q.group_by:
+        return None              # evaluator raises; keep its behavior
+
+    for func, var, _d, _a, _s in specs:
+        if func not in _AGG_FUNCS:
+            return None
+        if var is None and func != "COUNT":
+            return None
+        if var is not None and var not in known_vars:
+            return None
+
+    # variables that must surface as rendered term columns in the
+    # bindings frame (projection keys, term-form aggregate inputs,
+    # filter references), and the final projection
+    term_vars: list = []
+
+    def need_term(v: str):
+        if v not in term_vars:
+            term_vars.append(v)
+
+    if specs:
         if not set(q.group_by) <= known_vars:
             return None
+        for v in q.group_by:
+            need_term(v)
+        for func, var, dist, _a, _s in specs:
+            if var is not None and (func in ("SAMPLE", "GROUP_CONCAT")
+                                    or (func == "COUNT" and dist)):
+                need_term(var)
+        proj = list(dict.fromkeys(
+            [v for v in q.variables if v != "*"] + q.group_by + visible))
+        if not proj:
+            return None          # evaluator raises; keep its behavior
     else:
         if q.variables and q.variables != ["*"]:
             if len(set(q.variables)) != len(q.variables):
                 return None      # duplicate projection: keep evaluator
-            term_vars = list(q.variables)
+            if not set(q.variables) <= known_vars:
+                return None
+            proj = list(q.variables)
         else:
-            term_vars = list(dict.fromkeys(
-                [subj] + [tp.o[1] for tp in g.patterns]))
-        if not set(term_vars) <= known_vars:
-            return None
+            proj = list(dict.fromkeys([subj] + list(var_pred)))
+        for v in proj:
+            need_term(v)
+    for v in filter_vars:
+        need_term(v)
+
+    # ORDER BY: plain vars sort like the evaluator's tail below;
+    # expression keys borrow _operand_col and may only reference
+    # projected columns (same analysis scope as the evaluator)
+    for v, _asc in q.order_by:
+        if not isinstance(v, str):
+            ovars: set = set()
+            if not _ast_vars(v, ovars) or not ovars <= set(proj):
+                return None
 
     # ---- mapping-side proof -------------------------------------------
     contributors = []            # (tm, full_slots or None)
@@ -268,7 +390,7 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
                               fuse_projections=False)
     # bindings == rows needs per-row-distinct triples and a trivial
     # subject self-join; a single-pattern DISTINCT projects both away
-    need_unique = bool(q.aggregates) or len(seen_pats) > 1
+    need_unique = bool(specs) or len(seen_pats) > 1
     if need_unique:
         for tm, _slots in cands:
             if not subject_renders_unique(tm, compiler._source_df(tm)):
@@ -281,13 +403,30 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
         cond = _term_notnull(tm.subject_map)
         for p in needed:
             cond = cond & _term_notnull(slots[p])
+        for pred, okind, oval in const_pats:
+            om = slots[pred]
+            t = compiler.term_expr(df, om)
+            if okind == "iri":
+                c = t == f"<{oval}>"
+            elif okind == "lit":
+                # plain-literal prefix match (_pattern_df: any datatype
+                # variant of the lexical matches)
+                c = t.startswith(oval)
+            elif okind == "lit_exact":
+                c = t == oval
+            else:                # num: value equality via the mirror
+                try:
+                    c = _numeric_mirror(compiler, df, om) == float(oval)
+                except ValueError:
+                    return None
+            cond = cond & c
 
         def tmap(v: str) -> TermMap:
             return tm.subject_map if v == subj else slots[var_pred[v]]
 
         cols = [compiler.term_expr(df, tmap(v)).alias(v)
                 for v in term_vars]
-        for i, (func, var, dist, _alias, _sep) in enumerate(q.aggregates):
+        for i, (func, var, dist, _alias, _sep) in enumerate(specs):
             if func == "COUNT" and not (dist and var is not None):
                 continue         # count(1) needs no input column
             src = tmap(var)
@@ -305,10 +444,17 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
     for f in frames[1:]:
         u = u.unionByName(f)
 
+    eng = None
+    if g.filters or q.having or any(not isinstance(v, str)
+                                    for v, _a in q.order_by):
+        eng = _expr_engine(spark)
+    for flt in g.filters:
+        u = u.where(eng._filter_col(flt, u))
+
     # ---- aggregate / distinct + the evaluator's SELECT tail -----------
-    if q.aggregates:
+    if specs:
         aggs = []
-        for i, (func, var, dist, alias, sep) in enumerate(q.aggregates):
+        for i, (func, var, dist, alias, sep) in enumerate(specs):
             col = F.col(f"#a{i}")
             if func == "COUNT":
                 aggs.append((F.count_distinct(col) if dist and var is not None
@@ -325,20 +471,33 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
                 aggs.append(fn(col).alias(alias))
         out = u.groupBy(*q.group_by).agg(*aggs) if q.group_by \
             else u.agg(*aggs)
-        visible = [a[3] for a in q.aggregates]
-        proj = list(dict.fromkeys(
-            [v for v in q.variables if v != "*"] + q.group_by + visible))
+
+        def _resolve(x):
+            if isinstance(x, tuple):
+                if x and x[0] == "aggref":
+                    return ("var", agg_alias[(x[1], x[2], x[3])])
+                return tuple(_resolve(e) for e in x)
+            if isinstance(x, list):
+                return [_resolve(e) for e in x]
+            return x
+
+        for h in q.having:
+            out = out.where(eng._filter_col(_resolve(h), out))
         out = out.select(*proj)
     else:
-        out = u.select(*term_vars)
+        out = u.select(*proj)
     if q.distinct:
         out = out.distinct()
     if q.order_by:
         dtypes = dict(out.dtypes)
         keys = []
         for v, asc in q.order_by:
-            ks = [F.col(v)] if dtypes.get(v, "string") != "string" \
-                else term_order_keys(F.col(v))
+            if not isinstance(v, str):
+                ks = [eng._operand_col(v, lexical=True)]
+            elif dtypes.get(v, "string") != "string":
+                ks = [F.col(v)]
+            else:
+                ks = term_order_keys(F.col(v))
             keys.extend([k.asc() if asc else k.desc() for k in ks])
         out = out.orderBy(*keys)
     if q.offset:

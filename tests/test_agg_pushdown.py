@@ -72,10 +72,36 @@ QUERIES = [
     # ORDER BY an aggregate alias (native numeric sort) + limit
     ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg } "
      "GROUP BY ?seg ORDER BY ?n ?seg LIMIT 3", True),
-    # ---- refusals: the evaluator keeps these ----
-    # FILTER present
+    # ---- FILTER / HAVING / constant-object support (evaluator-compiled
+    # expressions over the native bindings frame) ----
     ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
-     'FILTER(?seg != "BUILDING") } GROUP BY ?seg', False),
+     'FILTER(?seg != "BUILDING") } GROUP BY ?seg ORDER BY ?seg', True),
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     "?c ex:acctbal ?b . FILTER(?b > 5000) } GROUP BY ?seg", True),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?o ex:totalPrice ?p . "
+     "FILTER(?p >= 50000 && ?p < 150000) }", True),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?x . "
+     'FILTER STRSTARTS(STR(?x), "Customer#0000001") }', True),
+    ("SELECT DISTINCT ?seg WHERE { ?c ex:segment ?seg . "
+     'FILTER(CONTAINS(?seg, "U")) } ORDER BY ?seg', True),
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     'FILTER regex(?seg, "^(BUILD|MACH)") } GROUP BY ?seg', True),
+    # constant-object patterns (plain-literal prefix match semantics)
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment "BUILDING" }', True),
+    ('SELECT (COUNT(*) AS ?n) (AVG(?b) AS ?a) WHERE '
+     '{ ?c ex:segment "BUILDING" . ?c ex:acctbal ?b }', True),
+    ('SELECT DISTINCT ?c WHERE { ?c ex:segment "MACHINERY" } '
+     "ORDER BY ?c LIMIT 5", True),
+    # HAVING over a hidden aggregate + a projected one
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg } "
+     "GROUP BY ?seg HAVING (COUNT(*) > 25) ORDER BY ?seg", True),
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     "?c ex:acctbal ?b } GROUP BY ?seg HAVING (AVG(?b) > 4200) "
+     "ORDER BY ?seg", True),
+    # ---- refusals: the evaluator keeps these ----
+    # EXISTS inside a filter needs the triple pool
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     'FILTER EXISTS { ?c ex:name ?x } }', False),
     # rdf:type pattern
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", False),
     # ROM-backed predicate
@@ -176,6 +202,15 @@ TWO_SLOT_MAPPING = """
 """
 
 
+def test_unbound_filter_var_refuses(spark, env):
+    # both paths raise on the unbound variable (SPARQL forbids it);
+    # the fast path must refuse rather than crash differently
+    mapping, tables, _e = env
+    q = parse_sparql(P + "SELECT (COUNT(*) AS ?n) WHERE "
+                         "{ ?c ex:segment ?seg . FILTER(?other > 1) }")
+    assert try_aggregate_pushdown(spark, mapping, tables, q) is None
+
+
 def test_no_uniqueref_refuses_aggregates_allows_distinct(spark, env):
     _m, tables, _e = env
     mapping = MappingDocument.from_text(NO_UNIQUE_MAPPING)
@@ -212,6 +247,85 @@ def test_same_pred_second_slot_refuses(spark, env):
     q = parse_sparql(P + "SELECT (COUNT(*) AS ?n) WHERE "
                          "{ ?c ex:label ?l }")
     assert try_aggregate_pushdown(spark, mapping, tables, q) is None
+
+
+# ---------------------------------------------------------------------------
+# Seeded aggregate-query fuzzer: random GROUP BY / HAVING / FILTER /
+# constant-object combinations over one entity, pushed vs evaluator
+# ---------------------------------------------------------------------------
+
+import random
+
+
+class AggGen:
+    """One seeded random aggregate query over a single entity (the
+    shape the fast path targets — the structural fuzzer in
+    test_pushdown_fuzz.py covers the multi-entity fallback space)."""
+
+    SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+                "HOUSEHOLD", "NOSUCHSEG"]
+    STATUSES = ["O", "F", "P", "X"]
+
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def build(self) -> str:
+        r = self.r
+        if r.random() < 0.5:
+            key_pred, key_const = "ex:segment", r.choice(self.SEGMENTS)
+            num_pred, subj = "ex:acctbal", "?c"
+        else:
+            key_pred, key_const = "ex:status", r.choice(self.STATUSES)
+            num_pred, subj = "ex:totalPrice", "?o"
+        pats = []
+        key_is_var = r.random() < 0.75
+        if key_is_var:
+            pats.append(f"{subj} {key_pred} ?k .")
+        else:
+            pats.append(f'{subj} {key_pred} "{key_const}" .')
+        want_num = r.random() < 0.8
+        if want_num:
+            pats.append(f"{subj} {num_pred} ?v .")
+        filts = []
+        if key_is_var and r.random() < 0.4:
+            filts.append(r.choice([
+                f'FILTER(?k != "{r.choice(self.SEGMENTS)}")',
+                f'FILTER(CONTAINS(?k, "U"))',
+                f'FILTER(?k IN ("{self.SEGMENTS[0]}", "{self.SEGMENTS[1]}"))',
+            ]))
+        if want_num and r.random() < 0.5:
+            op = r.choice(["<", ">", "<=", ">=", "!="])
+            lit = r.choice(["0", "5000", "57288.56", "150000.0"])
+            filts.append(f"FILTER(?v {op} {lit})")
+        aggs = [r.choice([
+            "(COUNT(*) AS ?n)",
+            f"(COUNT({subj}) AS ?n)",
+            "(COUNT(DISTINCT ?k) AS ?n)" if key_is_var else
+            "(COUNT(*) AS ?n)",
+        ])]
+        if want_num:
+            for fn, al in (("SUM", "?s"), ("AVG", "?a"),
+                           ("MIN", "?lo"), ("MAX", "?hi")):
+                if r.random() < 0.5:
+                    aggs.append(f"({fn}(?v) AS {al[0:]})")
+        group = key_is_var and r.random() < 0.7
+        head = ("?k " if group else "") + " ".join(aggs)
+        tail = " GROUP BY ?k" if group else ""
+        if group and want_num and r.random() < 0.3:
+            tail += " HAVING (AVG(?v) > 1000)"
+        if group and r.random() < 0.5:
+            tail += " ORDER BY ?k"
+        body = "\n  ".join(pats + filts)
+        return f"SELECT {head} WHERE {{\n  {body}\n}}{tail}"
+
+
+@pytest.mark.parametrize("seed", range(301, 331))
+def test_fuzz_agg_pushed_equals_evaluator(spark, env, seed):
+    mapping, tables, engine = env
+    q = P + AggGen(seed).build()
+    fast = _norm(answer_tabular(spark, mapping, tables, q).collect())
+    slow = _norm(engine.sql(q).collect())
+    assert fast == slow, f"divergence (seed {seed}) on:\n{q}"
 
 
 # ---------------------------------------------------------------------------

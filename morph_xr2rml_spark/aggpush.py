@@ -88,8 +88,10 @@ from pyspark.sql import types as T
 from . import namespaces as NS
 from .functions.templates import get_template_groups
 from .model import COLUMN, CONSTANT, TEMPLATE, MappingDocument, TermMap
+from .model import REFERENCE
 from .native import (NativeCompiler, is_tabular_compilable, subject_space,
-                     subject_spaces_disjoint, subject_renders_unique)
+                     subject_spaces_disjoint, subject_renders_unique,
+                     subject_renders_unique_schemaless)
 from .sparql import (SelectQuery, SparqlEngine, lexical_value,
                      numeric_value, term_order_keys)
 
@@ -186,6 +188,78 @@ def _numeric_mirror(compiler: NativeCompiler, df: DataFrame,
     return numeric_value(compiler.term_expr(df, m))
 
 
+class _BindingTier:
+    """Per-TM adapter producing the bindings-frame ingredients (scan,
+    exact term/notnull/numeric expressions, uniqueness proof) for both
+    source tiers.  A TM neither sub-tier can open exactly is not a
+    candidate.  Doc-tier conditions mirror materialize_auto's routing:
+    only json-native-SAFE TMs qualify (static paths, native find()
+    filter, schema sample pinned every leaf), so the mirror renders are
+    the SAME expressions the materialized pool would use
+    (native_json._term_expr); Python-document-compiler TMs refuse.
+    Iterator TMs refuse: one subject spans several items there, which
+    breaks bindings == rows."""
+
+    def __init__(self, spark, mapping, cfg, tables=None, catalog=None):
+        self.spark = spark
+        self.mapping = mapping
+        self.tab = NativeCompiler(spark, mapping, tables, cfg,
+                                  fuse_projections=False) \
+            if tables is not None else None
+        self.doc = None
+        if catalog is not None:
+            from .native_json import JsonNativeCompiler
+            self.doc = JsonNativeCompiler(spark, mapping, catalog, cfg)
+
+    def kind(self, tm) -> Optional[str]:
+        if self.tab is not None and is_tabular_compilable(tm):
+            if tm.logical_source.kind != "table" \
+                    or tm.logical_source.value in (self.tab.tables or {}):
+                return "tab"
+        if self.doc is not None and tm.logical_source.iterator is None \
+                and not tm.logical_source.pushdowns:
+            from .native_json import compilable
+            try:
+                if compilable(tm) and not self.doc.unsafe_paths(tm):
+                    return "doc"
+            except Exception:
+                return None      # unresolvable source / schema conflict
+        return None
+
+    def om_kinds(self, k: str) -> tuple:
+        return (CONSTANT, COLUMN, TEMPLATE) if k == "tab" \
+            else (CONSTANT, REFERENCE, TEMPLATE)
+
+    def open(self, tm, k: str) -> DataFrame:
+        if k == "tab":
+            return self.tab._source_df(tm)
+        src, _tab = self.doc.catalog.resolve(tm.logical_source)
+        schema = self.doc._schema_for(tm)
+        return src.select(F.from_json(F.col("content"), schema)
+                          .alias("_doc"))
+
+    def term(self, tm, k: str, df: DataFrame, m: TermMap) -> Column:
+        if k == "tab":
+            return self.tab.term_expr(df, m)
+        return self.doc._term_expr(tm, F.col("_doc"), None, m)
+
+    def notnull(self, tm, k: str, df: DataFrame, m: TermMap) -> Column:
+        if k == "tab":
+            return _term_notnull(m)
+        # exact: tm_base filters on the same term expression's null-ness
+        return self.term(tm, k, df, m).isNotNull()
+
+    def numeric(self, tm, k: str, df: DataFrame, m: TermMap) -> Column:
+        if k == "tab":
+            return _numeric_mirror(self.tab, df, m)
+        return numeric_value(self.term(tm, k, df, m))
+
+    def unique(self, tm, k: str, df: DataFrame) -> bool:
+        if k == "tab":
+            return subject_renders_unique(tm, df)
+        return subject_renders_unique_schemaless(tm)
+
+
 def _tm_needed_slots(tm, needed: set):
     """How a TM relates to the pattern predicates.
 
@@ -221,6 +295,35 @@ def _tm_needed_slots(tm, needed: set):
 def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
                            tables: dict, q: SelectQuery,
                            cfg=None) -> Optional[DataFrame]:
+    """Tabular-tier entry (answer_tabular)."""
+    return _try_push(spark, mapping, q,
+                     lambda: _BindingTier(spark, mapping, cfg,
+                                          tables=tables))
+
+
+def try_aggregate_pushdown_documents(spark: SparkSession,
+                                     mapping: MappingDocument,
+                                     catalog, q: SelectQuery,
+                                     cfg=None) -> Optional[DataFrame]:
+    """Document-tier entry (answer_documents)."""
+    return _try_push(spark, mapping, q,
+                     lambda: _BindingTier(spark, mapping, cfg,
+                                          catalog=catalog))
+
+
+def try_aggregate_pushdown_auto(spark: SparkSession,
+                                mapping: MappingDocument, q: SelectQuery,
+                                tables=None, catalog=None,
+                                cfg=None) -> Optional[DataFrame]:
+    """Mixed-mapping entry (answer_auto): each contributing TM opens on
+    whichever tier compiles it exactly; the union spans tiers."""
+    return _try_push(spark, mapping, q,
+                     lambda: _BindingTier(spark, mapping, cfg,
+                                          tables=tables, catalog=catalog))
+
+
+def _try_push(spark: SparkSession, mapping: MappingDocument,
+              q: SelectQuery, tier_factory) -> Optional[DataFrame]:
     """Compile an aggregate/DISTINCT SELECT directly onto the source
     scans when bindings provably equal source rows; None = not provable
     or out of shape -- caller falls back to the full evaluator."""
@@ -358,7 +461,9 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
                 return None
 
     # ---- mapping-side proof -------------------------------------------
+    tier = tier_factory()
     contributors = []            # (tm, full_slots or None)
+    kinds: dict = {}             # tm name -> "tab" | "doc"
     for tm in mapping.triples_maps.values():
         info = _tm_needed_slots(tm, needed)
         if info is None:
@@ -366,15 +471,17 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
         slots, clean = info
         if not slots:
             continue             # emits no pattern predicate: irrelevant
-        full = (clean and set(slots) == needed
-                and all(len(oms) == 1 for oms in slots.values())
-                and all(oms[0].kind in (CONSTANT, COLUMN, TEMPLATE)
-                        for oms in slots.values())
-                and is_tabular_compilable(tm))
-        if set(slots) == needed and not full:
+        full_slots = None
+        if clean and set(slots) == needed \
+                and all(len(oms) == 1 for oms in slots.values()):
+            k = tier.kind(tm)
+            if k is not None and all(oms[0].kind in tier.om_kinds(k)
+                                     for oms in slots.values()):
+                full_slots = {p: oms[0] for p, oms in slots.items()}
+                kinds[tm.name] = k
+        if set(slots) == needed and full_slots is None:
             return None          # a contributor we cannot compile
-        contributors.append((tm, {p: oms[0] for p, oms in slots.items()}
-                             if full else None))
+        contributors.append((tm, full_slots))
 
     cands = [(tm, slots) for tm, slots in contributors if slots is not None]
     if not cands:
@@ -386,26 +493,26 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
             if not subject_spaces_disjoint(spaces[i], spaces[j]):
                 return None      # bindings could straddle TMs / dup triples
 
-    compiler = NativeCompiler(spark, mapping, tables, cfg,
-                              fuse_projections=False)
     # bindings == rows needs per-row-distinct triples and a trivial
     # subject self-join; a single-pattern DISTINCT projects both away
     need_unique = bool(specs) or len(seen_pats) > 1
     if need_unique:
         for tm, _slots in cands:
-            if not subject_renders_unique(tm, compiler._source_df(tm)):
+            k = kinds[tm.name]
+            if not tier.unique(tm, k, tier.open(tm, k)):
                 return None
 
     # ---- per-TM binding frames ----------------------------------------
     frames = []
     for tm, slots in cands:
-        df = compiler._source_df(tm)
-        cond = _term_notnull(tm.subject_map)
+        k = kinds[tm.name]
+        df = tier.open(tm, k)
+        cond = tier.notnull(tm, k, df, tm.subject_map)
         for p in needed:
-            cond = cond & _term_notnull(slots[p])
+            cond = cond & tier.notnull(tm, k, df, slots[p])
         for pred, okind, oval in const_pats:
             om = slots[pred]
-            t = compiler.term_expr(df, om)
+            t = tier.term(tm, k, df, om)
             if okind == "iri":
                 c = t == f"<{oval}>"
             elif okind == "lit":
@@ -416,7 +523,7 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
                 c = t == oval
             else:                # num: value equality via the mirror
                 try:
-                    c = _numeric_mirror(compiler, df, om) == float(oval)
+                    c = tier.numeric(tm, k, df, om) == float(oval)
                 except ValueError:
                     return None
             cond = cond & c
@@ -424,20 +531,19 @@ def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
         def tmap(v: str) -> TermMap:
             return tm.subject_map if v == subj else slots[var_pred[v]]
 
-        cols = [compiler.term_expr(df, tmap(v)).alias(v)
+        cols = [tier.term(tm, k, df, tmap(v)).alias(v)
                 for v in term_vars]
         for i, (func, var, dist, _alias, _sep) in enumerate(specs):
             if func == "COUNT" and not (dist and var is not None):
                 continue         # count(1) needs no input column
             src = tmap(var)
             if func in ("SUM", "AVG", "MIN", "MAX"):
-                cols.append(_numeric_mirror(compiler, df, src)
-                            .alias(f"#a{i}"))
+                cols.append(tier.numeric(tm, k, df, src).alias(f"#a{i}"))
             elif func == "GROUP_CONCAT":
-                cols.append(lexical_value(compiler.term_expr(df, src))
+                cols.append(lexical_value(tier.term(tm, k, df, src))
                             .alias(f"#a{i}"))
             else:                # COUNT DISTINCT / SAMPLE: exact term
-                cols.append(compiler.term_expr(df, src).alias(f"#a{i}"))
+                cols.append(tier.term(tm, k, df, src).alias(f"#a{i}"))
         frames.append(df.where(cond).select(*cols))
 
     u = frames[0]

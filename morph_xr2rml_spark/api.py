@@ -176,6 +176,17 @@ def answer_auto(spark: SparkSession, mapping: MappingDocument,
         else parse_sparql(query_text)
     tm_row_filters = None
     eff_mapping = mapping
+    if not engine_kw:
+        # mixed-mapping aggregate/DISTINCT pushdown: each contributing
+        # TM opens on whichever tier compiles it exactly; the union
+        # spans tiers under one aggregate
+        from .aggpush import try_aggregate_pushdown_auto
+        fast = try_aggregate_pushdown_auto(spark, mapping, q,
+                                           tables=tables,
+                                           catalog=catalog or
+                                           SourceCatalog(), cfg=cfg)
+        if fast is not None:
+            return fast
     if tms and all(tabular_ok(tm) or tm.logical_source.kind == "query"
                    for tm in tms):
         # mixed-tier pushdown: derive once, apply per tier

@@ -893,6 +893,35 @@ GROUP BY c_mktsegment ORDER BY seg
 """
 
 
+def sparql_agg_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-tier aggregate pushdown (round 6, aggpush.py): bindings
+    provably equal documents (xrr:uniqueRef through a single-group
+    template, no iterator), so the GROUP BY compiles straight onto the
+    json-native collection scan — one scan, no per-POM union, no dedup
+    exchange, map-side partial aggregation.  COUNT and MIN/MAX over the
+    integer customer key are hash-exact across engines."""
+    from .rewrite import answer_documents
+    mapping = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    return answer_documents(spark, mapping,
+                            orderflat_catalog(spark, sf_dir),
+                            SPARQL_PREFIX + """
+        SELECT ?pr (COUNT(*) AS ?n) (MIN(?c) AS ?lo) (MAX(?c) AS ?hi)
+        WHERE { ?o ex:priority ?pr . ?o ex:cust ?c }
+        GROUP BY ?pr ORDER BY ?pr""")
+
+
+SPARQL_AGG_DOC_SQL = """
+SELECT '"' || o_orderpriority || '"' AS pr,
+       COUNT(*) AS n,
+       CAST(MIN(o_custkey) AS DOUBLE) AS lo,
+       CAST(MAX(o_custkey) AS DOUBLE) AS hi
+FROM orders
+WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+  AND o_custkey IS NOT NULL
+GROUP BY o_orderpriority ORDER BY pr
+"""
+
+
 def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK through the pushdown answering path (round 6): returns a
     one-row boolean frame; the pattern constants still invert into the
@@ -913,6 +942,7 @@ SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask
 EXTRA_QUERIES = {
     "sparql_topk_pushdown": (sparql_topk_pushdown, SPARQL_TOPK_SQL),
     "sparql_agg_pushdown": (sparql_agg_pushdown, SPARQL_AGG_SQL),
+    "sparql_agg_doc": (sparql_agg_doc, SPARQL_AGG_DOC_SQL),
     "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),

@@ -1381,6 +1381,15 @@ def answer_documents(spark: SparkSession, mapping: MappingDocument,
     from .translate import EngineConfig
     q = query_text if isinstance(query_text, SelectQuery) \
         else parse_sparql(query_text)
+    if not engine_kw:
+        # aggregate/DISTINCT pushdown, document tier (aggpush.py): the
+        # GROUP BY compiles straight onto the json-native collection
+        # scan when bindings provably equal documents
+        from .aggpush import try_aggregate_pushdown_documents
+        fast = try_aggregate_pushdown_documents(spark, mapping, catalog,
+                                                q, cfg)
+        if fast is not None:
+            return fast
     constraints = derive_tm_constraints(mapping, q)
     eff = cfg or EngineConfig()
     # the $renderIn mirror assumes the DEFAULT literal render pipeline

@@ -329,6 +329,157 @@ def test_fuzz_agg_pushed_equals_evaluator(spark, env, seed):
 
 
 # ---------------------------------------------------------------------------
+# Document tier: GROUP BY straight onto the json-native collection scan
+# ---------------------------------------------------------------------------
+
+from morph_xr2rml_spark.aggpush import (try_aggregate_pushdown_auto,
+                                        try_aggregate_pushdown_documents)
+from morph_xr2rml_spark.api import answer_auto, materialize_auto
+from morph_xr2rml_spark.examples import (MIXED_KG_MAPPING,
+                                         ORDERDOC_FLAT_MAPPING,
+                                         orderflat_catalog)
+from morph_xr2rml_spark.rewrite import answer_documents
+
+DOC_QUERIES = [
+    ("SELECT ?pr (COUNT(*) AS ?n) WHERE { ?o ex:priority ?pr } "
+     "GROUP BY ?pr ORDER BY ?pr", True),
+    ("SELECT ?st (COUNT(*) AS ?n) (MIN(?c) AS ?lo) (MAX(?c) AS ?hi) "
+     "WHERE { ?o ex:status ?st . ?o ex:cust ?c } GROUP BY ?st "
+     "ORDER BY ?st", True),
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?o ex:status "P" }', True),
+    ("SELECT DISTINCT ?st WHERE { ?o ex:status ?st } ORDER BY ?st", True),
+    ('SELECT ?st (COUNT(*) AS ?n) WHERE { ?o ex:status ?st . '
+     'FILTER(?st != "P") } GROUP BY ?st ORDER BY ?st', True),
+    ("SELECT (AVG(?c) AS ?a) (COUNT(DISTINCT ?pr) AS ?np) WHERE "
+     "{ ?o ex:cust ?c . ?o ex:priority ?pr . FILTER(?c > 500) }", True),
+    ("SELECT DISTINCT ?o ?pr WHERE { ?o ex:priority ?pr } "
+     "ORDER BY ?o LIMIT 9", True),
+    # refusals
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?o a ex:ODoc }", False),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?o ex:status ?st . "
+     "OPTIONAL { ?o ex:cust ?c } }", False),
+]
+
+
+@pytest.fixture(scope="module")
+def doc_env(spark):
+    mapping = MappingDocument.from_text(ORDERDOC_FLAT_MAPPING)
+    catalog = orderflat_catalog(spark, SF_DIR)
+    full = materialize_auto(spark, mapping, catalog=catalog, dedup=False)
+    return mapping, catalog, SparqlEngine(full, dedup_source=True)
+
+
+@pytest.mark.parametrize("qi", range(len(DOC_QUERIES)))
+def test_doc_pushed_equals_evaluator(spark, doc_env, qi):
+    mapping, catalog, engine = doc_env
+    q, _push = DOC_QUERIES[qi]
+    fast = _norm(answer_documents(spark, mapping, catalog,
+                                  P + q).collect())
+    slow = _norm(engine.sql(P + q).collect())
+    assert fast == slow, f"divergence on: {q}"
+
+
+@pytest.mark.parametrize("qi", range(len(DOC_QUERIES)))
+def test_doc_engagement(spark, doc_env, qi):
+    mapping, catalog, _engine = doc_env
+    q, push = DOC_QUERIES[qi]
+    got = try_aggregate_pushdown_documents(spark, mapping, catalog,
+                                           parse_sparql(P + q))
+    assert (got is not None) == push, q
+
+
+def test_doc_plan_single_scan_no_dedup(spark, doc_env):
+    mapping, catalog, _e = doc_env
+    df = answer_documents(spark, mapping, catalog, P +
+                          "SELECT ?pr (COUNT(*) AS ?n) WHERE "
+                          "{ ?o ex:priority ?pr } GROUP BY ?pr")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "dropDuplicates" not in plan and "Union" not in plan
+
+
+# iterator mappings must refuse: one subject spans several items
+ITER_DOC_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#It> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.orderflat.find({})";
+                        rml:iterator "$.items.*"; xrr:uniqueRef "$.ok" ];
+    rr:subjectMap [ rr:template "http://example.org/odoc/{$.ok}" ];
+    rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ xrr:reference "$.st" ] ].
+"""
+
+
+def test_doc_iterator_refuses(spark, doc_env):
+    _m, catalog, _e = doc_env
+    mapping = MappingDocument.from_text(ITER_DOC_MAPPING)
+    q = parse_sparql(P + "SELECT (COUNT(*) AS ?n) WHERE { ?o ex:v ?x }")
+    assert try_aggregate_pushdown_documents(spark, mapping, catalog,
+                                            q) is None
+
+
+# ---------------------------------------------------------------------------
+# Mixed mapping: the union spans tiers under one aggregate
+# ---------------------------------------------------------------------------
+
+CROSS_TIER_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#TCust> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "customer"; xrr:uniqueRef "c_custkey" ];
+    rr:subjectMap [ rr:template "http://example.org/customer/{c_custkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+                            rr:objectMap [ rr:column "c_mktsegment" ] ].
+
+<#DOrd> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.orderflat.find({})"; xrr:uniqueRef "$.ok" ];
+    rr:subjectMap [ rr:template "http://example.org/odoc/{$.ok}" ];
+    rr:predicateObjectMap [ rr:predicate ex:label;
+                            rr:objectMap [ xrr:reference "$.pr" ] ].
+"""
+
+
+def test_cross_tier_union_aggregate(spark, env, doc_env):
+    _m, tables, _e = env
+    _m2, catalog, _e2 = doc_env
+    mapping = MappingDocument.from_text(CROSS_TIER_MAPPING)
+    q = (P + "SELECT ?l (COUNT(*) AS ?n) WHERE { ?s ex:label ?l } "
+             "GROUP BY ?l ORDER BY ?l")
+    fast = answer_auto(spark, mapping, q, catalog=catalog, tables=tables)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2      # customer + orderflat
+    full = materialize_auto(spark, mapping, catalog=catalog,
+                            tables=tables, dedup=False)
+    slow = SparqlEngine(full, dedup_source=True).sql(q)
+    assert _norm(fast.collect()) == _norm(slow.collect())
+    # engagement through the auto entry
+    assert try_aggregate_pushdown_auto(
+        spark, mapping, parse_sparql(q), tables=tables,
+        catalog=catalog) is not None
+
+
+def test_mixed_mapping_doc_only_contributor(spark, env, doc_env):
+    # MIXED_KG_MAPPING: ex:status lives only in the document TM; the
+    # tabular TM is irrelevant to the pattern and is never opened
+    _m, tables, _e = env
+    _m2, catalog, _e2 = doc_env
+    mapping = MappingDocument.from_text(MIXED_KG_MAPPING)
+    q = (P + "SELECT ?st (COUNT(*) AS ?n) WHERE { ?o ex:status ?st } "
+             "GROUP BY ?st ORDER BY ?st")
+    fast = answer_auto(spark, mapping, q, catalog=catalog,
+                       tables={"customer": tables["customer"]})
+    full = materialize_auto(spark, mapping, catalog=catalog,
+                            tables={"customer": tables["customer"]},
+                            dedup=False)
+    slow = SparqlEngine(full, dedup_source=True).sql(q)
+    assert _norm(fast.collect()) == _norm(slow.collect())
+
+
+# ---------------------------------------------------------------------------
 # Plan audits: the pushed plan is the one a SQL user would write
 # ---------------------------------------------------------------------------
 

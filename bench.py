@@ -294,6 +294,26 @@ def q_sparql_mixed_pushdown(spark, sf_dir: str):
         tables={"customer": tpch_tables(spark, sf_dir)["customer"]})
 
 
+def q_sparql_agg_pushdown(spark, sf_dir: str):
+    """Aggregate pushdown (r6, aggpush.py): the GROUP BY compiles
+    straight onto the customer scan — pruned 3-column ReadSchema, no
+    per-POM union, no dedup exchange, map-side partial aggregation —
+    instead of rendering the whole KG's term strings and parsing the
+    numerics back out.  The analytics-latency class: aggregate cost
+    tracks the one scanned table, not the corpus."""
+    from morph_xr2rml_spark.examples import TPCH_KG_MAPPING, tpch_tables
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.rewrite import answer_tabular
+
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(
+        spark, mapping, tpch_tables(spark, sf_dir),
+        "PREFIX ex: <http://example.com/>\n"
+        "SELECT ?seg (COUNT(*) AS ?n) (SUM(?b) AS ?s) (AVG(?b) AS ?a) "
+        "WHERE { ?c ex:segment ?seg . ?c ex:acctbal ?b } "
+        "GROUP BY ?seg ORDER BY ?seg")
+
+
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
@@ -304,6 +324,7 @@ def queries():
         "kg_skew_join": q_kg_skew_join,
         "sparql_point_pushdown": q_sparql_point_pushdown,
         "sparql_mixed_pushdown": q_sparql_mixed_pushdown,
+        "sparql_agg_pushdown": q_sparql_agg_pushdown,
     }
     try:
         from morph_xr2rml_spark.ops import registry

@@ -330,8 +330,6 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # ---- query shape ---------------------------------------------------
     if q.construct is not None or q.is_ask or q.describe:
         return None
-    if q.select_exprs:
-        return None
     if not q.aggregates and not q.distinct:
         return None
     g = q.where
@@ -404,15 +402,38 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         if not _having_ok(h, set(q.group_by), known_vars):
             return None
         _collect_aggrefs(h)
-    if q.having and not q.aggregates and not q.group_by:
-        return None              # evaluator raises; keep its behavior
+    if q.having and not specs:
+        # HAVING with no aggregate reference: the evaluator still takes
+        # its aggregate branch (has_aggs counts q.having) -- keep it
+        return None
+
+    # SELECT expressions: mirror the evaluator's pre/post-grouping split
+    # (pre = group-key aliases on the bindings frame, post = computed
+    # over group keys + aggregate aliases), compiled by the borrowed
+    # _operand_col -- exact by construction
+    has_aggs = bool(specs)
+    pre_exprs = [(a, e) for a, e in q.select_exprs
+                 if not has_aggs or a in q.group_by]
+    post_exprs = [(a, e) for a, e in q.select_exprs
+                  if has_aggs and a not in q.group_by]
+    pre_aliases: list = []
+    pre_vars: set = set()
+    for a, e in pre_exprs:
+        vs: set = set()
+        if not _ast_vars(e, vs):
+            return None
+        if not vs <= known_vars | set(pre_aliases):
+            return None
+        pre_vars |= vs & known_vars
+        pre_aliases.append(a)
+    prealias = set(pre_aliases)
 
     for func, var, _d, _a, _s in specs:
         if func not in _AGG_FUNCS:
             return None
         if var is None and func != "COUNT":
             return None
-        if var is not None and var not in known_vars:
+        if var is not None and var not in known_vars | prealias:
             return None
 
     # variables that must surface as rendered term columns in the
@@ -425,14 +446,23 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             term_vars.append(v)
 
     if specs:
-        if not set(q.group_by) <= known_vars:
+        if not set(q.group_by) <= known_vars | prealias:
             return None
         for v in q.group_by:
-            need_term(v)
+            if v in known_vars:
+                need_term(v)
         for func, var, dist, _a, _s in specs:
-            if var is not None and (func in ("SAMPLE", "GROUP_CONCAT")
-                                    or (func == "COUNT" and dist)):
+            if var in known_vars and (func in ("SAMPLE", "GROUP_CONCAT")
+                                      or (func == "COUNT" and dist)):
                 need_term(var)
+        for a, e in post_exprs:
+            vs = set()
+            if not _ast_vars(e, vs):
+                return None
+            avail = (set(q.group_by) | {s[3] for s in specs}
+                     | {x for x, _e in post_exprs})
+            if not vs <= avail:
+                return None
         proj = list(dict.fromkeys(
             [v for v in q.variables if v != "*"] + q.group_by + visible))
         if not proj:
@@ -441,14 +471,16 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         if q.variables and q.variables != ["*"]:
             if len(set(q.variables)) != len(q.variables):
                 return None      # duplicate projection: keep evaluator
-            if not set(q.variables) <= known_vars:
+            if not set(q.variables) <= known_vars | prealias:
                 return None
             proj = list(q.variables)
         else:
-            proj = list(dict.fromkeys([subj] + list(var_pred)))
+            proj = list(dict.fromkeys([subj] + list(var_pred)
+                                      + pre_aliases))
         for v in proj:
-            need_term(v)
-    for v in filter_vars:
+            if v not in prealias:
+                need_term(v)
+    for v in filter_vars | pre_vars:
         need_term(v)
 
     # ORDER BY: plain vars sort like the evaluator's tail below;
@@ -534,6 +566,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         cols = [tier.term(tm, k, df, tmap(v)).alias(v)
                 for v in term_vars]
         for i, (func, var, dist, _alias, _sep) in enumerate(specs):
+            if var in prealias:
+                continue         # input computed after the pre-exprs
             if func == "COUNT" and not (dist and var is not None):
                 continue         # count(1) needs no input column
             src = tmap(var)
@@ -551,11 +585,25 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         u = u.unionByName(f)
 
     eng = None
-    if g.filters or q.having or any(not isinstance(v, str)
-                                    for v, _a in q.order_by):
+    if g.filters or q.having or q.select_exprs \
+            or any(not isinstance(v, str) for v, _a in q.order_by):
         eng = _expr_engine(spark)
     for flt in g.filters:
         u = u.where(eng._filter_col(flt, u))
+    for a, e in pre_exprs:
+        u = u.withColumn(a, eng._operand_col(e))
+    for i, (func, var, _dist, _alias, _sep) in enumerate(specs):
+        # aggregate inputs over pre-expr aliases: the evaluator applies
+        # fn over the PLAIN computed column -- mirror on the same column
+        if var not in prealias:
+            continue
+        col = F.col(var)
+        if func in ("SUM", "AVG", "MIN", "MAX"):
+            u = u.withColumn(f"#a{i}", numeric_value(col))
+        elif func == "GROUP_CONCAT":
+            u = u.withColumn(f"#a{i}", lexical_value(col))
+        else:                    # COUNT (DISTINCT) / SAMPLE
+            u = u.withColumn(f"#a{i}", col)
 
     # ---- aggregate / distinct + the evaluator's SELECT tail -----------
     if specs:
@@ -563,8 +611,15 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         for i, (func, var, dist, alias, sep) in enumerate(specs):
             col = F.col(f"#a{i}")
             if func == "COUNT":
-                aggs.append((F.count_distinct(col) if dist and var is not None
-                             else F.count(F.lit(1))).alias(alias))
+                if dist and var is not None:
+                    agg = F.count_distinct(col)
+                elif var in prealias:
+                    # a computed column may be NULL: count non-nulls
+                    agg = F.count(col)
+                else:
+                    # pattern bindings are never NULL here: count rows
+                    agg = F.count(F.lit(1))
+                aggs.append(agg.alias(alias))
             elif func == "GROUP_CONCAT":
                 coll = F.collect_set(col) if dist else F.collect_list(col)
                 aggs.append(F.array_join(F.sort_array(coll), sep)
@@ -589,6 +644,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
 
         for h in q.having:
             out = out.where(eng._filter_col(_resolve(h), out))
+        for a, e in post_exprs:
+            out = out.withColumn(a, eng._operand_col(e))
         out = out.select(*proj)
     else:
         out = u.select(*proj)

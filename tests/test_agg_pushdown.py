@@ -98,6 +98,20 @@ QUERIES = [
     ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
      "?c ex:acctbal ?b } GROUP BY ?seg HAVING (AVG(?b) > 4200) "
      "ORDER BY ?seg", True),
+    # ---- SELECT expressions (pre/post-grouping split) ----
+    # pre-expr group key computed on the bindings frame
+    ('SELECT (SUBSTR(?seg, 1, 4) AS ?pre) (COUNT(*) AS ?n) WHERE '
+     "{ ?c ex:segment ?seg } GROUP BY ?pre ORDER BY ?pre", True),
+    ('SELECT (STRBEFORE(?seg, "I") AS ?k) (COUNT(?k) AS ?n) WHERE '
+     "{ ?c ex:segment ?seg } GROUP BY ?k ORDER BY ?k", True),
+    # post-expr over group keys + aggregate aliases
+    ('SELECT ?seg (COUNT(*) AS ?n) (IF(?n > 25, "big", "small") AS ?size) '
+     "WHERE { ?c ex:segment ?seg } GROUP BY ?seg ORDER BY ?seg", True),
+    ("SELECT (COUNT(*) AS ?n) (?n * 2 AS ?n2) WHERE "
+     "{ ?c ex:segment ?seg }", True),
+    # pre-expr in a DISTINCT projection
+    ("SELECT DISTINCT ?seg (UCASE(?seg) AS ?u) WHERE "
+     "{ ?c ex:segment ?seg } ORDER BY ?seg", True),
     # ---- refusals: the evaluator keeps these ----
     # EXISTS inside a filter needs the triple pool
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
@@ -200,6 +214,17 @@ TWO_SLOT_MAPPING = """
     rr:predicateObjectMap [ rr:predicate ex:label;
                             rr:objectMap [ rr:column "c_name" ] ].
 """
+
+
+def test_having_without_aggref_refuses(spark, env):
+    # the evaluator routes HAVING-only queries through its aggregate
+    # branch (has_aggs counts q.having); the distinct path must not
+    # swallow them
+    mapping, tables, _e = env
+    q = parse_sparql(P + "SELECT DISTINCT ?seg WHERE "
+                         "{ ?c ex:segment ?seg } GROUP BY ?seg "
+                         "HAVING (?seg > \"A\")")
+    assert try_aggregate_pushdown(spark, mapping, tables, q) is None
 
 
 def test_unbound_filter_var_refuses(spark, env):

@@ -335,7 +335,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     g = q.where
     if g is None or not g.patterns:
         return None
-    if (g.optionals or g.unions or g.values or g.binds
+    if (g.optionals or g.unions or g.binds
             or g.graphs or g.subqueries or g.minuses or g.exists):
         return None
 
@@ -368,6 +368,25 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         seen_pats.add((tp.p[1], okind, oval))
 
     known_vars = set(var_pred) | {subj}
+
+    # VALUES: the evaluator's single-bound-var case is a term-string
+    # membership constraint (exact mirror over the same term columns);
+    # an UNDEF row is a wildcard (no constraint); multi-var or
+    # pattern-unbound VALUES keep the evaluator's join semantics
+    values_conds: list = []      # (var, [term lexicals])
+    for vars_, rows in g.values:
+        if len(vars_) != 1 or vars_[0] not in known_vars:
+            return None
+        lex = []
+        for row in rows:
+            kind, val = row[0]
+            if kind == "undef":
+                break            # wildcard binding: no constraint
+            lex.append(f"<{val}>" if kind == "iri"
+                       else (val if kind in ("lit", "lit_exact")
+                             else str(val)))
+        else:
+            values_conds.append((vars_[0], lex))
 
     # filters: evaluator-compiled over the bindings frame; vars must all
     # be pattern-bound and no pool-dependent node may appear
@@ -480,7 +499,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         for v in proj:
             if v not in prealias:
                 need_term(v)
-    for v in filter_vars | pre_vars:
+    for v in filter_vars | pre_vars | {v for v, _l in values_conds}:
         need_term(v)
 
     # ORDER BY: plain vars sort like the evaluator's tail below;
@@ -588,6 +607,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     if g.filters or q.having or q.select_exprs \
             or any(not isinstance(v, str) for v, _a in q.order_by):
         eng = _expr_engine(spark)
+    for v, lex in values_conds:
+        u = u.where(F.col(v).isin(lex))
     for flt in g.filters:
         u = u.where(eng._filter_col(flt, u))
     for a, e in pre_exprs:

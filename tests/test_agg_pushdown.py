@@ -98,6 +98,19 @@ QUERIES = [
     ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
      "?c ex:acctbal ?b } GROUP BY ?seg HAVING (AVG(?b) > 4200) "
      "ORDER BY ?seg", True),
+    # ---- VALUES (single-bound-var membership mirror) ----
+    ('SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . '
+     'VALUES ?seg { "BUILDING" "MACHINERY" } } GROUP BY ?seg '
+     "ORDER BY ?seg", True),
+    ('SELECT DISTINCT ?c WHERE { ?c ex:segment ?seg . '
+     'VALUES ?seg { "BUILDING" } } ORDER BY ?c LIMIT 5', True),
+    # UNDEF row = wildcard: no constraint, still pushable
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . '
+     'VALUES ?seg { "BUILDING" UNDEF } }', True),
+    # IRI membership
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     "VALUES ?c { <http://example.org/customer/1> "
+     "<http://example.org/customer/2> } }", True),
     # ---- SELECT expressions (pre/post-grouping split) ----
     # pre-expr group key computed on the bindings frame
     ('SELECT (SUBSTR(?seg, 1, 4) AS ?pre) (COUNT(*) AS ?n) WHERE '
@@ -113,6 +126,10 @@ QUERIES = [
     ("SELECT DISTINCT ?seg (UCASE(?seg) AS ?u) WHERE "
      "{ ?c ex:segment ?seg } ORDER BY ?seg", True),
     # ---- refusals: the evaluator keeps these ----
+    # multi-var VALUES keeps the evaluator's join semantics
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . '
+     "?c ex:name ?nm . VALUES (?seg ?nm) { "
+     '("BUILDING" "Customer#000000001") } }', False),
     # EXISTS inside a filter needs the triple pool
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
      'FILTER EXISTS { ?c ex:name ?x } }', False),

@@ -267,15 +267,10 @@ def _tm_needed_slots(tm, needed: set):
     emissions cannot be bounded -- caller must fall back), else
     ``(slots, clean)`` where slots maps each needed predicate the TM
     emits to its object-map list and clean is False when a needed
-    predicate also has a RefObjectMap slot."""
+    predicate also has a RefObjectMap slot.  rdf:type is handled by
+    `_tm_type_consts`, never through slots."""
     slots: dict = {}
     clean = True
-    if tm.class_uris and NS.RDF_TYPE in needed:
-        # class triples bind the object to a constant per class; the
-        # shape gate refuses rdf:type patterns, so just mark the TM as
-        # an (unsupported) contributor
-        clean = False
-        slots[NS.RDF_TYPE] = []
     for pom in tm.predicate_object_maps:
         preds = []
         for pm in pom.predicate_maps:
@@ -290,6 +285,30 @@ def _tm_needed_slots(tm, needed: set):
             if pom.ref_object_maps:
                 clean = False
     return slots, clean
+
+
+def _tm_type_consts(tm) -> Optional[set]:
+    """The set of constant rdf:type object IRIs the TM emits (rr:class
+    plus constant-object rdf:type POMs), or None when an rdf:type POM
+    has a NON-constant object -- the TM could then emit any class and
+    its contribution to a type pattern cannot be bounded."""
+    out = set(tm.class_uris)
+    for pom in tm.predicate_object_maps:
+        type_pred = any(pm.kind == CONSTANT and pm.constant is not None
+                        and pm.constant[0] == "iri"
+                        and pm.constant[1] == NS.RDF_TYPE
+                        for pm in pom.predicate_maps)
+        if not type_pred:
+            continue
+        if pom.ref_object_maps:
+            return None
+        for om in pom.object_maps:
+            if om.kind == CONSTANT and om.constant is not None \
+                    and om.constant[0] == "iri":
+                out.add(om.constant[1])
+            else:
+                return None
+    return out
 
 
 def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
@@ -342,18 +361,26 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     subj = None
     var_pred: dict = {}          # object var -> its pattern predicate
     const_pats: list = []        # (pred, okind, oval)
+    type_pats: set = set()       # constant rdf:type object IRIs
     needed: set = set()
     seen_pats: set = set()
     for tp in g.patterns:
         if tp.s[0] != "var" or tp.p[0] != "iri":
-            return None
-        if tp.p[1] == NS.RDF_TYPE:
             return None
         if subj is None:
             subj = tp.s[1]
         elif tp.s[1] != subj:
             return None
         okind, oval = tp.o[0], tp.o[1]
+        if tp.p[1] == NS.RDF_TYPE:
+            # a constant class is pure TM candidacy (the class triple
+            # exists for every row with a subject); var/literal type
+            # objects multiply per class / never match -- keep evaluator
+            if okind != "iri":
+                return None
+            type_pats.add(oval)
+            seen_pats.add((tp.p[1], okind, oval))
+            continue
         if okind == "var":
             if oval == subj:
                 return None
@@ -520,17 +547,21 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         if info is None:
             return None          # dynamic predicates: cannot bound
         slots, clean = info
-        if not slots:
+        type_consts = _tm_type_consts(tm) if type_pats else set()
+        if type_consts is None:
+            return None          # dynamic rdf:type object: cannot bound
+        if not slots and not (type_pats & type_consts):
             continue             # emits no pattern predicate: irrelevant
+        covers = set(slots) == needed and type_pats <= type_consts
         full_slots = None
-        if clean and set(slots) == needed \
+        if covers and clean \
                 and all(len(oms) == 1 for oms in slots.values()):
             k = tier.kind(tm)
             if k is not None and all(oms[0].kind in tier.om_kinds(k)
                                      for oms in slots.values()):
                 full_slots = {p: oms[0] for p, oms in slots.items()}
                 kinds[tm.name] = k
-        if set(slots) == needed and full_slots is None:
+        if covers and full_slots is None:
             return None          # a contributor we cannot compile
         contributors.append((tm, full_slots))
 
@@ -545,8 +576,11 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 return None      # bindings could straddle TMs / dup triples
 
     # bindings == rows needs per-row-distinct triples and a trivial
-    # subject self-join; a single-pattern DISTINCT projects both away
-    need_unique = bool(specs) or len(seen_pats) > 1
+    # subject self-join; a single-pattern DISTINCT projects both away.
+    # Type patterns never join across rows (the class triple exists for
+    # EVERY row of a subject), so they don't count toward the join
+    need_unique = bool(specs) \
+        or len({p for p in seen_pats if p[0] != NS.RDF_TYPE}) > 1
     if need_unique:
         for tm, _slots in cands:
             k = kinds[tm.name]

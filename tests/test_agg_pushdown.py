@@ -98,6 +98,13 @@ QUERIES = [
     ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
      "?c ex:acctbal ?b } GROUP BY ?seg HAVING (AVG(?b) > 4200) "
      "ORDER BY ?seg", True),
+    # ---- rdf:type constants: pure TM candidacy ----
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", True),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?n a ex:Nation }", True),
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c a ex:Customer . "
+     "?c ex:segment ?seg } GROUP BY ?seg ORDER BY ?seg", True),
+    ("SELECT DISTINCT ?x WHERE { ?s a ex:Region . ?s ex:name ?x } "
+     "ORDER BY ?x", True),
     # ---- VALUES (single-bound-var membership mirror) ----
     ('SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . '
      'VALUES ?seg { "BUILDING" "MACHINERY" } } GROUP BY ?seg '
@@ -133,8 +140,12 @@ QUERIES = [
     # EXISTS inside a filter needs the triple pool
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
      'FILTER EXISTS { ?c ex:name ?x } }', False),
-    # rdf:type pattern
-    ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", False),
+    # two classes no TM emits together: provably empty, but cands==[]
+    # falls back (the evaluator answers empty just as well)
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer . ?c a ex:Nation }",
+     False),
+    # variable type object multiplies per class
+    ("SELECT (COUNT(?t) AS ?n) WHERE { ?c a ?t }", False),
     # ROM-backed predicate
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:inNation ?x }", False),
     # two subject variables
@@ -396,8 +407,9 @@ DOC_QUERIES = [
      "{ ?o ex:cust ?c . ?o ex:priority ?pr . FILTER(?c > 500) }", True),
     ("SELECT DISTINCT ?o ?pr WHERE { ?o ex:priority ?pr } "
      "ORDER BY ?o LIMIT 9", True),
+    # rdf:type candidacy works on the document tier too
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?o a ex:ODoc }", True),
     # refusals
-    ("SELECT (COUNT(*) AS ?n) WHERE { ?o a ex:ODoc }", False),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?o ex:status ?st . "
      "OPTIONAL { ?o ex:cust ?c } }", False),
 ]

@@ -314,6 +314,25 @@ def q_sparql_agg_pushdown(spark, sf_dir: str):
         "GROUP BY ?seg ORDER BY ?seg")
 
 
+def q_sparql_join_agg_pushdown(spark, sf_dir: str):
+    """Aggregate-over-join pushdown (late r6): the reference's flagship
+    analytics shape (orders -> customer grouped by a customer
+    attribute) compiles to two pruned scans + a broadcast hash join on
+    the RAW key + one aggregate — no term string is rendered before an
+    exchange, the orders subject template never renders at all."""
+    from morph_xr2rml_spark.examples import TPCH_KG_MAPPING, tpch_tables
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.rewrite import answer_tabular
+
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(
+        spark, mapping, tpch_tables(spark, sf_dir),
+        "PREFIX ex: <http://example.com/>\n"
+        "SELECT ?seg (COUNT(?o) AS ?n) (SUM(?p) AS ?tot) WHERE { "
+        "?o a ex:Order . ?o ex:placedBy ?c . ?o ex:totalPrice ?p . "
+        "?c ex:segment ?seg } GROUP BY ?seg ORDER BY ?seg")
+
+
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
@@ -325,6 +344,7 @@ def queries():
         "sparql_point_pushdown": q_sparql_point_pushdown,
         "sparql_mixed_pushdown": q_sparql_mixed_pushdown,
         "sparql_agg_pushdown": q_sparql_agg_pushdown,
+        "sparql_join_agg_pushdown": q_sparql_join_agg_pushdown,
     }
     try:
         from morph_xr2rml_spark.ops import registry

@@ -311,6 +311,239 @@ def _tm_type_consts(tm) -> Optional[set]:
     return out
 
 
+def _const_obj_cond(tier, tm, k, df, om, okind, oval) -> Optional[Column]:
+    """Constant-object row condition mirroring `_pattern_df`'s four
+    match forms; None = unmirrorable numeric lexical (caller refuses)."""
+    t = tier.term(tm, k, df, om)
+    if okind == "iri":
+        return t == f"<{oval}>"
+    if okind == "lit":
+        # plain-literal prefix match (any datatype variant of the lexical)
+        return t.startswith(oval)
+    if okind == "lit_exact":
+        return t == oval
+    try:
+        return tier.numeric(tm, k, df, om) == float(oval)
+    except ValueError:
+        return None
+
+
+def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
+                      obj_binding: dict, term_vars: list,
+                      specs: list, prealias: set) -> Optional[DataFrame]:
+    """Multi-subject BGP (a join tree over referencing-object-map edges)
+    compiled to scans + equi-joins: the reference's flagship analytics
+    shape (orders -> customer -> nation) without materializing a single
+    term string before the join.
+
+    Soundness: every group's cover TM must uniquely render subjects
+    (cross-row subject joins collapse to rows), edges join child rows to
+    parent rows on the ROM's raw join columns -- equivalent to the
+    evaluator's term-string join because the parent subject render is
+    injective-unique, so term equality <=> the raw-matched parent row.
+    Edge predicates must have a SOLE emitter mapping-wide (another TM's
+    om-rendered objects could leak into the parent's subject space);
+    non-edge predicates/classes allow extra emitters only with subject
+    spaces disjoint from the cover's (they then provably contribute no
+    binding: an edge-target subject lies in the cover's space, and a
+    multi-pattern subject would need both spaces at once)."""
+    all_types = set().union(*[g["types"] for g in groups.values()])
+    # ---- per-TM slot metadata (constant predicates required) ----------
+    all_preds = set().union(*[g["needed"] for g in groups.values()])
+    tm_slots: dict = {}          # tm name -> {pred: (oms, roms)}
+    tm_types: dict = {}          # tm name -> type consts
+    for tm in mapping.triples_maps.values():
+        tc = _tm_type_consts(tm)
+        if tc is None:
+            if all_types:
+                return None      # dynamic rdf:type object: cannot bound
+            tc = set()
+        tm_types[tm.name] = tc
+        slots: dict = {}
+        for pom in tm.predicate_object_maps:
+            preds = []
+            for pm in pom.predicate_maps:
+                if pm.kind != CONSTANT or pm.constant is None \
+                        or pm.constant[0] != "iri":
+                    return None  # dynamic predicate: cannot bound
+                preds.append(pm.constant[1])
+            for p in preds:
+                if p not in all_preds:
+                    continue
+                ent = slots.setdefault(p, ([], []))
+                ent[0].extend(pom.object_maps)
+                ent[1].extend(pom.ref_object_maps)
+        tm_slots[tm.name] = slots
+
+    # ---- cover per group + partial-emitter disjointness ---------------
+    cover: dict = {}
+    for gv, grp in groups.items():
+        cands = [tm for tm in mapping.triples_maps.values()
+                 if set(tm_slots[tm.name]) >= grp["needed"]
+                 and grp["types"] <= tm_types[tm.name]]
+        if len(cands) != 1:
+            return None
+        cover[gv] = cands[0]
+    for gv, grp in groups.items():
+        csp = subject_space(cover[gv])
+        for tm in mapping.triples_maps.values():
+            if tm.name == cover[gv].name:
+                continue
+            if set(tm_slots[tm.name]) & grp["needed"] \
+                    or tm_types[tm.name] & grp["types"]:
+                if not subject_spaces_disjoint(subject_space(tm), csp):
+                    return None
+
+    # ---- edges / pseudo-groups ----------------------------------------
+    def _cover_slot(gv: str, pred: str):
+        oms, roms = tm_slots[cover[gv].name][pred]
+        if oms and roms:
+            return None
+        if len(oms) == 1 and not roms:
+            return ("om", oms[0])
+        if len(roms) == 1 and not oms:
+            return ("rom", roms[0])
+        return None
+
+    edges: list = []             # (child gv, parent gv, rom)
+    for var, (gv, pred) in list(obj_binding.items()):
+        slot = _cover_slot(gv, pred)
+        if slot is None:
+            return None
+        skind, payload = slot
+        if skind == "rom":
+            rom = payload
+            if not rom.join_conditions:
+                return None
+            # sole emitter mapping-wide for edge predicates
+            for tm in mapping.triples_maps.values():
+                if tm.name != cover[gv].name and pred in tm_slots[tm.name]:
+                    return None
+            if var in groups:
+                if cover[var].name != rom.parent_tm:
+                    return None
+            else:                # pseudo-group: the parent's subjects
+                groups[var] = {"var_pred": {}, "const": [],
+                               "types": set(), "pats": set(),
+                               "needed": set()}
+                cover[var] = mapping.triples_maps[rom.parent_tm]
+            edges.append((gv, var, rom))
+        elif var in groups:
+            return None          # om-rendered object joining subjects
+    for gv, grp in groups.items():
+        for pred, _ok, _ov in grp["const"]:
+            slot = _cover_slot(gv, pred)
+            if slot is None or slot[0] != "om":
+                return None
+    for gv, grp in groups.items():
+        for v, pred in grp["var_pred"].items():
+            if v not in groups:  # plain object var: needs an om slot
+                slot = _cover_slot(gv, pred)
+                if slot is None or slot[0] != "om":
+                    return None
+
+    # ---- connected tree -----------------------------------------------
+    nodes = set(groups)
+    if len(edges) != len(nodes) - 1:
+        return None
+    adj: dict = {}
+    for a, b, _r in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    root = next(iter(nodes))
+    seen = {root}
+    stack = [root]
+    while stack:
+        for n in adj.get(stack.pop(), []):
+            if n not in seen:
+                seen.add(n)
+                stack.append(n)
+    if seen != nodes:
+        return None
+
+    # ---- tier + uniqueness (joins always need it) ---------------------
+    kinds: dict = {}
+    for gv, tm in cover.items():
+        k = tier.kind(tm)
+        if k != "tab":
+            return None          # cross-tier ROM joins: keep evaluator
+        kinds[gv] = k
+        if not tier.unique(tm, k, tier.open(tm, k)):
+            return None
+
+    def var_home(v: str):
+        if v in groups:
+            return v, cover[v].subject_map
+        gv0, pred = obj_binding[v]
+        return gv0, _cover_slot(gv0, pred)[1]
+
+    # ---- per-group frames ---------------------------------------------
+    frames: dict = {}
+    for gv, grp in groups.items():
+        tm, k = cover[gv], kinds[gv]
+        df = tier.open(tm, k)
+        cond = tier.notnull(tm, k, df, tm.subject_map)
+        for v, pred in grp["var_pred"].items():
+            if v not in groups:
+                cond = cond & tier.notnull(tm, k, df,
+                                           _cover_slot(gv, pred)[1])
+        for pred, okind, oval in grp["const"]:
+            c = _const_obj_cond(tier, tm, k, df,
+                                _cover_slot(gv, pred)[1], okind, oval)
+            if c is None:
+                return None
+            cond = cond & c
+        cols = []
+        for v in term_vars:
+            hg, m = var_home(v)
+            if hg == gv:
+                cols.append(tier.term(tm, k, df, m).alias(v))
+        for i, (func, var, dist, _alias, _sep) in enumerate(specs):
+            if var is None or var in prealias:
+                continue
+            if func == "COUNT" and not dist:
+                continue
+            hg, m = var_home(var)
+            if hg != gv:
+                continue
+            if func in ("SUM", "AVG", "MIN", "MAX"):
+                cols.append(tier.numeric(tm, k, df, m).alias(f"#a{i}"))
+            elif func == "GROUP_CONCAT":
+                cols.append(lexical_value(tier.term(tm, k, df, m))
+                            .alias(f"#a{i}"))
+            else:
+                cols.append(tier.term(tm, k, df, m).alias(f"#a{i}"))
+        for ei, (cgv, pgv, rom) in enumerate(edges):
+            if gv == cgv:
+                cols.extend(F.col(jc.child_ref).alias(f"#ck{ei}_{i}")
+                            for i, jc in enumerate(rom.join_conditions))
+            if gv == pgv:
+                cols.extend(F.col(jc.parent_ref).alias(f"#pk{ei}_{i}")
+                            for i, jc in enumerate(rom.join_conditions))
+        frames[gv] = df.where(cond).select(*cols)
+
+    # ---- fold the tree (raw-key equi-joins, same equality the native
+    # ROM join uses -- term construction never precedes an exchange) ----
+    cur = frames[root]
+    visited = {root}
+    remaining = list(enumerate(edges))
+    while remaining:
+        for idx, (ei, (cgv, pgv, rom)) in enumerate(remaining):
+            other = pgv if cgv in visited else \
+                (cgv if pgv in visited else None)
+            if other is None:
+                continue
+            cond = None
+            for i in range(len(rom.join_conditions)):
+                eq = F.col(f"#ck{ei}_{i}") == F.col(f"#pk{ei}_{i}")
+                cond = eq if cond is None else (cond & eq)
+            cur = cur.join(frames[other], cond, "inner")
+            visited.add(other)
+            del remaining[idx]
+            break
+    return cur
+
+
 def try_aggregate_pushdown(spark: SparkSession, mapping: MappingDocument,
                            tables: dict, q: SelectQuery,
                            cfg=None) -> Optional[DataFrame]:
@@ -341,6 +574,117 @@ def try_aggregate_pushdown_auto(spark: SparkSession,
                                           tables=tables, catalog=catalog))
 
 
+def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
+                        term_vars: list, specs: list,
+                        prealias: set) -> Optional[DataFrame]:
+    """Single-subject BGP: per-TM binding frames unioned across all
+    disjoint candidate TMs (the multi-TM case the join builder does not
+    cover), with the single-pattern DISTINCT uniqueness waiver."""
+    (subj, _grp1), = groups.items()
+    var_pred = _grp1["var_pred"]
+    const_pats = _grp1["const"]
+    type_pats = _grp1["types"]
+    needed = _grp1["needed"]
+    seen_pats = _grp1["pats"]
+    contributors = []            # (tm, full_slots or None)
+    kinds: dict = {}             # tm name -> "tab" | "doc"
+    for tm in mapping.triples_maps.values():
+        info = _tm_needed_slots(tm, needed)
+        if info is None:
+            return None          # dynamic predicates: cannot bound
+        slots, clean = info
+        type_consts = _tm_type_consts(tm) if type_pats else set()
+        if type_consts is None:
+            return None          # dynamic rdf:type object: cannot bound
+        if not slots and not (type_pats & type_consts):
+            continue             # emits no pattern predicate: irrelevant
+        covers = set(slots) == needed and type_pats <= type_consts
+        full_slots = None
+        if covers and clean \
+                and all(len(oms) == 1 for oms in slots.values()):
+            k = tier.kind(tm)
+            if k is not None and all(oms[0].kind in tier.om_kinds(k)
+                                     for oms in slots.values()):
+                full_slots = {p: oms[0] for p, oms in slots.items()}
+                kinds[tm.name] = k
+        if covers and full_slots is None:
+            return None          # a contributor we cannot compile
+        contributors.append((tm, full_slots))
+
+    cands = [(tm, slots) for tm, slots in contributors if slots is not None]
+    if not cands:
+        return None              # provably empty is possible here, but
+        #                          the evaluator handles it just as well
+    spaces = [subject_space(tm) for tm, _ in contributors]
+    for i in range(len(spaces)):
+        for j in range(i + 1, len(spaces)):
+            if not subject_spaces_disjoint(spaces[i], spaces[j]):
+                return None      # bindings could straddle TMs / dup triples
+
+    # bindings == rows needs per-row-distinct triples and a trivial
+    # subject self-join; a single-pattern DISTINCT projects both away.
+    # Type patterns never join across rows (the class triple exists for
+    # EVERY row of a subject), so they don't count toward the join
+    need_unique = bool(specs) \
+        or len({p for p in seen_pats if p[0] != NS.RDF_TYPE}) > 1
+    if need_unique:
+        for tm, _slots in cands:
+            k = kinds[tm.name]
+            if not tier.unique(tm, k, tier.open(tm, k)):
+                return None
+
+    # ---- per-TM binding frames ----------------------------------------
+    frames = []
+    for tm, slots in cands:
+        k = kinds[tm.name]
+        df = tier.open(tm, k)
+        cond = tier.notnull(tm, k, df, tm.subject_map)
+        for p in needed:
+            cond = cond & tier.notnull(tm, k, df, slots[p])
+        for pred, okind, oval in const_pats:
+            om = slots[pred]
+            t = tier.term(tm, k, df, om)
+            if okind == "iri":
+                c = t == f"<{oval}>"
+            elif okind == "lit":
+                # plain-literal prefix match (_pattern_df: any datatype
+                # variant of the lexical matches)
+                c = t.startswith(oval)
+            elif okind == "lit_exact":
+                c = t == oval
+            else:                # num: value equality via the mirror
+                try:
+                    c = tier.numeric(tm, k, df, om) == float(oval)
+                except ValueError:
+                    return None
+            cond = cond & c
+
+        def tmap(v: str) -> TermMap:
+            return tm.subject_map if v == subj else slots[var_pred[v]]
+
+        cols = [tier.term(tm, k, df, tmap(v)).alias(v)
+                for v in term_vars]
+        for i, (func, var, dist, _alias, _sep) in enumerate(specs):
+            if var in prealias:
+                continue         # input computed after the pre-exprs
+            if func == "COUNT" and not (dist and var is not None):
+                continue         # count(1) needs no input column
+            src = tmap(var)
+            if func in ("SUM", "AVG", "MIN", "MAX"):
+                cols.append(tier.numeric(tm, k, df, src).alias(f"#a{i}"))
+            elif func == "GROUP_CONCAT":
+                cols.append(lexical_value(tier.term(tm, k, df, src))
+                            .alias(f"#a{i}"))
+            else:                # COUNT DISTINCT / SAMPLE: exact term
+                cols.append(tier.term(tm, k, df, src).alias(f"#a{i}"))
+        frames.append(df.where(cond).select(*cols))
+
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u
+
+
 def _try_push(spark: SparkSession, mapping: MappingDocument,
               q: SelectQuery, tier_factory) -> Optional[DataFrame]:
     """Compile an aggregate/DISTINCT SELECT directly onto the source
@@ -358,19 +702,15 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             or g.graphs or g.subqueries or g.minuses or g.exists):
         return None
 
-    subj = None
-    var_pred: dict = {}          # object var -> its pattern predicate
-    const_pats: list = []        # (pred, okind, oval)
-    type_pats: set = set()       # constant rdf:type object IRIs
-    needed: set = set()
-    seen_pats: set = set()
+    groups: dict = {}            # subject var -> pattern group
+    obj_binding: dict = {}       # object var -> (subject var, pred)
     for tp in g.patterns:
         if tp.s[0] != "var" or tp.p[0] != "iri":
             return None
-        if subj is None:
-            subj = tp.s[1]
-        elif tp.s[1] != subj:
-            return None
+        gv = tp.s[1]
+        grp = groups.setdefault(gv, {"var_pred": {}, "const": [],
+                                     "types": set(), "pats": set(),
+                                     "needed": set()})
         okind, oval = tp.o[0], tp.o[1]
         if tp.p[1] == NS.RDF_TYPE:
             # a constant class is pure TM candidacy (the class triple
@@ -378,23 +718,27 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             # objects multiply per class / never match -- keep evaluator
             if okind != "iri":
                 return None
-            type_pats.add(oval)
-            seen_pats.add((tp.p[1], okind, oval))
+            grp["types"].add(oval)
+            grp["pats"].add((tp.p[1], okind, oval))
             continue
         if okind == "var":
-            if oval == subj:
-                return None
-            if oval in var_pred and var_pred[oval] != tp.p[1]:
-                return None      # same var under two predicates: a join
-            var_pred[oval] = tp.p[1]
+            if oval == gv:
+                return None      # self-loop
+            if oval in obj_binding and obj_binding[oval] != (gv, tp.p[1]):
+                return None      # var bound twice: a value join
+            obj_binding[oval] = (gv, tp.p[1])
+            grp["var_pred"][oval] = tp.p[1]
         elif okind in ("iri", "lit", "lit_exact", "num"):
-            const_pats.append((tp.p[1], okind, oval))
+            grp["const"].append((tp.p[1], okind, oval))
         else:
             return None
-        needed.add(tp.p[1])
-        seen_pats.add((tp.p[1], okind, oval))
+        grp["needed"].add(tp.p[1])
+        grp["pats"].add((tp.p[1], okind, oval))
 
-    known_vars = set(var_pred) | {subj}
+    known_vars = set(groups) | set(obj_binding)
+    # multi-subject BGPs (or a subject bound as an object) route through
+    # the join-tree builder
+    has_edges = len(groups) > 1 or any(v in groups for v in obj_binding)
 
     # VALUES: the evaluator's single-bound-var case is a term-string
     # membership constraint (exact mirror over the same term columns);
@@ -521,7 +865,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 return None
             proj = list(q.variables)
         else:
-            proj = list(dict.fromkeys([subj] + list(var_pred)
+            proj = list(dict.fromkeys(list(groups) + list(obj_binding)
                                       + pre_aliases))
         for v in proj:
             if v not in prealias:
@@ -540,103 +884,31 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
 
     # ---- mapping-side proof -------------------------------------------
     tier = tier_factory()
-    contributors = []            # (tm, full_slots or None)
-    kinds: dict = {}             # tm name -> "tab" | "doc"
-    for tm in mapping.triples_maps.values():
-        info = _tm_needed_slots(tm, needed)
-        if info is None:
-            return None          # dynamic predicates: cannot bound
-        slots, clean = info
-        type_consts = _tm_type_consts(tm) if type_pats else set()
-        if type_consts is None:
-            return None          # dynamic rdf:type object: cannot bound
-        if not slots and not (type_pats & type_consts):
-            continue             # emits no pattern predicate: irrelevant
-        covers = set(slots) == needed and type_pats <= type_consts
-        full_slots = None
-        if covers and clean \
-                and all(len(oms) == 1 for oms in slots.values()):
-            k = tier.kind(tm)
-            if k is not None and all(oms[0].kind in tier.om_kinds(k)
-                                     for oms in slots.values()):
-                full_slots = {p: oms[0] for p, oms in slots.items()}
-                kinds[tm.name] = k
-        if covers and full_slots is None:
-            return None          # a contributor we cannot compile
-        contributors.append((tm, full_slots))
+    if has_edges:
+        u = _build_join_frame(tier, mapping, groups, obj_binding,
+                              term_vars, specs, prealias)
+    else:
+        u = _build_single_frame(tier, mapping, groups, term_vars,
+                                specs, prealias)
+        if u is None:
+            # a single visible group can still need the join builder:
+            # an edge predicate whose object var is never a subject
+            # (pseudo-group against the ROM parent)
+            u = _build_join_frame(tier, mapping, groups, obj_binding,
+                                  term_vars, specs, prealias)
+    if u is None:
+        return None
 
-    cands = [(tm, slots) for tm, slots in contributors if slots is not None]
-    if not cands:
-        return None              # provably empty is possible here, but
-        #                          the evaluator handles it just as well
-    spaces = [subject_space(tm) for tm, _ in contributors]
-    for i in range(len(spaces)):
-        for j in range(i + 1, len(spaces)):
-            if not subject_spaces_disjoint(spaces[i], spaces[j]):
-                return None      # bindings could straddle TMs / dup triples
+    return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
+                       post_exprs, specs, prealias, agg_alias, proj)
 
-    # bindings == rows needs per-row-distinct triples and a trivial
-    # subject self-join; a single-pattern DISTINCT projects both away.
-    # Type patterns never join across rows (the class triple exists for
-    # EVERY row of a subject), so they don't count toward the join
-    need_unique = bool(specs) \
-        or len({p for p in seen_pats if p[0] != NS.RDF_TYPE}) > 1
-    if need_unique:
-        for tm, _slots in cands:
-            k = kinds[tm.name]
-            if not tier.unique(tm, k, tier.open(tm, k)):
-                return None
 
-    # ---- per-TM binding frames ----------------------------------------
-    frames = []
-    for tm, slots in cands:
-        k = kinds[tm.name]
-        df = tier.open(tm, k)
-        cond = tier.notnull(tm, k, df, tm.subject_map)
-        for p in needed:
-            cond = cond & tier.notnull(tm, k, df, slots[p])
-        for pred, okind, oval in const_pats:
-            om = slots[pred]
-            t = tier.term(tm, k, df, om)
-            if okind == "iri":
-                c = t == f"<{oval}>"
-            elif okind == "lit":
-                # plain-literal prefix match (_pattern_df: any datatype
-                # variant of the lexical matches)
-                c = t.startswith(oval)
-            elif okind == "lit_exact":
-                c = t == oval
-            else:                # num: value equality via the mirror
-                try:
-                    c = tier.numeric(tm, k, df, om) == float(oval)
-                except ValueError:
-                    return None
-            cond = cond & c
-
-        def tmap(v: str) -> TermMap:
-            return tm.subject_map if v == subj else slots[var_pred[v]]
-
-        cols = [tier.term(tm, k, df, tmap(v)).alias(v)
-                for v in term_vars]
-        for i, (func, var, dist, _alias, _sep) in enumerate(specs):
-            if var in prealias:
-                continue         # input computed after the pre-exprs
-            if func == "COUNT" and not (dist and var is not None):
-                continue         # count(1) needs no input column
-            src = tmap(var)
-            if func in ("SUM", "AVG", "MIN", "MAX"):
-                cols.append(tier.numeric(tm, k, df, src).alias(f"#a{i}"))
-            elif func == "GROUP_CONCAT":
-                cols.append(lexical_value(tier.term(tm, k, df, src))
-                            .alias(f"#a{i}"))
-            else:                # COUNT DISTINCT / SAMPLE: exact term
-                cols.append(tier.term(tm, k, df, src).alias(f"#a{i}"))
-        frames.append(df.where(cond).select(*cols))
-
-    u = frames[0]
-    for f in frames[1:]:
-        u = u.unionByName(f)
-
+def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
+                specs, prealias, agg_alias, proj) -> DataFrame:
+    """The evaluator's SELECT tail over the bindings frame: VALUES
+    membership, filters, pre-exprs, aggregation + HAVING + post-exprs,
+    projection, DISTINCT, ORDER BY, OFFSET/LIMIT -- shared by the
+    single-group union and the join-tree builder."""
     eng = None
     if g.filters or q.having or q.select_exprs \
             or any(not isinstance(v, str) for v, _a in q.order_by):

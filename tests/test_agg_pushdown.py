@@ -146,11 +146,30 @@ QUERIES = [
      False),
     # variable type object multiplies per class
     ("SELECT (COUNT(?t) AS ?n) WHERE { ?c a ?t }", False),
-    # ROM-backed predicate
-    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:inNation ?x }", False),
-    # two subject variables
+    # ROM-backed predicate: a child-parent join with a pseudo-group
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:inNation ?x }", True),
+    # ---- join trees over referencing-object-map edges ----
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
-     "?o ex:placedBy ?c }", False),
+     "?o ex:placedBy ?c }", True),
+    # the reference's flagship analytics shape: orders -> customer,
+    # grouped by the customer attribute (sparql_orders_by_segment)
+    ("SELECT ?seg (COUNT(?o) AS ?n) WHERE { ?o a ex:Order . "
+     "?o ex:placedBy ?c . ?c ex:segment ?seg } GROUP BY ?seg "
+     "ORDER BY ?seg", True),
+    ("SELECT ?seg (COUNT(*) AS ?n) (SUM(?p) AS ?s) WHERE "
+     "{ ?o ex:placedBy ?c . ?o ex:totalPrice ?p . ?c ex:segment ?seg } "
+     "GROUP BY ?seg ORDER BY ?seg", True),
+    # pseudo-group: the edge object is never a pattern subject
+    ("SELECT ?c (COUNT(?o) AS ?n) WHERE { ?o ex:placedBy ?c } "
+     "GROUP BY ?c ORDER BY ?n ?c LIMIT 10", True),
+    # join + filter on the parent side
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?o ex:placedBy ?c . "
+     "?c ex:acctbal ?b . FILTER(?b > 5000) }", True),
+    ("SELECT DISTINCT ?seg WHERE { ?o ex:placedBy ?c . "
+     "?c ex:segment ?seg } ORDER BY ?seg", True),
+    # ex:name has THREE emitters; the ?n group is ambiguous -> evaluator
+    ("SELECT (COUNT(*) AS ?n2) WHERE { ?c ex:inNation ?n . "
+     "?n ex:name ?nn }", False),
     # same var under two predicates (a real join)
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?x . ?c ex:segment ?x }",
      False),
@@ -324,13 +343,21 @@ class AggGen:
 
     def build(self) -> str:
         r = self.r
-        if r.random() < 0.5:
+        join = r.random() < 0.35
+        if join or r.random() < 0.5:
             key_pred, key_const = "ex:segment", r.choice(self.SEGMENTS)
             num_pred, subj = "ex:acctbal", "?c"
         else:
             key_pred, key_const = "ex:status", r.choice(self.STATUSES)
             num_pred, subj = "ex:totalPrice", "?o"
         pats = []
+        if join:
+            # orders -> customer edge; sometimes a numeric order attr
+            pats.append("?ord ex:placedBy ?c .")
+            if r.random() < 0.5:
+                pats.append("?ord ex:totalPrice ?tp .")
+            if r.random() < 0.4:
+                pats.append("?ord a ex:Order .")
         key_is_var = r.random() < 0.75
         if key_is_var:
             pats.append(f"{subj} {key_pred} ?k .")
@@ -553,6 +580,28 @@ def test_plan_single_scan_pruned_schema(spark, env):
     assert len(schemas) == 1
     cols = {c.split(":")[0] for c in schemas[0].split(",")}
     assert cols == {"c_custkey", "c_mktsegment", "c_acctbal"}
+
+
+def test_plan_join_tree_broadcast_no_render(spark, env):
+    # orders -> customer: two pruned scans, a broadcast hash join on the
+    # RAW key (no term strings before the exchange), one aggregate, no
+    # union, no dedup; the orders subject template is never rendered
+    mapping, tables, _e = env
+    df = answer_tabular(spark, mapping, tables, P +
+                        "SELECT ?seg (COUNT(?o) AS ?n) WHERE { "
+                        "?o a ex:Order . ?o ex:placedBy ?c . "
+                        "?c ex:segment ?seg } GROUP BY ?seg")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert "Union" not in plan and "dropDuplicates" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",")}
+    assert cols == {"o_orderkey", "o_custkey", "c_custkey",
+                    "c_mktsegment"}
+    # the orders subject IRI prefix never appears: no render pre-join
+    assert "example.org/order" not in plan
 
 
 def test_plan_multi_tm_unions_three_scans(spark, env):

@@ -375,15 +375,44 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
                 ent[1].extend(pom.ref_object_maps)
         tm_slots[tm.name] = slots
 
-    # ---- cover per group + partial-emitter disjointness ---------------
+    # ---- cover per group: fixpoint resolution -------------------------
+    # A group with exactly one covering TM resolves directly; an edge
+    # TARGET's cover is FORCED to the ROM's parent TM (its subjects can
+    # only be parent renders), which disambiguates multi-emitter
+    # predicates like a shared ex:name.  Iterate until settled.
+    def _candidates(grp):
+        return [tm for tm in mapping.triples_maps.values()
+                if set(tm_slots[tm.name]) >= grp["needed"]
+                and grp["types"] <= tm_types[tm.name]]
+
     cover: dict = {}
-    for gv, grp in groups.items():
-        cands = [tm for tm in mapping.triples_maps.values()
-                 if set(tm_slots[tm.name]) >= grp["needed"]
-                 and grp["types"] <= tm_types[tm.name]]
-        if len(cands) != 1:
-            return None
-        cover[gv] = cands[0]
+    progress = True
+    while progress and len(cover) < len(groups):
+        progress = False
+        for gv, grp in groups.items():
+            if gv in cover:
+                continue
+            cands = _candidates(grp)
+            if len(cands) == 1:
+                cover[gv] = cands[0]
+                progress = True
+        # propagate forced covers through resolved children's ROM edges
+        for gv in list(cover):
+            for var, pred in groups[gv]["var_pred"].items():
+                if var not in groups or var in cover:
+                    continue
+                ent = tm_slots[cover[gv].name].get(pred)
+                if ent and len(ent[1]) == 1 and not ent[0]:
+                    parent = mapping.triples_maps[ent[1][0].parent_tm]
+                    if set(tm_slots[parent.name]) >= groups[var]["needed"] \
+                            and groups[var]["types"] \
+                            <= tm_types[parent.name]:
+                        cover[var] = parent
+                        progress = True
+                    else:
+                        return None  # forced cover can't serve the group
+    if len(cover) < len(groups):
+        return None
     for gv, grp in groups.items():
         csp = subject_space(cover[gv])
         for tm in mapping.triples_maps.values():
@@ -693,8 +722,6 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # ---- query shape ---------------------------------------------------
     if q.construct is not None or q.is_ask or q.describe:
         return None
-    if not q.aggregates and not q.distinct:
-        return None
     g = q.where
     if g is None or not g.patterns:
         return None
@@ -739,6 +766,11 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # multi-subject BGPs (or a subject bound as an object) route through
     # the join-tree builder
     has_edges = len(groups) > 1 or any(v in groups for v in obj_binding)
+    # plain single-group SELECTs keep the existing constraint-pushdown
+    # path (already dedup-eliminated + branch-folded); plain JOIN
+    # SELECTs benefit from the raw-key join builder
+    if not q.aggregates and not q.distinct and not has_edges:
+        return None
 
     # VALUES: the evaluator's single-bound-var case is a term-string
     # membership constraint (exact mirror over the same term columns);

@@ -852,11 +852,15 @@ def sparql_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ?o LIMIT 25""")
 
 
+# ORDER BY sorts the BRACKET-LESS IRI string (SPARQL §15.4 compares
+# IRIs by their string value, not the <>-wrapped term — the engine's
+# term_order_keys does the same), which changes WHICH rows survive the
+# LIMIT at prefix boundaries like order/1001 vs order/10019.
 SPARQL_TOPK_SQL = f"""
 SELECT '<{EX}order/' || o_orderkey || '>' AS o,
        '"' || CAST(o_totalprice AS DECIMAL(12,2)) || '"^^<{_XSD}decimal>' AS p
 FROM orders
-ORDER BY o LIMIT 25
+ORDER BY '{EX}order/' || o_orderkey LIMIT 25
 """
 
 

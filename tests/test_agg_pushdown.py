@@ -167,9 +167,23 @@ QUERIES = [
      "?c ex:acctbal ?b . FILTER(?b > 5000) }", True),
     ("SELECT DISTINCT ?seg WHERE { ?o ex:placedBy ?c . "
      "?c ex:segment ?seg } ORDER BY ?seg", True),
-    # ex:name has THREE emitters; the ?n group is ambiguous -> evaluator
+    # forced covers: an edge TARGET's cover is the ROM parent, which
+    # disambiguates the three-emitter ex:name (extra emitters are
+    # space-disjoint from the cover, so they provably contribute none)
     ("SELECT (COUNT(*) AS ?n2) WHERE { ?c ex:inNation ?n . "
-     "?n ex:name ?nn }", False),
+     "?n ex:name ?nn }", True),
+    ("SELECT ?nn (COUNT(*) AS ?cnt) WHERE { ?o ex:placedBy ?c . "
+     "?c ex:inNation ?nt . ?nt ex:name ?nn } GROUP BY ?nn "
+     "ORDER BY ?nn", True),
+    ("SELECT ?r (COUNT(?c) AS ?n) WHERE { ?c ex:inNation ?nt . "
+     "?nt ex:inRegion ?r } GROUP BY ?r ORDER BY ?r", True),
+    # plain (non-aggregate) SELECT over a join tree: bindings == rows,
+    # so the raw-key join replaces the term-string pattern join
+    ("SELECT ?cust ?nname WHERE { ?cust a ex:Customer . "
+     "?cust ex:inNation ?n . ?n ex:name ?nname } ORDER BY ?cust ?nname",
+     True),
+    ("SELECT ?o ?seg WHERE { ?o ex:placedBy ?c . ?c ex:segment ?seg } "
+     "ORDER BY ?o LIMIT 20", True),
     # same var under two predicates (a real join)
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?x . ?c ex:segment ?x }",
      False),

@@ -535,7 +535,9 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
             hg, m = var_home(var)
             if hg != gv:
                 continue
-            if func in ("SUM", "AVG", "MIN", "MAX"):
+            if dist and func in ("SUM", "AVG"):
+                cols.append(tier.term(tm, k, df, m).alias(f"#a{i}"))
+            elif func in ("SUM", "AVG", "MIN", "MAX"):
                 cols.append(tier.numeric(tm, k, df, m).alias(f"#a{i}"))
             elif func == "GROUP_CONCAT":
                 cols.append(lexical_value(tier.term(tm, k, df, m))
@@ -699,7 +701,10 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
             if func == "COUNT" and not (dist and var is not None):
                 continue         # count(1) needs no input column
             src = tmap(var)
-            if func in ("SUM", "AVG", "MIN", "MAX"):
+            if dist and func in ("SUM", "AVG"):
+                # DISTINCT dedupes TERMS first: ship the exact term
+                cols.append(tier.term(tm, k, df, src).alias(f"#a{i}"))
+            elif func in ("SUM", "AVG", "MIN", "MAX"):
                 cols.append(tier.numeric(tm, k, df, src).alias(f"#a{i}"))
             elif func == "GROUP_CONCAT":
                 cols.append(lexical_value(tier.term(tm, k, df, src))
@@ -951,13 +956,15 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
         u = u.where(eng._filter_col(flt, u))
     for a, e in pre_exprs:
         u = u.withColumn(a, eng._operand_col(e))
-    for i, (func, var, _dist, _alias, _sep) in enumerate(specs):
+    for i, (func, var, dist, _alias, _sep) in enumerate(specs):
         # aggregate inputs over pre-expr aliases: the evaluator applies
         # fn over the PLAIN computed column -- mirror on the same column
         if var not in prealias:
             continue
         col = F.col(var)
-        if func in ("SUM", "AVG", "MIN", "MAX"):
+        if dist and func in ("SUM", "AVG"):
+            u = u.withColumn(f"#a{i}", col)
+        elif func in ("SUM", "AVG", "MIN", "MAX"):
             u = u.withColumn(f"#a{i}", numeric_value(col))
         elif func == "GROUP_CONCAT":
             u = u.withColumn(f"#a{i}", lexical_value(col))
@@ -985,6 +992,9 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
                             .alias(alias))
             elif func == "SAMPLE":
                 aggs.append(F.min(col).alias(alias))
+            elif dist and func in ("SUM", "AVG"):
+                from .sparql import distinct_numeric_agg
+                aggs.append(distinct_numeric_agg(col, func).alias(alias))
             else:
                 fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min,
                       "MAX": F.max}[func]

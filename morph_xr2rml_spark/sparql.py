@@ -842,6 +842,23 @@ def lexical_value(col: Column) -> Column:
              .otherwise(s))
 
 
+def distinct_numeric_agg(col: Column, func: str) -> Column:
+    """SUM/AVG with the DISTINCT set quantifier (§18.5.1: Distinct
+    removes duplicate TERMS, then the numeric aggregate applies): a
+    collect_set of the term strings, transformed to numeric values.
+    Non-numeric members are skipped — the same leniency the plain
+    SUM/AVG path applies by summing numeric_value (strict SPARQL would
+    error the whole aggregate) — and an all-non-numeric group yields
+    NULL like Spark's sum-over-nulls."""
+    vals = F.array_compact(F.transform(F.collect_set(col),
+                                       lambda x: numeric_value(x)))
+    total = F.when(F.size(vals) == 0, F.lit(None).cast("double")) \
+             .otherwise(F.aggregate(vals, F.lit(0.0), lambda a, x: a + x))
+    if func == "SUM":
+        return total
+    return total / F.size(vals)
+
+
 def numeric_value(col: Column) -> Column:
     # try_cast: non-numeric lexical forms become NULL (ANSI mode is on in
     # Spark 4 — a plain cast would throw).  Plain (BIND-produced) values
@@ -1897,6 +1914,12 @@ class SparqlEngine:
                 elif func == "SAMPLE":
                     # implementation-defined pick — min is deterministic
                     aggs.append(F.min(col).alias(alias))
+                elif distinct and func in ("SUM", "AVG"):
+                    # DISTINCT removes duplicate TERMS before the
+                    # numeric aggregate (§18.5.1); MIN/MAX are
+                    # unaffected by the quantifier
+                    aggs.append(distinct_numeric_agg(col, func)
+                                .alias(alias))
                 else:
                     ncol = numeric_value(col)
                     fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min,

@@ -98,6 +98,12 @@ QUERIES = [
     ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
      "?c ex:acctbal ?b } GROUP BY ?seg HAVING (AVG(?b) > 4200) "
      "ORDER BY ?seg", True),
+    # ---- DISTINCT set quantifier in SUM/AVG (dedupe TERMS first) ----
+    ("SELECT ?seg (SUM(DISTINCT ?b) AS ?s) (AVG(DISTINCT ?b) AS ?a) "
+     "WHERE { ?c ex:segment ?seg . ?c ex:acctbal ?b } GROUP BY ?seg "
+     "ORDER BY ?seg", True),
+    ("SELECT (SUM(DISTINCT ?st) AS ?s) WHERE { ?o ex:status ?st }",
+     True),
     # ---- rdf:type constants: pure TM candidacy ----
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", True),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?n a ex:Nation }", True),
@@ -275,6 +281,31 @@ TWO_SLOT_MAPPING = """
     rr:predicateObjectMap [ rr:predicate ex:label;
                             rr:objectMap [ rr:column "c_name" ] ].
 """
+
+
+def test_sum_avg_distinct_dedupes_terms(spark):
+    # §18.5.1: Distinct removes duplicate TERMS, then Sum applies —
+    # "1"^^integer and "1.0"^^decimal are distinct terms and BOTH count
+    rows = [
+        ("<urn:a>", "<urn:p>",
+         '"1"^^<http://www.w3.org/2001/XMLSchema#integer>', None),
+        ("<urn:b>", "<urn:p>",
+         '"1"^^<http://www.w3.org/2001/XMLSchema#integer>', None),
+        ("<urn:c>", "<urn:p>",
+         '"1.0"^^<http://www.w3.org/2001/XMLSchema#decimal>', None),
+        ("<urn:d>", "<urn:p>",
+         '"2"^^<http://www.w3.org/2001/XMLSchema#integer>', None),
+        ("<urn:e>", "<urn:p>", '"x"', None),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    eng = SparqlEngine(t)
+    r = eng.sql("SELECT (SUM(DISTINCT ?o) AS ?s) "
+                "(AVG(DISTINCT ?o) AS ?a) (SUM(?o) AS ?p) "
+                "WHERE { ?x <urn:p> ?o }").collect()[0]
+    assert r["s"] == 4.0
+    assert abs(r["a"] - 4.0 / 3.0) < 1e-12
+    assert r["p"] == 5.0
 
 
 def test_having_without_aggref_refuses(spark, env):

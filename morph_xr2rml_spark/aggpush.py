@@ -32,9 +32,13 @@ and the caller falls back to the full evaluator.  A pushed plan must be
 an EXACT mirror (not a superset): there is no evaluator behind it to
 re-apply the real semantics.  The preconditions:
 
-* WHERE is one BGP of triple patterns plus FILTERs -- no OPTIONAL/
-  UNION/VALUES/BIND/GRAPH/subquery/MINUS/EXISTS (those keep evaluator
-  semantics the mirror does not replicate);
+* WHERE is one BGP of triple patterns plus FILTERs, BINDs (applied in
+  the evaluator's post-pattern order via its own _bind_term_const/
+  _bind_col compilers), single-var VALUES, and single-pattern
+  ``OPTIONAL { ?s pred ?fresh }`` groups (nullable term columns; see
+  _build_single_frame) -- no UNION/GRAPH/subquery/MINUS/EXISTS and no
+  richer optionals (those keep evaluator semantics the mirror does
+  not replicate);
 * every pattern is ``?s <const-pred> ?o-or-constant`` with ONE common
   subject variable (rdf:type excluded: class objects multiply per
   class).  Constant objects mirror `_pattern_df`'s exact match forms
@@ -265,12 +269,12 @@ def _tm_needed_slots(tm, needed: set):
 
     Returns None when any predicate map is non-constant (the TM's
     emissions cannot be bounded -- caller must fall back), else
-    ``(slots, clean)`` where slots maps each needed predicate the TM
-    emits to its object-map list and clean is False when a needed
-    predicate also has a RefObjectMap slot.  rdf:type is handled by
-    `_tm_type_consts`, never through slots."""
+    ``(slots, unclean)`` where slots maps each needed predicate the TM
+    emits to its object-map list and unclean holds the needed
+    predicates that also have a RefObjectMap slot.  rdf:type is handled
+    by `_tm_type_consts`, never through slots."""
     slots: dict = {}
-    clean = True
+    unclean: set = set()
     for pom in tm.predicate_object_maps:
         preds = []
         for pm in pom.predicate_maps:
@@ -283,8 +287,8 @@ def _tm_needed_slots(tm, needed: set):
                 continue
             slots.setdefault(p, []).extend(pom.object_maps)
             if pom.ref_object_maps:
-                clean = False
-    return slots, clean
+                unclean.add(p)
+    return slots, unclean
 
 
 def _tm_type_consts(tm) -> Optional[set]:
@@ -329,8 +333,9 @@ def _const_obj_cond(tier, tm, k, df, om, okind, oval) -> Optional[Column]:
 
 
 def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
-                      obj_binding: dict, term_vars: list,
-                      specs: list, prealias: set) -> Optional[DataFrame]:
+                      obj_binding: dict, opt_binding: dict,
+                      term_vars: list,
+                      specs: list, computed: set) -> Optional[DataFrame]:
     """Multi-subject BGP (a join tree over referencing-object-map edges)
     compiled to scans + equi-joins: the reference's flagship analytics
     shape (orders -> customer -> nation) without materializing a single
@@ -349,7 +354,8 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
     multi-pattern subject would need both spaces at once)."""
     all_types = set().union(*[g["types"] for g in groups.values()])
     # ---- per-TM slot metadata (constant predicates required) ----------
-    all_preds = set().union(*[g["needed"] for g in groups.values()])
+    all_preds = set().union(*[g["needed"] for g in groups.values()],
+                            {p for _gv, p in opt_binding.values()})
     tm_slots: dict = {}          # tm name -> {pred: (oms, roms)}
     tm_types: dict = {}          # tm name -> type consts
     for tm in mapping.triples_maps.values():
@@ -500,7 +506,35 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
         if not tier.unique(tm, k, tier.open(tm, k)):
             return None
 
+    # ---- OPTIONAL slots: nullable columns on the owning group --------
+    # Resolved AFTER pseudo-groups so an optional over an edge target
+    # lands on the ROM parent's frame.  Exact because every group's
+    # subjects are unique (the left join pairs each row with at most its
+    # own optional value) and every foreign emitter of the predicate is
+    # provably subject-space-disjoint from the owner's cover
+    opt_slot: dict = {}          # var -> (gv, om or None)
+    for var, (gv, pred) in opt_binding.items():
+        if gv not in groups:
+            return None          # optional over a plain om-rendered object
+        ctm = cover[gv]
+        for tm in mapping.triples_maps.values():
+            if tm.name != ctm.name and pred in tm_slots[tm.name]:
+                if not subject_spaces_disjoint(subject_space(tm),
+                                               subject_space(ctm)):
+                    return None
+        ent = tm_slots[ctm.name].get(pred)
+        if ent is None:
+            opt_slot[var] = (gv, None)   # never emitted: NULL column
+        else:
+            oms, roms = ent
+            if roms or len(oms) != 1 \
+                    or oms[0].kind not in tier.om_kinds(kinds[gv]):
+                return None
+            opt_slot[var] = (gv, oms[0])
+
     def var_home(v: str):
+        if v in opt_slot:
+            return opt_slot[v]
         if v in groups:
             return v, cover[v].subject_map
         gv0, pred = obj_binding[v]
@@ -526,16 +560,21 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
         for v in term_vars:
             hg, m = var_home(v)
             if hg == gv:
-                cols.append(tier.term(tm, k, df, m).alias(v))
+                cols.append((F.lit(None).cast("string") if m is None
+                             else tier.term(tm, k, df, m)).alias(v))
         for i, (func, var, dist, _alias, _sep) in enumerate(specs):
-            if var is None or var in prealias:
+            if var is None or var in computed:
                 continue
-            if func == "COUNT" and not dist:
+            if func == "COUNT" and not dist and var not in opt_binding:
                 continue
             hg, m = var_home(var)
             if hg != gv:
                 continue
-            if dist and func in ("SUM", "AVG"):
+            if m is None:        # absent optional slot: typed NULLs
+                dt = "double" if (func in ("SUM", "AVG", "MIN", "MAX")
+                                  and not dist) else "string"
+                cols.append(F.lit(None).cast(dt).alias(f"#a{i}"))
+            elif dist and func in ("SUM", "AVG"):
                 cols.append(tier.term(tm, k, df, m).alias(f"#a{i}"))
             elif func in ("SUM", "AVG", "MIN", "MAX"):
                 cols.append(tier.numeric(tm, k, df, m).alias(f"#a{i}"))
@@ -606,47 +645,76 @@ def try_aggregate_pushdown_auto(spark: SparkSession,
 
 
 def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
-                        term_vars: list, specs: list,
-                        prealias: set) -> Optional[DataFrame]:
+                        opt_binding: dict, term_vars: list, specs: list,
+                        computed: set) -> Optional[DataFrame]:
     """Single-subject BGP: per-TM binding frames unioned across all
     disjoint candidate TMs (the multi-TM case the join builder does not
-    cover), with the single-pattern DISTINCT uniqueness waiver."""
+    cover), with the single-pattern DISTINCT uniqueness waiver.
+
+    OPTIONAL slots (``OPTIONAL { ?s pred ?fresh }``): the evaluator's
+    left join over a subject-unique pool collapses to a NULLABLE term
+    column -- present when the candidate TM renders the term, NULL when
+    the term is NULL or the TM never emits the predicate.  Exactness
+    needs subject uniqueness unconditionally (two source rows rendering
+    the same subject would pair every main row with EVERY optional
+    value in the evaluator but only its own row's value here), a sole
+    mirrorable slot on each candidate, and every foreign emitter of the
+    predicate provably subject-space-disjoint (its triples can then
+    never match a candidate's subjects)."""
     (subj, _grp1), = groups.items()
     var_pred = _grp1["var_pred"]
     const_pats = _grp1["const"]
     type_pats = _grp1["types"]
     needed = _grp1["needed"]
     seen_pats = _grp1["pats"]
-    contributors = []            # (tm, full_slots or None)
+    for gv, _pred in opt_binding.values():
+        if gv != subj:
+            return None          # optional over a plain object var
+    opt_preds = {pred for _gv, pred in opt_binding.values()}
+    contributors = []            # (tm, full_slots or None, opt_slots)
     kinds: dict = {}             # tm name -> "tab" | "doc"
     for tm in mapping.triples_maps.values():
-        info = _tm_needed_slots(tm, needed)
+        info = _tm_needed_slots(tm, needed | opt_preds)
         if info is None:
             return None          # dynamic predicates: cannot bound
-        slots, clean = info
+        slots, unclean = info
         type_consts = _tm_type_consts(tm) if type_pats else set()
         if type_consts is None:
             return None          # dynamic rdf:type object: cannot bound
         if not slots and not (type_pats & type_consts):
             continue             # emits no pattern predicate: irrelevant
-        covers = set(slots) == needed and type_pats <= type_consts
+        covers = needed <= set(slots) and type_pats <= type_consts
         full_slots = None
-        if covers and clean \
-                and all(len(oms) == 1 for oms in slots.values()):
+        opt_slots: dict = {}
+        if covers and not (needed & unclean) \
+                and all(len(slots[p]) == 1 for p in needed):
             k = tier.kind(tm)
-            if k is not None and all(oms[0].kind in tier.om_kinds(k)
-                                     for oms in slots.values()):
-                full_slots = {p: oms[0] for p, oms in slots.items()}
+            if k is not None and all(slots[p][0].kind in tier.om_kinds(k)
+                                     for p in needed):
+                full_slots = {p: slots[p][0] for p in needed}
                 kinds[tm.name] = k
+                # optional slots this candidate emits: must be solely
+                # and exactly mirrorable, else the left join cannot
+                # collapse to a column
+                for p in opt_preds:
+                    if p not in slots:
+                        opt_slots[p] = None      # never emitted: NULL
+                    elif p in unclean or len(slots[p]) != 1 \
+                            or slots[p][0].kind not in tier.om_kinds(k):
+                        full_slots = None
+                        break
+                    else:
+                        opt_slots[p] = slots[p][0]
         if covers and full_slots is None:
             return None          # a contributor we cannot compile
-        contributors.append((tm, full_slots))
+        contributors.append((tm, full_slots, opt_slots))
 
-    cands = [(tm, slots) for tm, slots in contributors if slots is not None]
+    cands = [(tm, slots, opts) for tm, slots, opts in contributors
+             if slots is not None]
     if not cands:
         return None              # provably empty is possible here, but
         #                          the evaluator handles it just as well
-    spaces = [subject_space(tm) for tm, _ in contributors]
+    spaces = [subject_space(tm) for tm, _s, _o in contributors]
     for i in range(len(spaces)):
         for j in range(i + 1, len(spaces)):
             if not subject_spaces_disjoint(spaces[i], spaces[j]):
@@ -655,18 +723,20 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
     # bindings == rows needs per-row-distinct triples and a trivial
     # subject self-join; a single-pattern DISTINCT projects both away.
     # Type patterns never join across rows (the class triple exists for
-    # EVERY row of a subject), so they don't count toward the join
-    need_unique = bool(specs) \
+    # EVERY row of a subject), so they don't count toward the join.
+    # OPTIONAL slots always need it: without unique subjects the left
+    # join pairs across rows (see docstring)
+    need_unique = bool(specs) or bool(opt_binding) \
         or len({p for p in seen_pats if p[0] != NS.RDF_TYPE}) > 1
     if need_unique:
-        for tm, _slots in cands:
+        for tm, _slots, _opts in cands:
             k = kinds[tm.name]
             if not tier.unique(tm, k, tier.open(tm, k)):
                 return None
 
     # ---- per-TM binding frames ----------------------------------------
     frames = []
-    for tm, slots in cands:
+    for tm, slots, opts in cands:
         k = kinds[tm.name]
         df = tier.open(tm, k)
         cond = tier.notnull(tm, k, df, tm.subject_map)
@@ -690,18 +760,32 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
                     return None
             cond = cond & c
 
-        def tmap(v: str) -> TermMap:
-            return tm.subject_map if v == subj else slots[var_pred[v]]
+        def tmap(v: str) -> Optional[TermMap]:
+            if v == subj:
+                return tm.subject_map
+            if v in opt_binding:
+                return opts[opt_binding[v][1]]   # None = absent slot
+            return slots[var_pred[v]]
 
-        cols = [tier.term(tm, k, df, tmap(v)).alias(v)
-                for v in term_vars]
+        def term_col(v: str) -> Column:
+            m = tmap(v)
+            if m is None:
+                return F.lit(None).cast("string")
+            return tier.term(tm, k, df, m)
+
+        cols = [term_col(v).alias(v) for v in term_vars]
         for i, (func, var, dist, _alias, _sep) in enumerate(specs):
-            if var in prealias:
-                continue         # input computed after the pre-exprs
-            if func == "COUNT" and not (dist and var is not None):
-                continue         # count(1) needs no input column
+            if var in computed:
+                continue         # input computed after the pre-exprs/binds
+            if func == "COUNT" and not ((dist and var is not None)
+                                        or var in opt_binding):
+                continue         # bindings never NULL: count(1) suffices
             src = tmap(var)
-            if dist and func in ("SUM", "AVG"):
+            if src is None:      # absent optional slot: typed NULLs
+                dt = "double" if (func in ("SUM", "AVG", "MIN", "MAX")
+                                  and not dist) else "string"
+                cols.append(F.lit(None).cast(dt).alias(f"#a{i}"))
+            elif dist and func in ("SUM", "AVG"):
                 # DISTINCT dedupes TERMS first: ship the exact term
                 cols.append(tier.term(tm, k, df, src).alias(f"#a{i}"))
             elif func in ("SUM", "AVG", "MIN", "MAX"):
@@ -709,7 +793,7 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
             elif func == "GROUP_CONCAT":
                 cols.append(lexical_value(tier.term(tm, k, df, src))
                             .alias(f"#a{i}"))
-            else:                # COUNT DISTINCT / SAMPLE: exact term
+            else:                # COUNT (DISTINCT) / SAMPLE: exact term
                 cols.append(tier.term(tm, k, df, src).alias(f"#a{i}"))
         frames.append(df.where(cond).select(*cols))
 
@@ -730,8 +814,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     g = q.where
     if g is None or not g.patterns:
         return None
-    if (g.optionals or g.unions or g.binds
-            or g.graphs or g.subqueries or g.minuses or g.exists):
+    if (g.unions or g.graphs or g.subqueries or g.minuses or g.exists):
         return None
 
     groups: dict = {}            # subject var -> pattern group
@@ -767,7 +850,58 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         grp["needed"].add(tp.p[1])
         grp["pats"].add((tp.p[1], okind, oval))
 
-    known_vars = set(groups) | set(obj_binding)
+    # OPTIONAL: single-pattern groups ``OPTIONAL { ?s <pred> ?fresh }``
+    # over an already-bound subject become NULLABLE term columns (the
+    # evaluator's left join over a subject-unique pool pairs each row
+    # with at most its own optional value).  Anything richer -- nested
+    # structure, filters, multi-pattern optionals, constant objects,
+    # rdf:type, shared object vars -- keeps the evaluator's left-join
+    # semantics the column mirror does not replicate.
+    opt_binding: dict = {}       # fresh var -> (subject var, pred)
+    for og in g.optionals:
+        if (og.optionals or og.unions or og.binds or og.graphs
+                or og.subqueries or og.minuses or og.exists
+                or og.filters or og.values or len(og.patterns) != 1):
+            return None
+        tp = og.patterns[0]
+        if tp.s[0] != "var" or tp.p[0] != "iri" or tp.o[0] != "var":
+            return None
+        gv, pred, var = tp.s[1], tp.p[1], tp.o[1]
+        if pred == NS.RDF_TYPE:
+            return None
+        if gv not in groups and gv not in obj_binding:
+            return None          # optional subject unbound by the BGP
+        if var in groups or var in obj_binding or var in opt_binding \
+                or var == gv:
+            return None          # var shared with required/another optional
+        opt_binding[var] = (gv, pred)
+
+    known_vars = set(groups) | set(obj_binding) | set(opt_binding)
+
+    # BIND: the evaluator applies binds sequentially AFTER the pattern
+    # join (term-string constants via _bind_term_const, computed plain
+    # values via _bind_col -- both pool-independent for the admitted AST
+    # kinds), then VALUES, then filters; `_apply_tail` mirrors that
+    # order verbatim over the bindings frame.  A bind var that is also
+    # pattern-bound becomes the evaluator's where-equality (sequential
+    # scope emulation), so it stays a term column; a fresh bind var is a
+    # COMPUTED column -- available to filters / keys / aggregates /
+    # projection exactly like a pre-expr alias, never term-rendered.
+    bind_only: list = []         # fresh aliases introduced by BIND
+    bind_term_vars: set = set()  # pattern vars a bind expr/equality reads
+    for var, expr in g.binds:
+        vs: set = set()
+        if not _ast_vars(expr, vs):
+            return None
+        if not vs <= known_vars | set(bind_only):
+            return None          # evaluator fails analysis; keep it
+        bind_term_vars |= vs & known_vars
+        if var in known_vars:
+            bind_term_vars.add(var)   # where-equality needs the term
+        elif var not in bind_only:
+            bind_only.append(var)
+    binds = set(bind_only)
+
     # multi-subject BGPs (or a subject bound as an object) route through
     # the join-tree builder
     has_edges = len(groups) > 1 or any(v in groups for v in obj_binding)
@@ -783,7 +917,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # pattern-unbound VALUES keep the evaluator's join semantics
     values_conds: list = []      # (var, [term lexicals])
     for vars_, rows in g.values:
-        if len(vars_) != 1 or vars_[0] not in known_vars:
+        if len(vars_) != 1 or vars_[0] not in known_vars | binds:
             return None
         lex = []
         for row in rows:
@@ -802,7 +936,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     for flt in g.filters:
         if not _ast_vars(flt, filter_vars):
             return None
-    if not filter_vars <= known_vars:
+    if not filter_vars <= known_vars | binds:
         return None
 
     # HAVING: mirror the evaluator's hidden-aggregate machinery
@@ -849,18 +983,22 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         vs: set = set()
         if not _ast_vars(e, vs):
             return None
-        if not vs <= known_vars | set(pre_aliases):
+        if not vs <= known_vars | binds | set(pre_aliases):
             return None
         pre_vars |= vs & known_vars
         pre_aliases.append(a)
     prealias = set(pre_aliases)
+    # computed (non-term) columns of the bindings frame: pre-expr aliases
+    # plus fresh BIND vars -- aggregate inputs over them mirror the
+    # evaluator's plain-column treatment in _apply_tail
+    computed = prealias | binds
 
     for func, var, _d, _a, _s in specs:
         if func not in _AGG_FUNCS:
             return None
         if var is None and func != "COUNT":
             return None
-        if var is not None and var not in known_vars | prealias:
+        if var is not None and var not in known_vars | computed:
             return None
 
     # variables that must surface as rendered term columns in the
@@ -873,7 +1011,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             term_vars.append(v)
 
     if specs:
-        if not set(q.group_by) <= known_vars | prealias:
+        if not set(q.group_by) <= known_vars | computed:
             return None
         for v in q.group_by:
             if v in known_vars:
@@ -898,17 +1036,20 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         if q.variables and q.variables != ["*"]:
             if len(set(q.variables)) != len(q.variables):
                 return None      # duplicate projection: keep evaluator
-            if not set(q.variables) <= known_vars | prealias:
+            if not set(q.variables) <= known_vars | computed:
                 return None
             proj = list(q.variables)
         else:
             proj = list(dict.fromkeys(list(groups) + list(obj_binding)
-                                      + pre_aliases))
+                                      + list(opt_binding)
+                                      + pre_aliases + bind_only))
         for v in proj:
-            if v not in prealias:
+            if v not in computed:
                 need_term(v)
-    for v in filter_vars | pre_vars | {v for v, _l in values_conds}:
-        need_term(v)
+    for v in filter_vars | pre_vars | bind_term_vars \
+            | {v for v, _l in values_conds}:
+        if v in known_vars:
+            need_term(v)
 
     # ORDER BY: plain vars sort like the evaluator's tail below;
     # expression keys borrow _operand_col and may only reference
@@ -923,33 +1064,51 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     tier = tier_factory()
     if has_edges:
         u = _build_join_frame(tier, mapping, groups, obj_binding,
-                              term_vars, specs, prealias)
+                              opt_binding, term_vars, specs, computed)
     else:
-        u = _build_single_frame(tier, mapping, groups, term_vars,
-                                specs, prealias)
+        u = _build_single_frame(tier, mapping, groups, opt_binding,
+                                term_vars, specs, computed)
         if u is None:
             # a single visible group can still need the join builder:
             # an edge predicate whose object var is never a subject
             # (pseudo-group against the ROM parent)
             u = _build_join_frame(tier, mapping, groups, obj_binding,
-                                  term_vars, specs, prealias)
+                                  opt_binding, term_vars, specs, computed)
     if u is None:
         return None
 
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
-                       post_exprs, specs, prealias, agg_alias, proj)
+                       post_exprs, specs, computed, set(opt_binding),
+                       agg_alias, proj)
 
 
 def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
-                specs, prealias, agg_alias, proj) -> DataFrame:
-    """The evaluator's SELECT tail over the bindings frame: VALUES
-    membership, filters, pre-exprs, aggregation + HAVING + post-exprs,
-    projection, DISTINCT, ORDER BY, OFFSET/LIMIT -- shared by the
-    single-group union and the join-tree builder."""
+                specs, computed, nullable, agg_alias, proj) -> DataFrame:
+    """The evaluator's SELECT tail over the bindings frame: BINDs,
+    VALUES membership, filters, pre-exprs, aggregation + HAVING +
+    post-exprs, projection, DISTINCT, ORDER BY, OFFSET/LIMIT -- shared
+    by the single-group union and the join-tree builder."""
     eng = None
-    if g.filters or q.having or q.select_exprs \
+    if g.binds or g.filters or q.having or q.select_exprs \
             or any(not isinstance(v, str) for v, _a in q.order_by):
         eng = _expr_engine(spark)
+    # BIND mirror (verbatim from _join_group): term-string constants and
+    # term constructors bind/compare in term form; computed plain values
+    # compare against the bound term's numeric / lexical value
+    bound = set(u.columns)
+    for var, expr in g.binds:
+        tc = eng._bind_term_const(expr)
+        c = tc if tc is not None else eng._bind_col(expr)
+        if var in bound:
+            if tc is not None or expr[0] == "termctor":
+                u = u.where(F.col(var) == c)
+            elif expr[0] in ("num", "arith", "numop"):
+                u = u.where(numeric_value(F.col(var)) == c.cast("double"))
+            else:
+                u = u.where(lexical_value(F.col(var)) == c.cast("string"))
+        else:
+            u = u.withColumn(var, c)
+            bound.add(var)
     for v, lex in values_conds:
         u = u.where(F.col(v).isin(lex))
     for flt in g.filters:
@@ -957,9 +1116,10 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
     for a, e in pre_exprs:
         u = u.withColumn(a, eng._operand_col(e))
     for i, (func, var, dist, _alias, _sep) in enumerate(specs):
-        # aggregate inputs over pre-expr aliases: the evaluator applies
-        # fn over the PLAIN computed column -- mirror on the same column
-        if var not in prealias:
+        # aggregate inputs over pre-expr aliases / fresh BIND vars: the
+        # evaluator applies fn over the PLAIN computed column -- mirror
+        # on the same column
+        if var not in computed:
             continue
         col = F.col(var)
         if dist and func in ("SUM", "AVG"):
@@ -979,8 +1139,9 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
             if func == "COUNT":
                 if dist and var is not None:
                     agg = F.count_distinct(col)
-                elif var in prealias:
-                    # a computed column may be NULL: count non-nulls
+                elif var in computed or var in nullable:
+                    # computed / optional columns may be NULL: count
+                    # non-nulls (the evaluator's F.count(col))
                     agg = F.count(col)
                 else:
                     # pattern bindings are never NULL here: count rows

@@ -193,9 +193,9 @@ QUERIES = [
     # same var under two predicates (a real join)
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?x . ?c ex:segment ?x }",
      False),
-    # OPTIONAL
+    # OPTIONAL single-pattern slot: nullable column (late r6)
     ("SELECT (COUNT(?b) AS ?n) WHERE { ?c ex:segment ?s . "
-     "OPTIONAL { ?c ex:acctbal ?b } }", False),
+     "OPTIONAL { ?c ex:acctbal ?b } }", True),
     # plain SELECT (no aggregate, no DISTINCT)
     ("SELECT ?c ?seg WHERE { ?c ex:segment ?seg }", False),
 ]
@@ -481,9 +481,9 @@ DOC_QUERIES = [
      "ORDER BY ?o LIMIT 9", True),
     # rdf:type candidacy works on the document tier too
     ("SELECT (COUNT(*) AS ?n) WHERE { ?o a ex:ODoc }", True),
-    # refusals
+    # OPTIONAL single-pattern slot works on the document tier too
     ("SELECT (COUNT(*) AS ?n) WHERE { ?o ex:status ?st . "
-     "OPTIONAL { ?o ex:cust ?c } }", False),
+     "OPTIONAL { ?o ex:cust ?c } }", True),
 ]
 
 

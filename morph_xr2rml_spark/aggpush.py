@@ -96,8 +96,8 @@ from .model import REFERENCE
 from .native import (NativeCompiler, is_tabular_compilable, subject_space,
                      subject_spaces_disjoint, subject_renders_unique,
                      subject_renders_unique_schemaless)
-from .sparql import (SelectQuery, SparqlEngine, lexical_value,
-                     numeric_value, term_order_keys)
+from .sparql import (SelectQuery, SparqlEngine, TriplePattern,
+                     lexical_value, numeric_value, term_order_keys)
 
 # filter/operand AST nodes that depend on evaluation-time state the
 # borrowed expression compiler cannot supply here: EXISTS needs the
@@ -803,6 +803,42 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
     return u
 
 
+def _expand_path(s: tuple, p, o: tuple, out: list, fresh: list) -> bool:
+    """SPARQL §18.4 property-path translation for sequence/inverse
+    paths over constant IRIs: ``?s p1/p2 ?o`` is DEFINED as
+    ``?s p1 ?V . ?V p2 ?o`` with ?V fresh (exact multiset semantics --
+    one solution per intermediate; the evaluator's seq join has the
+    same bag semantics, _path_pairs joins without dedup), and
+    ``?s ^p ?o`` as ``?o p ?s``.  Desugared patterns flow through the
+    ordinary builders (the join tree resolves fresh intermediate
+    subjects via forced edge-target covers).  Alternatives, closures
+    (+ * ?), negated sets and variable predicates return False -- the
+    caller keeps the evaluator, whose closure semantics are set-based
+    and not row-mirrorable."""
+    kind = p[0]
+    if kind == "iri":
+        out.append((s, p, o))
+        return True
+    if kind == "inv":
+        return _expand_path(o, p[1], s, out, fresh)
+    if kind == "seq":
+        cur = s
+        elts = p[1]
+        for i, elt in enumerate(elts):
+            if i == len(elts) - 1:
+                nxt = o
+            else:
+                fresh[0] += 1
+                nxt = ("var", f"#p{fresh[0]}")
+            if isinstance(elt, str):      # bare IRI inside a seq
+                elt = ("iri", elt)
+            if not _expand_path(cur, elt, nxt, out, fresh):
+                return False
+            cur = nxt
+        return True
+    return False
+
+
 def _try_push(spark: SparkSession, mapping: MappingDocument,
               q: SelectQuery, tier_factory) -> Optional[DataFrame]:
     """Compile an aggregate/DISTINCT SELECT directly onto the source
@@ -817,9 +853,20 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     if (g.unions or g.graphs or g.subqueries or g.minuses or g.exists):
         return None
 
+    # sequence/inverse property paths desugar to fresh-var patterns
+    # (SPARQL's own definition); other path forms keep the evaluator
+    pats: list = []
+    fresh = [0]
+    for tp in g.patterns:
+        if tp.p[0] == "iri":
+            pats.append((tp.s, tp.p, tp.o))
+        elif not _expand_path(tp.s, tp.p, tp.o, pats, fresh):
+            return None
+
     groups: dict = {}            # subject var -> pattern group
     obj_binding: dict = {}       # object var -> (subject var, pred)
-    for tp in g.patterns:
+    for ts, tp_p, to in pats:
+        tp = TriplePattern(ts, tp_p, to)
         if tp.s[0] != "var" or tp.p[0] != "iri":
             return None
         gv = tp.s[1]

@@ -926,6 +926,43 @@ GROUP BY o_orderpriority ORDER BY pr
 """
 
 
+def sparql_agg_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL inside the aggregate fast path (late round 6,
+    aggpush.py): ``OPTIONAL { ?s pred ?fresh }`` over a subject-unique
+    pool collapses to a nullable term column, so the grouped count still
+    compiles straight onto the source scans.  Three disjoint TMs emit
+    ex:name but only Customer emits ex:segment, exercising BOTH slot
+    forms — the rendered nullable column (customer) and the typed-NULL
+    column for TMs that never emit the predicate (region, nation).
+    The evaluator's left join is provably equivalent: each subject pairs
+    with at most its own row's optional value.  Reference parity:
+    OPTIONAL evaluates in Jena over the materialized model
+    (MorphMongoQueryProcessor.scala:45-150)."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?seg (COUNT(?seg) AS ?nseg) (COUNT(*) AS ?n)
+        WHERE { ?s ex:name ?nm . OPTIONAL { ?s ex:segment ?seg } }
+        GROUP BY ?seg ORDER BY ?seg""")
+
+
+SPARQL_AGG_OPTIONAL_SQL = """
+WITH pool AS (
+  SELECT CAST(NULL AS VARCHAR) AS seg FROM region
+   WHERE r_regionkey IS NOT NULL AND r_name IS NOT NULL
+  UNION ALL
+  SELECT CAST(NULL AS VARCHAR) FROM nation
+   WHERE n_nationkey IS NOT NULL AND n_name IS NOT NULL
+  UNION ALL
+  SELECT '"' || c_mktsegment || '"' FROM customer
+   WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+)
+SELECT seg, COUNT(seg) AS nseg, COUNT(*) AS n
+FROM pool GROUP BY seg ORDER BY seg NULLS FIRST
+"""
+
+
 def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK through the pushdown answering path (round 6): returns a
     one-row boolean frame; the pattern constants still invert into the
@@ -947,6 +984,7 @@ EXTRA_QUERIES = {
     "sparql_topk_pushdown": (sparql_topk_pushdown, SPARQL_TOPK_SQL),
     "sparql_agg_pushdown": (sparql_agg_pushdown, SPARQL_AGG_SQL),
     "sparql_agg_doc": (sparql_agg_doc, SPARQL_AGG_DOC_SQL),
+    "sparql_agg_optional": (sparql_agg_optional, SPARQL_AGG_OPTIONAL_SQL),
     "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),

@@ -104,6 +104,21 @@ QUERIES = [
      "ORDER BY ?seg", True),
     ("SELECT (SUM(DISTINCT ?st) AS ?s) WHERE { ?o ex:status ?st }",
      True),
+    # ---- sequence/inverse property paths (SPARQL §18.4 desugaring;
+    # fresh intermediates resolve via forced edge-target covers) ----
+    ("SELECT ?rn (COUNT(*) AS ?n) WHERE "
+     "{ ?c ex:inNation/ex:inRegion/ex:name ?rn } GROUP BY ?rn "
+     "ORDER BY ?rn", True),
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { ?o ex:placedBy/ex:segment "
+     "?seg } GROUP BY ?seg ORDER BY ?seg", True),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?nm . "
+     "?c ^ex:placedBy ?o }", True),
+    ('SELECT ?nn (COUNT(*) AS ?n) WHERE { ?c ex:segment "BUILDING" . '
+     "?c ex:inNation/ex:name ?nn } GROUP BY ?nn ORDER BY ?nn", True),
+    # closures and alternatives keep the evaluator (set semantics)
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?n ex:inRegion* ?r }", False),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name|ex:segment ?x }",
+     False),
     # ---- rdf:type constants: pure TM candidacy ----
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", True),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?n a ex:Nation }", True),
@@ -196,6 +211,14 @@ QUERIES = [
     # OPTIONAL single-pattern slot: nullable column (late r6)
     ("SELECT (COUNT(?b) AS ?n) WHERE { ?c ex:segment ?s . "
      "OPTIONAL { ?c ex:acctbal ?b } }", True),
+    # OPTIONAL over a multi-TM pool: only Customer emits ex:segment, so
+    # Region/Nation contributors take the typed-NULL slot; NULL group
+    ("SELECT ?sg (COUNT(?sg) AS ?k) (COUNT(*) AS ?n) WHERE "
+     "{ ?s ex:name ?nm . OPTIONAL { ?s ex:segment ?sg } } "
+     "GROUP BY ?sg ORDER BY ?sg", True),
+    # aggregate directly over an optional numeric slot incl. absent TMs
+    ("SELECT (SUM(?b) AS ?t) (COUNT(*) AS ?n) WHERE "
+     "{ ?s ex:name ?nm . OPTIONAL { ?s ex:acctbal ?b } }", True),
     # plain SELECT (no aggregate, no DISTINCT)
     ("SELECT ?c ?seg WHERE { ?c ex:segment ?seg }", False),
 ]

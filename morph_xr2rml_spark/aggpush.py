@@ -334,8 +334,10 @@ def _const_obj_cond(tier, tm, k, df, om, okind, oval) -> Optional[Column]:
 
 def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
                       obj_binding: dict, opt_binding: dict,
-                      term_vars: list,
-                      specs: list, computed: set) -> Optional[DataFrame]:
+                      term_vars: list, specs: list, computed: set,
+                      absent: frozenset = frozenset(),
+                      nullable: Optional[set] = None
+                      ) -> Optional[DataFrame]:
     """Multi-subject BGP (a join tree over referencing-object-map edges)
     compiled to scans + equi-joins: the reference's flagship analytics
     shape (orders -> customer -> nation) without materializing a single
@@ -352,6 +354,8 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
     spaces disjoint from the cover's (they then provably contribute no
     binding: an edge-target subject lies in the cover's space, and a
     multi-pattern subject would need both spaces at once)."""
+    if nullable is None:
+        nullable = set(opt_binding) | set(absent)
     all_types = set().union(*[g["types"] for g in groups.values()])
     # ---- per-TM slot metadata (constant predicates required) ----------
     all_preds = set().union(*[g["needed"] for g in groups.values()],
@@ -532,7 +536,11 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
                 return None
             opt_slot[var] = (gv, oms[0])
 
+    anchor = next(iter(groups))  # NULL columns for sibling-branch vars
+
     def var_home(v: str):
+        if v in absent:
+            return anchor, None  # bound only in a sibling UNION branch
         if v in opt_slot:
             return opt_slot[v]
         if v in groups:
@@ -565,12 +573,12 @@ def _build_join_frame(tier, mapping: MappingDocument, groups: dict,
         for i, (func, var, dist, _alias, _sep) in enumerate(specs):
             if var is None or var in computed:
                 continue
-            if func == "COUNT" and not dist and var not in opt_binding:
+            if func == "COUNT" and not dist and var not in nullable:
                 continue
             hg, m = var_home(var)
             if hg != gv:
                 continue
-            if m is None:        # absent optional slot: typed NULLs
+            if m is None:        # absent optional/branch slot: typed NULLs
                 dt = "double" if (func in ("SUM", "AVG", "MIN", "MAX")
                                   and not dist) else "string"
                 cols.append(F.lit(None).cast(dt).alias(f"#a{i}"))
@@ -646,7 +654,9 @@ def try_aggregate_pushdown_auto(spark: SparkSession,
 
 def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
                         opt_binding: dict, term_vars: list, specs: list,
-                        computed: set) -> Optional[DataFrame]:
+                        computed: set, absent: frozenset = frozenset(),
+                        nullable: Optional[set] = None
+                        ) -> Optional[DataFrame]:
     """Single-subject BGP: per-TM binding frames unioned across all
     disjoint candidate TMs (the multi-TM case the join builder does not
     cover), with the single-pattern DISTINCT uniqueness waiver.
@@ -661,6 +671,8 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
     mirrorable slot on each candidate, and every foreign emitter of the
     predicate provably subject-space-disjoint (its triples can then
     never match a candidate's subjects)."""
+    if nullable is None:
+        nullable = set(opt_binding) | set(absent)
     (subj, _grp1), = groups.items()
     var_pred = _grp1["var_pred"]
     const_pats = _grp1["const"]
@@ -761,6 +773,8 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
             cond = cond & c
 
         def tmap(v: str) -> Optional[TermMap]:
+            if v in absent:
+                return None          # bound only in a sibling UNION branch
             if v == subj:
                 return tm.subject_map
             if v in opt_binding:
@@ -778,10 +792,10 @@ def _build_single_frame(tier, mapping: MappingDocument, groups: dict,
             if var in computed:
                 continue         # input computed after the pre-exprs/binds
             if func == "COUNT" and not ((dist and var is not None)
-                                        or var in opt_binding):
+                                        or var in nullable):
                 continue         # bindings never NULL: count(1) suffices
             src = tmap(var)
-            if src is None:      # absent optional slot: typed NULLs
+            if src is None:      # absent optional/branch slot: typed NULLs
                 dt = "double" if (func in ("SUM", "AVG", "MIN", "MAX")
                                   and not dist) else "string"
                 cols.append(F.lit(None).cast(dt).alias(f"#a{i}"))
@@ -848,54 +862,108 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     if q.construct is not None or q.is_ask or q.describe:
         return None
     g = q.where
-    if g is None or not g.patterns:
+    if g is None:
         return None
-    if (g.unions or g.graphs or g.subqueries or g.minuses or g.exists):
+    if (g.graphs or g.subqueries or g.minuses or g.exists):
         return None
 
+    # ---- UNION: a WHERE that is one pure union of flat BGP branches
+    # mirrors the evaluator exactly -- each branch's bindings frame is
+    # NULL-padded to the union of columns and bag-unioned (the
+    # evaluator does the same in _join_group).  Top-level patterns or
+    # optionals BESIDE a union keep the evaluator: its common-column
+    # re-join drops NULL keys, a semantics the mirror does not
+    # replicate.  Branch filters apply per-branch (as the evaluator's
+    # recursive _join_group does); nested pure unions flatten.
+    if g.unions:
+        if g.patterns or g.optionals or len(g.unions) != 1:
+            return None
+
+        bgroups: list = []
+
+        def _flat(b) -> bool:
+            if (b.optionals or b.graphs or b.subqueries or b.minuses
+                    or b.exists or b.binds or b.values):
+                return False
+            if b.unions:
+                if b.patterns or b.filters or len(b.unions) != 1:
+                    return False
+                bl, br = b.unions[0]
+                return _flat(bl) and _flat(br)
+            if not b.patterns:
+                return False
+            bgroups.append(b)
+            return True
+
+        l0, r0 = g.unions[0]
+        if not (_flat(l0) and _flat(r0)):
+            return None
+    else:
+        if not g.patterns:
+            return None
+        bgroups = [g]
+
+    # ---- per-branch pattern extraction --------------------------------
     # sequence/inverse property paths desugar to fresh-var patterns
     # (SPARQL's own definition); other path forms keep the evaluator
-    pats: list = []
     fresh = [0]
-    for tp in g.patterns:
-        if tp.p[0] == "iri":
-            pats.append((tp.s, tp.p, tp.o))
-        elif not _expand_path(tp.s, tp.p, tp.o, pats, fresh):
-            return None
-
-    groups: dict = {}            # subject var -> pattern group
-    obj_binding: dict = {}       # object var -> (subject var, pred)
-    for ts, tp_p, to in pats:
-        tp = TriplePattern(ts, tp_p, to)
-        if tp.s[0] != "var" or tp.p[0] != "iri":
-            return None
-        gv = tp.s[1]
-        grp = groups.setdefault(gv, {"var_pred": {}, "const": [],
-                                     "types": set(), "pats": set(),
-                                     "needed": set()})
-        okind, oval = tp.o[0], tp.o[1]
-        if tp.p[1] == NS.RDF_TYPE:
-            # a constant class is pure TM candidacy (the class triple
-            # exists for every row with a subject); var/literal type
-            # objects multiply per class / never match -- keep evaluator
-            if okind != "iri":
+    parsed: list = []            # (groups, obj_binding) per branch
+    for b in bgroups:
+        pats: list = []
+        for tp in b.patterns:
+            if tp.p[0] == "iri":
+                pats.append((tp.s, tp.p, tp.o))
+            elif not _expand_path(tp.s, tp.p, tp.o, pats, fresh):
                 return None
-            grp["types"].add(oval)
+
+        groups: dict = {}        # subject var -> pattern group
+        obj_binding: dict = {}   # object var -> (subject var, pred)
+        for ts, tp_p, to in pats:
+            tp = TriplePattern(ts, tp_p, to)
+            if tp.s[0] != "var" or tp.p[0] != "iri":
+                return None
+            gv = tp.s[1]
+            grp = groups.setdefault(gv, {"var_pred": {}, "const": [],
+                                         "types": set(), "pats": set(),
+                                         "needed": set()})
+            okind, oval = tp.o[0], tp.o[1]
+            if tp.p[1] == NS.RDF_TYPE:
+                # a constant class is pure TM candidacy (the class
+                # triple exists for every row with a subject);
+                # var/literal type objects multiply per class / never
+                # match -- keep evaluator
+                if okind != "iri":
+                    return None
+                grp["types"].add(oval)
+                grp["pats"].add((tp.p[1], okind, oval))
+                continue
+            if okind == "var":
+                if oval == gv:
+                    return None  # self-loop
+                if oval in obj_binding \
+                        and obj_binding[oval] != (gv, tp.p[1]):
+                    return None  # var bound twice: a value join
+                obj_binding[oval] = (gv, tp.p[1])
+                grp["var_pred"][oval] = tp.p[1]
+            elif okind in ("iri", "lit", "lit_exact", "num"):
+                grp["const"].append((tp.p[1], okind, oval))
+            else:
+                return None
+            grp["needed"].add(tp.p[1])
             grp["pats"].add((tp.p[1], okind, oval))
-            continue
-        if okind == "var":
-            if oval == gv:
-                return None      # self-loop
-            if oval in obj_binding and obj_binding[oval] != (gv, tp.p[1]):
-                return None      # var bound twice: a value join
-            obj_binding[oval] = (gv, tp.p[1])
-            grp["var_pred"][oval] = tp.p[1]
-        elif okind in ("iri", "lit", "lit_exact", "num"):
-            grp["const"].append((tp.p[1], okind, oval))
-        else:
-            return None
-        grp["needed"].add(tp.p[1])
-        grp["pats"].add((tp.p[1], okind, oval))
+        parsed.append((groups, obj_binding))
+
+    # single-branch aliases (the only shape OPTIONAL handling sees;
+    # union WHEREs refuse optionals above)
+    groups, obj_binding = parsed[0]
+    multi = len(parsed) > 1
+    all_pat_vars: set = set()
+    for gb, ob in parsed:
+        all_pat_vars |= set(gb) | set(ob)
+    # a var unbound in some branch surfaces as a NULL column there
+    union_nullable = {v for v in all_pat_vars
+                      if any(v not in set(gb) | set(ob)
+                             for gb, ob in parsed)}
 
     # OPTIONAL: single-pattern groups ``OPTIONAL { ?s <pred> ?fresh }``
     # over an already-bound subject become NULLABLE term columns (the
@@ -923,7 +991,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             return None          # var shared with required/another optional
         opt_binding[var] = (gv, pred)
 
-    known_vars = set(groups) | set(obj_binding) | set(opt_binding)
+    known_vars = all_pat_vars | set(opt_binding)
+    nullable = set(opt_binding) | union_nullable
 
     # BIND: the evaluator applies binds sequentially AFTER the pattern
     # join (term-string constants via _bind_term_const, computed plain
@@ -953,10 +1022,23 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # the join-tree builder
     has_edges = len(groups) > 1 or any(v in groups for v in obj_binding)
     # plain single-group SELECTs keep the existing constraint-pushdown
-    # path (already dedup-eliminated + branch-folded); plain JOIN
-    # SELECTs benefit from the raw-key join builder
-    if not q.aggregates and not q.distinct and not has_edges:
+    # path (already dedup-eliminated + branch-folded); plain JOIN and
+    # UNION SELECTs benefit from the scan-level builders
+    if not q.aggregates and not q.distinct and not has_edges and not multi:
         return None
+    # branch-local filters: the evaluator applies them inside the branch
+    # group over branch bindings -- mirror per-branch, vars branch-bound
+    branch_filter_vars: set = set()
+    if multi:
+        if q.variables == ["*"] or "*" in q.variables:
+            return None          # evaluator column order is join-derived
+        for b, (gb, ob) in zip(bgroups, parsed):
+            bvars = set(gb) | set(ob)
+            for flt in b.filters:
+                fv: set = set()
+                if not _ast_vars(flt, fv) or not fv <= bvars:
+                    return None
+                branch_filter_vars |= fv
 
     # VALUES: the evaluator's single-bound-var case is a term-string
     # membership constraint (exact mirror over the same term columns);
@@ -1094,7 +1176,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             if v not in computed:
                 need_term(v)
     for v in filter_vars | pre_vars | bind_term_vars \
-            | {v for v, _l in values_conds}:
+            | branch_filter_vars | {v for v, _l in values_conds}:
         if v in known_vars:
             need_term(v)
 
@@ -1109,23 +1191,50 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
 
     # ---- mapping-side proof -------------------------------------------
     tier = tier_factory()
-    if has_edges:
-        u = _build_join_frame(tier, mapping, groups, obj_binding,
-                              opt_binding, term_vars, specs, computed)
-    else:
-        u = _build_single_frame(tier, mapping, groups, opt_binding,
-                                term_vars, specs, computed)
-        if u is None:
-            # a single visible group can still need the join builder:
-            # an edge predicate whose object var is never a subject
-            # (pseudo-group against the ROM parent)
-            u = _build_join_frame(tier, mapping, groups, obj_binding,
-                                  opt_binding, term_vars, specs, computed)
-    if u is None:
-        return None
+    frames = []
+    beng = None
+    for b, (gb, ob) in zip(bgroups, parsed):
+        bvars = set(gb) | set(ob)
+        absent = frozenset(all_pat_vars - bvars)
+        edges_b = len(gb) > 1 or any(v in gb for v in ob)
+        if edges_b:
+            u_b = _build_join_frame(tier, mapping, gb, ob, opt_binding,
+                                    term_vars, specs, computed, absent,
+                                    nullable)
+        else:
+            u_b = _build_single_frame(tier, mapping, gb, opt_binding,
+                                      term_vars, specs, computed,
+                                      absent, nullable)
+            if u_b is None:
+                # a single visible group can still need the join
+                # builder: an edge predicate whose object var is never
+                # a subject (pseudo-group against the ROM parent)
+                u_b = _build_join_frame(tier, mapping, gb, ob,
+                                        opt_binding, term_vars, specs,
+                                        computed, absent, nullable)
+        if u_b is None:
+            return None
+        if multi:
+            if b.filters:
+                if beng is None:
+                    beng = _expr_engine(spark)
+                for flt in b.filters:
+                    u_b = u_b.where(beng._filter_col(flt, u_b))
+            # normalize to the shared column set (the join builder's
+            # frames carry raw edge-key columns the union must drop)
+            emitted = [f"#a{i}" for i, (fn_, v_, d_, _a, _s)
+                       in enumerate(specs)
+                       if v_ is not None and v_ not in computed
+                       and not (fn_ == "COUNT" and not d_
+                                and v_ not in nullable)]
+            u_b = u_b.select(*term_vars, *emitted)
+        frames.append(u_b)
+    u = frames[0]
+    for f_ in frames[1:]:
+        u = u.unionByName(f_)
 
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
-                       post_exprs, specs, computed, set(opt_binding),
+                       post_exprs, specs, computed, nullable,
                        agg_alias, proj)
 
 

@@ -963,6 +963,35 @@ FROM pool GROUP BY seg ORDER BY seg NULLS FIRST
 """
 
 
+def sparql_agg_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION inside the aggregate fast path (late round 6, aggpush.py):
+    a WHERE that is one pure union of flat BGP branches compiles each
+    branch's bindings frame on its own scans (NULL-padded to the shared
+    column set, as the evaluator's _join_group does) and bag-unions
+    them under ONE aggregate -- two pruned scans, no materialized KG,
+    no dedup exchange.  Reference parity: UNION evaluates in Jena over
+    the materialized model (MorphMongoQueryProcessor.scala:45-150)."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?x (COUNT(*) AS ?n)
+        WHERE { { ?c ex:segment ?x } UNION { ?o ex:status ?x } }
+        GROUP BY ?x ORDER BY ?x""")
+
+
+SPARQL_AGG_UNION_SQL = """
+WITH pool AS (
+  SELECT '"' || c_mktsegment || '"' AS x FROM customer
+   WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT '"' || o_orderstatus || '"' FROM orders
+   WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+)
+SELECT x, COUNT(*) AS n FROM pool GROUP BY x ORDER BY x
+"""
+
+
 def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK through the pushdown answering path (round 6): returns a
     one-row boolean frame; the pattern constants still invert into the
@@ -985,6 +1014,7 @@ EXTRA_QUERIES = {
     "sparql_agg_pushdown": (sparql_agg_pushdown, SPARQL_AGG_SQL),
     "sparql_agg_doc": (sparql_agg_doc, SPARQL_AGG_DOC_SQL),
     "sparql_agg_optional": (sparql_agg_optional, SPARQL_AGG_OPTIONAL_SQL),
+    "sparql_agg_union": (sparql_agg_union, SPARQL_AGG_UNION_SQL),
     "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),

@@ -342,6 +342,13 @@ class _P:
                     left = self._group()
                     self.expect("UNION")
                     right = self._group()
+                    # GroupOrUnionGraphPattern allows a UNION chain;
+                    # fold left-associatively into nested pair groups
+                    while self.peek()[1].upper() == "UNION":
+                        self.next()
+                        merged = Group()
+                        merged.unions.append((left, right))
+                        left, right = merged, self._group()
                     g.unions.append((left, right))
             else:
                 g.patterns.extend(self._triples_same_subject())

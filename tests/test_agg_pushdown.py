@@ -119,6 +119,33 @@ QUERIES = [
     ("SELECT (COUNT(*) AS ?n) WHERE { ?n ex:inRegion* ?r }", False),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name|ex:segment ?x }",
      False),
+    # ---- UNION of flat BGP branches (NULL-padded bag union) ----
+    ("SELECT ?x (COUNT(*) AS ?n) WHERE { { ?c ex:segment ?x } UNION "
+     "{ ?o ex:status ?x } } GROUP BY ?x ORDER BY ?x", True),
+    # ?b bound in one branch only: NULL column, COUNT counts non-nulls
+    ("SELECT (COUNT(?b) AS ?nb) (COUNT(*) AS ?n) WHERE "
+     "{ { ?c ex:segment ?s . ?c ex:acctbal ?b } UNION "
+     "{ ?o ex:status ?s } }", True),
+    ("SELECT (SUM(?b) AS ?t) (COUNT(*) AS ?n) WHERE "
+     "{ { ?c ex:acctbal ?b } UNION { ?o ex:status ?st } }", True),
+    # three-way chain with per-branch filters
+    ('SELECT (COUNT(*) AS ?n) WHERE { { ?c ex:segment ?x . '
+     'FILTER(?x = "BUILDING") } UNION { ?o ex:status ?x . '
+     'FILTER(?x != "P") } UNION { ?r ex:name ?x } }', True),
+    # a join branch unioned with a single-group branch
+    ("SELECT ?seg (COUNT(*) AS ?n) WHERE { { ?o ex:placedBy ?c . "
+     "?c ex:segment ?seg } UNION { ?c2 ex:segment ?seg } } "
+     "GROUP BY ?seg ORDER BY ?seg", True),
+    ("SELECT DISTINCT ?x WHERE { { ?n2 a ex:Nation . ?n2 ex:name ?x } "
+     "UNION { ?r a ex:Region . ?r ex:name ?x } } ORDER BY ?x LIMIT 8",
+     True),
+    # union BESIDE top-level patterns: the evaluator re-joins on common
+    # columns with NULL-key drops the mirror does not replicate
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
+     "{ ?c ex:acctbal ?b } UNION { ?c ex:name ?nm } }", False),
+    # SELECT * over a union: column order is evaluator-defined
+    ("SELECT DISTINCT * WHERE { { ?c ex:segment ?x } UNION "
+     "{ ?o ex:status ?x } }", False),
     # ---- rdf:type constants: pure TM candidacy ----
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", True),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?n a ex:Nation }", True),
@@ -507,6 +534,9 @@ DOC_QUERIES = [
     # OPTIONAL single-pattern slot works on the document tier too
     ("SELECT (COUNT(*) AS ?n) WHERE { ?o ex:status ?st . "
      "OPTIONAL { ?o ex:cust ?c } }", True),
+    # UNION of flat branches on the document tier
+    ("SELECT ?x (COUNT(*) AS ?n) WHERE { { ?o ex:status ?x } UNION "
+     "{ ?o2 ex:priority ?x } } GROUP BY ?x ORDER BY ?x", True),
 ]
 
 

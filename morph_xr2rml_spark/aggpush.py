@@ -864,7 +864,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     g = q.where
     if g is None:
         return None
-    if (g.graphs or g.subqueries or g.minuses or g.exists):
+    if (g.graphs or g.minuses or g.exists):
         return None
 
     # ---- UNION: a WHERE that is one pure union of flat BGP branches
@@ -876,7 +876,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # replicate.  Branch filters apply per-branch (as the evaluator's
     # recursive _join_group does); nested pure unions flatten.
     if g.unions:
-        if g.patterns or g.optionals or len(g.unions) != 1:
+        if g.patterns or g.optionals or g.subqueries or len(g.unions) != 1:
             return None
 
         bgroups: list = []
@@ -991,7 +991,30 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             return None          # var shared with required/another optional
         opt_binding[var] = (gv, pred)
 
-    known_vars = all_pat_vars | set(opt_binding)
+    # ---- subqueries: compile recursively, join on common columns -----
+    # The evaluator's _join_group joins `evaluate(sub)` with the outer
+    # frame on their common columns (inner, or cross when none); the
+    # mirror joins the recursively-pushed sub frame the same way.  Sub
+    # projections split statically: aggregate/SELECT-expr aliases are
+    # PLAIN columns (computed semantics in the tail), everything else a
+    # term column.  Outer aggregates over sub-only term columns refuse
+    # (the builders cannot emit their inputs); over plain sub columns
+    # they go through the tail's computed path, like the evaluator.
+    sub_frames: list = []
+    sub_provided: set = set()
+    sub_computed: set = set()
+    for sub in g.subqueries:
+        sdf = _try_push(spark, mapping, sub, tier_factory)
+        if sdf is None:
+            return None          # sub not pushable: keep the evaluator
+        aliases = ({a[3] for a in sub.aggregates}
+                   | {a for a, _e in sub.select_exprs})
+        sub_frames.append(sdf)
+        sub_provided |= set(sdf.columns)
+        sub_computed |= set(sdf.columns) & aliases
+    sub_only = sub_provided - all_pat_vars - set(opt_binding)
+
+    known_vars = all_pat_vars | set(opt_binding) | (sub_only - sub_computed)
     nullable = set(opt_binding) | union_nullable
 
     # BIND: the evaluator applies binds sequentially AFTER the pattern
@@ -1024,7 +1047,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # plain single-group SELECTs keep the existing constraint-pushdown
     # path (already dedup-eliminated + branch-folded); plain JOIN and
     # UNION SELECTs benefit from the scan-level builders
-    if not q.aggregates and not q.distinct and not has_edges and not multi:
+    if not q.aggregates and not q.distinct and not has_edges and not multi \
+            and not g.subqueries:
         return None
     # branch-local filters: the evaluator applies them inside the branch
     # group over branch bindings -- mirror per-branch, vars branch-bound
@@ -1065,7 +1089,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     for flt in g.filters:
         if not _ast_vars(flt, filter_vars):
             return None
-    if not filter_vars <= known_vars | binds:
+    if not filter_vars <= known_vars | binds | sub_computed:
         return None
 
     # HAVING: mirror the evaluator's hidden-aggregate machinery
@@ -1120,7 +1144,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # computed (non-term) columns of the bindings frame: pre-expr aliases
     # plus fresh BIND vars -- aggregate inputs over them mirror the
     # evaluator's plain-column treatment in _apply_tail
-    computed = prealias | binds
+    computed = prealias | binds | sub_computed
 
     for func, var, _d, _a, _s in specs:
         if func not in _AGG_FUNCS:
@@ -1129,6 +1153,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             return None
         if var is not None and var not in known_vars | computed:
             return None
+        if var in sub_only and var not in sub_computed:
+            return None          # sub-only term input: builders cannot emit
 
     # variables that must surface as rendered term columns in the
     # bindings frame (projection keys, term-form aggregate inputs,
@@ -1136,8 +1162,15 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     term_vars: list = []
 
     def need_term(v: str):
-        if v not in term_vars:
+        # sub-only columns exist after the subquery join -- never
+        # rendered by the pattern builders
+        if v not in term_vars and v not in sub_only:
             term_vars.append(v)
+
+    # subquery join keys must surface on the outer frame
+    for sdf in sub_frames:
+        for v in set(sdf.columns) & (all_pat_vars | set(opt_binding)):
+            need_term(v)
 
     if specs:
         if not set(q.group_by) <= known_vars | computed:
@@ -1169,6 +1202,9 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 return None
             proj = list(q.variables)
         else:
+            if sub_frames:
+                return None      # * over a subquery join: column order
+                #                  is evaluator-defined
             proj = list(dict.fromkeys(list(groups) + list(obj_binding)
                                       + list(opt_binding)
                                       + pre_aliases + bind_only))
@@ -1232,6 +1268,11 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     u = frames[0]
     for f_ in frames[1:]:
         u = u.unionByName(f_)
+
+    # subquery joins on common columns (the evaluator's _join_group)
+    for sdf in sub_frames:
+        common = [c for c in sdf.columns if c in u.columns]
+        u = u.join(sdf, common) if common else u.crossJoin(sdf)
 
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
                        post_exprs, specs, computed, nullable,

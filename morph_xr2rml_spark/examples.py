@@ -992,6 +992,40 @@ SELECT x, COUNT(*) AS n FROM pool GROUP BY x ORDER BY x
 """
 
 
+def sparql_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery inside the aggregate fast path (late round 6,
+    aggpush.py): the nested SELECT compiles recursively onto its own
+    scans (orders partial-aggregated per customer before any join) and
+    joins the outer name pool on the common ?c term column -- the
+    evaluator's _join_group common-column join, mirrored without
+    materializing the KG.  The outer FILTER over the sub's plain COUNT
+    column applies post-join.  Counts are hash-exact across engines
+    (SUM/AVG stay in the differential battery -- float reassociation).
+    Reference parity: subqueries evaluate in Jena over the materialized
+    model (MorphMongoQueryProcessor.scala:45-150)."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?name ?k WHERE {
+          ?c ex:name ?name .
+          { SELECT ?c (COUNT(*) AS ?k)
+            WHERE { ?o ex:placedBy ?c } GROUP BY ?c }
+          FILTER(?k >= 15)
+        } ORDER BY ?name""")
+
+
+SPARQL_AGG_SUBQUERY_SQL = """
+SELECT '"' || c_name || '"' AS name, k
+FROM customer
+JOIN (SELECT o_custkey, COUNT(*) AS k FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      GROUP BY o_custkey) s ON c_custkey = s.o_custkey
+WHERE k >= 15 AND c_custkey IS NOT NULL AND c_name IS NOT NULL
+ORDER BY name
+"""
+
+
 def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK through the pushdown answering path (round 6): returns a
     one-row boolean frame; the pattern constants still invert into the
@@ -1015,6 +1049,7 @@ EXTRA_QUERIES = {
     "sparql_agg_doc": (sparql_agg_doc, SPARQL_AGG_DOC_SQL),
     "sparql_agg_optional": (sparql_agg_optional, SPARQL_AGG_OPTIONAL_SQL),
     "sparql_agg_union": (sparql_agg_union, SPARQL_AGG_UNION_SQL),
+    "sparql_agg_subquery": (sparql_agg_subquery, SPARQL_AGG_SUBQUERY_SQL),
     "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),

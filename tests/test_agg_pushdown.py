@@ -146,6 +146,26 @@ QUERIES = [
     # SELECT * over a union: column order is evaluator-defined
     ("SELECT DISTINCT * WHERE { { ?c ex:segment ?x } UNION "
      "{ ?o ex:status ?x } }", False),
+    # ---- subqueries: recursive push + common-column join ----
+    ("SELECT ?name ?t WHERE { ?c ex:name ?name . { SELECT ?c "
+     "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
+     " GROUP BY ?c } } ORDER BY DESC(?t) LIMIT 10", True),
+    # outer FILTER over the sub's plain aggregate column
+    ("SELECT ?name WHERE { ?c ex:name ?name . { SELECT ?c "
+     "(COUNT(*) AS ?k) WHERE { ?o ex:placedBy ?c } GROUP BY ?c } "
+     "FILTER(?k >= 15) } ORDER BY ?name", True),
+    # outer aggregate over the sub's plain column (avg of sums)
+    ('SELECT (AVG(?t) AS ?a) (COUNT(*) AS ?n) WHERE { { SELECT ?c '
+     "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
+     ' GROUP BY ?c } ?c ex:segment "BUILDING" }', True),
+    # sub-local ORDER/LIMIT applies before the outer join
+    ("SELECT ?name ?t WHERE { ?c ex:name ?name . { SELECT ?c "
+     "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
+     " GROUP BY ?c ORDER BY DESC(?t) LIMIT 5 } } ORDER BY ?name", True),
+    # outer aggregate over a sub-only TERM column: builders cannot emit
+    ("SELECT (COUNT(DISTINCT ?d) AS ?n) WHERE { ?c ex:segment ?s . "
+     "{ SELECT ?c ?d WHERE { ?o2 ex:placedBy ?c . ?o2 ex:orderDate ?d }"
+     " } }", False),
     # ---- rdf:type constants: pure TM candidacy ----
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", True),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?n a ex:Nation }", True),

@@ -333,6 +333,25 @@ def q_sparql_join_agg_pushdown(spark, sf_dir: str):
         "?c ex:segment ?seg } GROUP BY ?seg ORDER BY ?seg")
 
 
+def q_sparql_subquery_topk(spark, sf_dir: str):
+    """Subquery pushdown (late r6): top spenders by name.  The nested
+    SELECT partial-aggregates the orders scan per customer BEFORE any
+    join, then broadcast-joins the name pool under
+    TakeOrderedAndProject — the KG is never materialized."""
+    from morph_xr2rml_spark.examples import TPCH_KG_MAPPING, tpch_tables
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.rewrite import answer_tabular
+
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(
+        spark, mapping, tpch_tables(spark, sf_dir),
+        "PREFIX ex: <http://example.com/>\n"
+        "SELECT ?name ?t WHERE { ?c ex:name ?name . "
+        "{ SELECT ?c (SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . "
+        "?o ex:totalPrice ?p } GROUP BY ?c } } "
+        "ORDER BY DESC(?t) LIMIT 10")
+
+
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
@@ -345,6 +364,7 @@ def queries():
         "sparql_mixed_pushdown": q_sparql_mixed_pushdown,
         "sparql_agg_pushdown": q_sparql_agg_pushdown,
         "sparql_join_agg_pushdown": q_sparql_join_agg_pushdown,
+        "sparql_subquery_topk": q_sparql_subquery_topk,
     }
     try:
         from morph_xr2rml_spark.ops import registry

@@ -149,7 +149,7 @@ QUERIES = [
     # ---- subqueries: recursive push + common-column join ----
     ("SELECT ?name ?t WHERE { ?c ex:name ?name . { SELECT ?c "
      "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
-     " GROUP BY ?c } } ORDER BY DESC(?t) LIMIT 10", True),
+     " GROUP BY ?c } } ORDER BY DESC(?t) ?name LIMIT 10", True),
     # outer FILTER over the sub's plain aggregate column
     ("SELECT ?name WHERE { ?c ex:name ?name . { SELECT ?c "
      "(COUNT(*) AS ?k) WHERE { ?o ex:placedBy ?c } GROUP BY ?c } "
@@ -161,7 +161,8 @@ QUERIES = [
     # sub-local ORDER/LIMIT applies before the outer join
     ("SELECT ?name ?t WHERE { ?c ex:name ?name . { SELECT ?c "
      "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
-     " GROUP BY ?c ORDER BY DESC(?t) LIMIT 5 } } ORDER BY ?name", True),
+     " GROUP BY ?c ORDER BY DESC(?t) ?c LIMIT 5 } } ORDER BY ?name",
+     True),
     # outer aggregate over a sub-only TERM column: builders cannot emit
     ("SELECT (COUNT(DISTINCT ?d) AS ?n) WHERE { ?c ex:segment ?s . "
      "{ SELECT ?c ?d WHERE { ?o2 ex:placedBy ?c . ?o2 ex:orderDate ?d }"
@@ -518,6 +519,94 @@ class AggGen:
 def test_fuzz_agg_pushed_equals_evaluator(spark, env, seed):
     mapping, tables, engine = env
     q = P + AggGen(seed).build()
+    fast = _norm(answer_tabular(spark, mapping, tables, q).collect())
+    slow = _norm(engine.sql(q).collect())
+    assert fast == slow, f"divergence (seed {seed}) on:\n{q}"
+
+
+class RichAggGen:
+    """Seeded random queries over the late-r6 shape space — OPTIONAL
+    slots, pure-UNION WHEREs, sequence/inverse property paths and
+    subqueries — answered through the rewrite path (pushed when the
+    shape admits it, rewrite/evaluator fallback otherwise) and compared
+    against the plain evaluator either way."""
+
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def build(self) -> str:
+        r = self.r
+        mode = r.choice(["optional", "union", "path", "subquery"])
+        if mode == "optional":
+            opt = r.choice(["?c ex:acctbal ?v", "?c ex:name ?v"])
+            aggs = r.choice([
+                "(COUNT(?v) AS ?n)",
+                "(COUNT(*) AS ?n) (COUNT(?v) AS ?m)",
+                "(SUM(?v) AS ?s) (COUNT(*) AS ?n)"])
+            grp = r.random() < 0.6
+            head = ("?k " if grp else "") + aggs
+            tail = " GROUP BY ?k ORDER BY ?k" if grp else ""
+            subj = ("?c ex:segment ?k ." if grp or r.random() < 0.7
+                    else "?c ex:name ?k .")
+            return (f"SELECT {head} WHERE {{ {subj} "
+                    f"OPTIONAL {{ {opt} }} }}{tail}")
+        if mode == "union":
+            b1 = r.choice(["?c ex:segment ?x", "?c2 ex:name ?x",
+                           "?c ex:segment ?x . ?c ex:acctbal ?v"])
+            b2 = r.choice(["?o ex:status ?x", "?r ex:name ?x",
+                           "?o ex:status ?x . ?o ex:totalPrice ?w"])
+            f1 = (f' FILTER(CONTAINS(?x, "{r.choice("AEIOU")}"))'
+                  if r.random() < 0.4 else "")
+            aggs = "(COUNT(*) AS ?n)"
+            if "?v" in b1 and r.random() < 0.6:
+                aggs += " (COUNT(?v) AS ?m)"
+            grp = r.random() < 0.6
+            head = ("?x " if grp else "") + aggs
+            tail = " GROUP BY ?x ORDER BY ?x" if grp else ""
+            return (f"SELECT {head} WHERE {{ {{ {b1} .{f1} }} UNION "
+                    f"{{ {b2} }} }}{tail}")
+        if mode == "path":
+            pat = r.choice([
+                "?c ex:inNation/ex:name ?k",
+                "?c ex:inNation/ex:inRegion/ex:name ?k",
+                "?o ex:placedBy/ex:segment ?k",
+                "?o ex:placedBy/ex:inNation/ex:name ?k"])
+            extra = ""
+            if pat.startswith("?c") and r.random() < 0.4:
+                extra = ' ?c ex:segment "BUILDING" .'
+            aggs = "(COUNT(*) AS ?n)"
+            grp = r.random() < 0.7
+            head = ("?k " if grp else "") + aggs
+            tail = " GROUP BY ?k ORDER BY ?k" if grp else ""
+            return f"SELECT {head} WHERE {{ {pat} .{extra} }}{tail}"
+        # subquery
+        agg = r.choice(["(COUNT(*) AS ?t)", "(SUM(?p) AS ?t)",
+                        "(MAX(?p) AS ?t)"])
+        subpat = "?o ex:placedBy ?c ." + \
+            (" ?o ex:totalPrice ?p ." if "?p" in agg else "")
+        # the ?c tiebreak makes the sub's LIMIT deterministic (ties in
+        # ?t would otherwise let each engine pick a different subset)
+        sublim = (" ORDER BY DESC(?t) ?c LIMIT 7"
+                  if r.random() < 0.4 else "")
+        outer = r.choice(["?c ex:name ?nm .",
+                          '?c ex:segment "BUILDING" .',
+                          "?c ex:segment ?nm ."])
+        filt = (" FILTER(?t >= 10)"
+                if "COUNT" in agg and r.random() < 0.5 else "")
+        proj = "?nm ?t" if "?nm" in outer else "?t"
+        # with ?nm projected, tie-break the top-k cut on it too
+        topk = (" ORDER BY DESC(?t) ?nm LIMIT 12" if "?nm" in outer
+                else " ORDER BY DESC(?t) LIMIT 12")
+        tail = r.choice([topk, " ORDER BY ?t", ""])
+        return (f"SELECT {proj} WHERE {{ {outer} {{ SELECT ?c {agg} "
+                f"WHERE {{ {subpat[:-2]} }} GROUP BY ?c{sublim} }}"
+                f"{filt} }}{tail}")
+
+
+@pytest.mark.parametrize("seed", range(401, 429))
+def test_fuzz_rich_pushed_equals_evaluator(spark, env, seed):
+    mapping, tables, engine = env
+    q = P + RichAggGen(seed).build()
     fast = _norm(answer_tabular(spark, mapping, tables, q).collect())
     slow = _norm(engine.sql(q).collect())
     assert fast == slow, f"divergence (seed {seed}) on:\n{q}"

@@ -750,6 +750,24 @@ def test_cross_tier_union_aggregate(spark, env, doc_env):
         catalog=catalog) is not None
 
 
+def test_cross_tier_sparql_union(spark, env, doc_env):
+    # { tabular branch } UNION { document branch }: each branch's frame
+    # builds on its own tier's scan, one aggregate over the bag union
+    _m, tables, _e = env
+    _m2, catalog, _e2 = doc_env
+    mapping = MappingDocument.from_text(MIXED_KG_MAPPING)
+    q = (P + "SELECT ?x (COUNT(*) AS ?n) WHERE { { ?c ex:name ?x } "
+             "UNION { ?o ex:status ?x } } GROUP BY ?x "
+             "ORDER BY DESC(?n) ?x LIMIT 12")
+    kw = dict(catalog=catalog, tables={"customer": tables["customer"]})
+    assert try_aggregate_pushdown_auto(
+        spark, mapping, parse_sparql(q), **kw) is not None
+    fast = answer_auto(spark, mapping, q, **kw)
+    full = materialize_auto(spark, mapping, dedup=False, **kw)
+    slow = SparqlEngine(full, dedup_source=True).sql(q)
+    assert _norm(fast.collect()) == _norm(slow.collect())
+
+
 def test_mixed_mapping_doc_only_contributor(spark, env, doc_env):
     # MIXED_KG_MAPPING: ex:status lives only in the document TM; the
     # tabular TM is irrelevant to the pattern and is never opened

@@ -853,6 +853,58 @@ def _expand_path(s: tuple, p, o: tuple, out: list, fresh: list) -> bool:
     return False
 
 
+def _extract_bgp(patterns, fresh: list) -> Optional[tuple]:
+    """Classify a flat BGP into (groups, obj_binding): per-subject
+    pattern groups keyed by subject var, and the object-var edge map.
+    Sequence/inverse property paths desugar first (SPARQL's own
+    fresh-var definition).  None on any shape the builders cannot
+    bound: constant/blank subjects, variable or unsupported-path
+    predicates, self-loops, vars bound twice (a value join), non-IRI
+    rdf:type objects."""
+    pats: list = []
+    for tp in patterns:
+        if tp.p[0] == "iri":
+            pats.append((tp.s, tp.p, tp.o))
+        elif not _expand_path(tp.s, tp.p, tp.o, pats, fresh):
+            return None
+
+    groups: dict = {}            # subject var -> pattern group
+    obj_binding: dict = {}       # object var -> (subject var, pred)
+    for ts, tp_p, to in pats:
+        tp = TriplePattern(ts, tp_p, to)
+        if tp.s[0] != "var" or tp.p[0] != "iri":
+            return None
+        gv = tp.s[1]
+        grp = groups.setdefault(gv, {"var_pred": {}, "const": [],
+                                     "types": set(), "pats": set(),
+                                     "needed": set()})
+        okind, oval = tp.o[0], tp.o[1]
+        if tp.p[1] == NS.RDF_TYPE:
+            # a constant class is pure TM candidacy (the class triple
+            # exists for every row with a subject); var/literal type
+            # objects multiply per class / never match -- keep evaluator
+            if okind != "iri":
+                return None
+            grp["types"].add(oval)
+            grp["pats"].add((tp.p[1], okind, oval))
+            continue
+        if okind == "var":
+            if oval == gv:
+                return None      # self-loop
+            if oval in obj_binding \
+                    and obj_binding[oval] != (gv, tp.p[1]):
+                return None      # var bound twice: a value join
+            obj_binding[oval] = (gv, tp.p[1])
+            grp["var_pred"][oval] = tp.p[1]
+        elif okind in ("iri", "lit", "lit_exact", "num"):
+            grp["const"].append((tp.p[1], okind, oval))
+        else:
+            return None
+        grp["needed"].add(tp.p[1])
+        grp["pats"].add((tp.p[1], okind, oval))
+    return groups, obj_binding
+
+
 def _try_push(spark: SparkSession, mapping: MappingDocument,
               q: SelectQuery, tier_factory) -> Optional[DataFrame]:
     """Compile an aggregate/DISTINCT SELECT directly onto the source
@@ -864,7 +916,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     g = q.where
     if g is None:
         return None
-    if (g.graphs or g.minuses or g.exists):
+    if g.graphs or g.minuses:
         return None
 
     # ---- UNION: a WHERE that is one pure union of flat BGP branches
@@ -876,7 +928,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # replicate.  Branch filters apply per-branch (as the evaluator's
     # recursive _join_group does); nested pure unions flatten.
     if g.unions:
-        if g.patterns or g.optionals or g.subqueries or len(g.unions) != 1:
+        if g.patterns or g.optionals or g.subqueries or g.exists \
+                or len(g.unions) != 1:
             return None
 
         bgroups: list = []
@@ -909,49 +962,10 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     fresh = [0]
     parsed: list = []            # (groups, obj_binding) per branch
     for b in bgroups:
-        pats: list = []
-        for tp in b.patterns:
-            if tp.p[0] == "iri":
-                pats.append((tp.s, tp.p, tp.o))
-            elif not _expand_path(tp.s, tp.p, tp.o, pats, fresh):
-                return None
-
-        groups: dict = {}        # subject var -> pattern group
-        obj_binding: dict = {}   # object var -> (subject var, pred)
-        for ts, tp_p, to in pats:
-            tp = TriplePattern(ts, tp_p, to)
-            if tp.s[0] != "var" or tp.p[0] != "iri":
-                return None
-            gv = tp.s[1]
-            grp = groups.setdefault(gv, {"var_pred": {}, "const": [],
-                                         "types": set(), "pats": set(),
-                                         "needed": set()})
-            okind, oval = tp.o[0], tp.o[1]
-            if tp.p[1] == NS.RDF_TYPE:
-                # a constant class is pure TM candidacy (the class
-                # triple exists for every row with a subject);
-                # var/literal type objects multiply per class / never
-                # match -- keep evaluator
-                if okind != "iri":
-                    return None
-                grp["types"].add(oval)
-                grp["pats"].add((tp.p[1], okind, oval))
-                continue
-            if okind == "var":
-                if oval == gv:
-                    return None  # self-loop
-                if oval in obj_binding \
-                        and obj_binding[oval] != (gv, tp.p[1]):
-                    return None  # var bound twice: a value join
-                obj_binding[oval] = (gv, tp.p[1])
-                grp["var_pred"][oval] = tp.p[1]
-            elif okind in ("iri", "lit", "lit_exact", "num"):
-                grp["const"].append((tp.p[1], okind, oval))
-            else:
-                return None
-            grp["needed"].add(tp.p[1])
-            grp["pats"].add((tp.p[1], okind, oval))
-        parsed.append((groups, obj_binding))
+        r = _extract_bgp(b.patterns, fresh)
+        if r is None:
+            return None
+        parsed.append(r)
 
     # single-branch aliases (the only shape OPTIONAL handling sees;
     # union WHEREs refuse optionals above)
@@ -1040,6 +1054,38 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         elif var not in bind_only:
             bind_only.append(var)
     binds = set(bind_only)
+
+    # ---- FILTER (NOT) EXISTS: distinct-probe semi/anti joins ---------
+    # The evaluator compiles the sub group independently and joins it
+    # left_semi/left_anti on the common columns over a DISTINCT probe
+    # (sparql._exists_join).  The mirror builds the sub pattern through
+    # the same frame builders -- SET-exactness suffices because the
+    # probe dedupes, so single-pattern subs need no uniqueness proof --
+    # and applies the identical join after the tail's filters.  Common
+    # vars must be non-nullable on the outer frame (the evaluator
+    # NULL-decomposes otherwise) and must not collide with BIND /
+    # subquery columns (computed-vs-term join forms differ).
+    exists_specs: list = []      # (positive, egroups, eobj, common, eg)
+    for positive, eg in g.exists:
+        if (eg.optionals or eg.unions or eg.binds or eg.graphs
+                or eg.subqueries or eg.minuses or eg.exists
+                or eg.values or not eg.patterns):
+            return None
+        r = _extract_bgp(eg.patterns, fresh)
+        if r is None:
+            return None
+        egroups, eobj = r
+        evars = set(egroups) | set(eobj)
+        if evars & (binds | sub_provided):
+            return None
+        common = sorted(evars & (all_pat_vars | set(opt_binding)))
+        if any(v in nullable for v in common):
+            return None
+        for flt in eg.filters:
+            fv: set = set()
+            if not _ast_vars(flt, fv) or not fv <= evars:
+                return None
+        exists_specs.append((positive, egroups, eobj, common, eg))
 
     # multi-subject BGPs (or a subject bound as an object) route through
     # the join-tree builder
@@ -1215,6 +1261,9 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             | branch_filter_vars | {v for v, _l in values_conds}:
         if v in known_vars:
             need_term(v)
+    for _pos, _eg1, _eo1, common, _eg2 in exists_specs:
+        for v in common:         # probe join keys on the outer frame
+            need_term(v)
 
     # ORDER BY: plain vars sort like the evaluator's tail below;
     # expression keys borrow _operand_col and may only reference
@@ -1274,17 +1323,46 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         common = [c for c in sdf.columns if c in u.columns]
         u = u.join(sdf, common) if common else u.crossJoin(sdf)
 
+    # EXISTS probe frames: same builders, set-exactness, no specs
+    exists_joins: list = []
+    for positive, egroups, eobj, common, eg in exists_specs:
+        e_tvars = list(common)   # probe keys + the sub's filter vars
+        for flt in eg.filters:
+            fv2: set = set()
+            _ast_vars(flt, fv2)
+            e_tvars.extend(v for v in sorted(fv2) if v not in e_tvars)
+        edges_e = len(egroups) > 1 or any(v in egroups for v in eobj)
+        if edges_e:
+            e_f = _build_join_frame(tier, mapping, egroups, eobj, {},
+                                    e_tvars, [], set())
+        else:
+            e_f = _build_single_frame(tier, mapping, egroups, {},
+                                      e_tvars, [], set())
+            if e_f is None:
+                e_f = _build_join_frame(tier, mapping, egroups, eobj,
+                                        {}, e_tvars, [], set())
+        if e_f is None:
+            return None
+        if eg.filters:
+            if beng is None:
+                beng = _expr_engine(spark)
+            for flt in eg.filters:
+                e_f = e_f.where(beng._filter_col(flt, e_f))
+        exists_joins.append((positive, e_f, list(common)))
+
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
                        post_exprs, specs, computed, nullable,
-                       agg_alias, proj)
+                       agg_alias, proj, exists_joins)
 
 
 def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
-                specs, computed, nullable, agg_alias, proj) -> DataFrame:
+                specs, computed, nullable, agg_alias, proj,
+                exists_joins=()) -> DataFrame:
     """The evaluator's SELECT tail over the bindings frame: BINDs,
-    VALUES membership, filters, pre-exprs, aggregation + HAVING +
-    post-exprs, projection, DISTINCT, ORDER BY, OFFSET/LIMIT -- shared
-    by the single-group union and the join-tree builder."""
+    VALUES membership, filters, EXISTS probe joins, pre-exprs,
+    aggregation + HAVING + post-exprs, projection, DISTINCT, ORDER BY,
+    OFFSET/LIMIT -- shared by the single-group union and the join-tree
+    builder."""
     eng = None
     if g.binds or g.filters or q.having or q.select_exprs \
             or any(not isinstance(v, str) for v, _a in q.order_by):
@@ -1310,6 +1388,16 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
         u = u.where(F.col(v).isin(lex))
     for flt in g.filters:
         u = u.where(eng._filter_col(flt, u))
+    # EXISTS/NOT EXISTS: the evaluator's _exists_join, verbatim --
+    # distinct probe, left_semi/left_anti on the common columns; with
+    # no common column the inner (non)emptiness decides wholesale
+    for positive, e_f, common in exists_joins:
+        if common:
+            probe = e_f.select(*common).distinct()
+            u = u.join(probe, common,
+                       "left_semi" if positive else "left_anti")
+        elif positive == e_f.isEmpty():
+            u = u.limit(0)
     for a, e in pre_exprs:
         u = u.withColumn(a, eng._operand_col(e))
     for i, (func, var, dist, _alias, _sep) in enumerate(specs):

@@ -1026,6 +1026,38 @@ ORDER BY name
 """
 
 
+def sparql_agg_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER EXISTS inside the aggregate fast path (late round 6,
+    aggpush.py): the sub pattern (orders above a price threshold,
+    reaching the customer through the ROM edge) compiles through the
+    same frame builders and applies as the evaluator's distinct-probe
+    left-semi join -- a raw-scan semi join, no KG materialization.
+    Counts are hash-exact cross-engine.  Reference parity: EXISTS
+    evaluates in Jena over the materialized model
+    (MorphMongoQueryProcessor.scala:45-150)."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(TPCH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?seg (COUNT(*) AS ?n) WHERE {
+          ?c ex:segment ?seg .
+          FILTER EXISTS { ?o ex:placedBy ?c . ?o ex:totalPrice ?p .
+                          FILTER(?p > 300000) }
+        } GROUP BY ?seg ORDER BY ?seg""")
+
+
+SPARQL_AGG_EXISTS_SQL = """
+SELECT '"' || c_mktsegment || '"' AS seg, COUNT(*) AS n
+FROM customer c
+WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderkey IS NOT NULL
+                AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment ORDER BY seg
+"""
+
+
 def sparql_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK through the pushdown answering path (round 6): returns a
     one-row boolean frame; the pattern constants still invert into the
@@ -1050,6 +1082,7 @@ EXTRA_QUERIES = {
     "sparql_agg_optional": (sparql_agg_optional, SPARQL_AGG_OPTIONAL_SQL),
     "sparql_agg_union": (sparql_agg_union, SPARQL_AGG_UNION_SQL),
     "sparql_agg_subquery": (sparql_agg_subquery, SPARQL_AGG_SUBQUERY_SQL),
+    "sparql_agg_exists": (sparql_agg_exists, SPARQL_AGG_EXISTS_SQL),
     "sparql_ask_exists": (sparql_ask_exists, SPARQL_ASK_SQL),
     "sparql_pushdown_mixed": (sparql_pushdown_mixed,
                               SPARQL_PUSHDOWN_MIXED_SQL),

@@ -146,6 +146,29 @@ QUERIES = [
     # SELECT * over a union: column order is evaluator-defined
     ("SELECT DISTINCT * WHERE { { ?c ex:segment ?x } UNION "
      "{ ?o ex:status ?x } }", False),
+    # ---- FILTER (NOT) EXISTS: distinct-probe semi/anti joins ----
+    # customers without orders: anti-join through the ROM edge
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
+     "FILTER NOT EXISTS { ?o ex:placedBy ?c } }", True),
+    # per-segment customers WITH an expensive order (sub filter)
+    ("SELECT ?s (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
+     "FILTER EXISTS { ?o ex:placedBy ?c . ?o ex:totalPrice ?p . "
+     "FILTER(?p > 200000) } } GROUP BY ?s ORDER BY ?s", True),
+    # same-subject NOT EXISTS with a constant object
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:name ?nm . '
+     'FILTER NOT EXISTS { ?c ex:segment "BUILDING" } }', True),
+    # no shared var: the inner (non)emptiness decides wholesale
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . '
+     'FILTER EXISTS { ?o2 ex:status "X" } }', True),
+    # sequence path inside EXISTS, OPTIONAL on the outer
+    ("SELECT (COUNT(?b) AS ?nb) WHERE { ?c ex:segment ?s . "
+     "OPTIONAL { ?c ex:acctbal ?b } FILTER EXISTS { "
+     '?c ex:inNation/ex:name ?nn . FILTER(STRSTARTS(?nn, "\\"A")) } }',
+     True),
+    # probe key nullable on the outer frame: evaluator NULL-decomposes
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
+     "OPTIONAL { ?c ex:acctbal ?b } "
+     "FILTER EXISTS { ?c2 ex:acctbal ?b } }", False),
     # ---- subqueries: recursive push + common-column join ----
     ("SELECT ?name ?t WHERE { ?c ex:name ?name . { SELECT ?c "
      "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
@@ -206,9 +229,14 @@ QUERIES = [
     ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . '
      "?c ex:name ?nm . VALUES (?seg ?nm) { "
      '("BUILDING" "Customer#000000001") } }', False),
-    # EXISTS inside a filter needs the triple pool
+    # top-level FILTER EXISTS now compiles to a distinct-probe semi
+    # join (late r6); parenthesized EXISTS inside boolean filter
+    # expressions still needs the pool (existsexpr markers)
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
-     'FILTER EXISTS { ?c ex:name ?x } }', False),
+     'FILTER EXISTS { ?c ex:name ?x } }', True),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . "
+     'FILTER(EXISTS { ?c ex:name ?x } && ?seg != "BUILDING") }',
+     False),
     # two classes no TM emits together: provably empty, but cands==[]
     # falls back (the evaluator answers empty just as well)
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer . ?c a ex:Nation }",

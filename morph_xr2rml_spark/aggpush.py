@@ -916,7 +916,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     g = q.where
     if g is None:
         return None
-    if g.graphs or g.minuses:
+    if g.graphs:
         return None
 
     # ---- UNION: a WHERE that is one pure union of flat BGP branches
@@ -929,7 +929,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # recursive _join_group does); nested pure unions flatten.
     if g.unions:
         if g.patterns or g.optionals or g.subqueries or g.exists \
-                or len(g.unions) != 1:
+                or g.minuses or len(g.unions) != 1:
             return None
 
         bgroups: list = []
@@ -1065,8 +1065,16 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # vars must be non-nullable on the outer frame (the evaluator
     # NULL-decomposes otherwise) and must not collide with BIND /
     # subquery columns (computed-vs-term join forms differ).
-    exists_specs: list = []      # (positive, egroups, eobj, common, eg)
-    for positive, eg in g.exists:
+    # MINUS (§8.3.3) joins the same machinery: with every common var
+    # bound on both sides (non-null by construction here), "compatible
+    # AND shares >=1 bound var" collapses to equality on ALL commons --
+    # an anti join; with NO common column the row STAYS (disjoint
+    # domains), unlike NOT EXISTS' wholesale probe.  The evaluator
+    # applies exists first, then minuses -- mirrored in list order.
+    exists_specs: list = []      # (kind, egroups, eobj, common, eg)
+    probes = [("semi" if pos else "anti", eg) for pos, eg in g.exists] \
+        + [("minus", mg) for mg in g.minuses]
+    for kind, eg in probes:
         if (eg.optionals or eg.unions or eg.binds or eg.graphs
                 or eg.subqueries or eg.minuses or eg.exists
                 or eg.values or not eg.patterns):
@@ -1085,7 +1093,9 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             fv: set = set()
             if not _ast_vars(flt, fv) or not fv <= evars:
                 return None
-        exists_specs.append((positive, egroups, eobj, common, eg))
+        if kind == "minus" and not common:
+            continue             # no shared domain: every row stays
+        exists_specs.append((kind, egroups, eobj, common, eg))
 
     # multi-subject BGPs (or a subject bound as an object) route through
     # the join-tree builder
@@ -1323,9 +1333,9 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         common = [c for c in sdf.columns if c in u.columns]
         u = u.join(sdf, common) if common else u.crossJoin(sdf)
 
-    # EXISTS probe frames: same builders, set-exactness, no specs
+    # EXISTS/MINUS probe frames: same builders, set-exactness, no specs
     exists_joins: list = []
-    for positive, egroups, eobj, common, eg in exists_specs:
+    for kind, egroups, eobj, common, eg in exists_specs:
         e_tvars = list(common)   # probe keys + the sub's filter vars
         for flt in eg.filters:
             fv2: set = set()
@@ -1348,7 +1358,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 beng = _expr_engine(spark)
             for flt in eg.filters:
                 e_f = e_f.where(beng._filter_col(flt, e_f))
-        exists_joins.append((positive, e_f, list(common)))
+        exists_joins.append((kind, e_f, list(common)))
 
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
                        post_exprs, specs, computed, nullable,
@@ -1388,15 +1398,16 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
         u = u.where(F.col(v).isin(lex))
     for flt in g.filters:
         u = u.where(eng._filter_col(flt, u))
-    # EXISTS/NOT EXISTS: the evaluator's _exists_join, verbatim --
+    # EXISTS/NOT EXISTS/MINUS: the evaluator's probe joins, verbatim --
     # distinct probe, left_semi/left_anti on the common columns; with
-    # no common column the inner (non)emptiness decides wholesale
-    for positive, e_f, common in exists_joins:
+    # no common column EXISTS' inner (non)emptiness decides wholesale
+    # (common-less MINUS entries were dropped upstream: rows stay)
+    for kind, e_f, common in exists_joins:
         if common:
             probe = e_f.select(*common).distinct()
             u = u.join(probe, common,
-                       "left_semi" if positive else "left_anti")
-        elif positive == e_f.isEmpty():
+                       "left_semi" if kind == "semi" else "left_anti")
+        elif (kind == "semi") == e_f.isEmpty():
             u = u.limit(0)
     for a, e in pre_exprs:
         u = u.withColumn(a, eng._operand_col(e))

@@ -169,6 +169,15 @@ QUERIES = [
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
      "OPTIONAL { ?c ex:acctbal ?b } "
      "FILTER EXISTS { ?c2 ex:acctbal ?b } }", False),
+    # ---- MINUS: anti join on commons; no shared domain = row stays ----
+    ('SELECT ?s (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . '
+     'MINUS { ?c ex:segment "BUILDING" } } GROUP BY ?s ORDER BY ?s',
+     True),
+    ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
+     "MINUS { ?o ex:placedBy ?c . ?o ex:totalPrice ?p . "
+     "FILTER(?p > 300000) } }", True),
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . '
+     'MINUS { ?o2 ex:status "F" } }', True),
     # ---- subqueries: recursive push + common-column join ----
     ("SELECT ?name ?t WHERE { ?c ex:name ?name . { SELECT ?c "
      "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"

@@ -683,6 +683,12 @@ DOC_QUERIES = [
     # UNION of flat branches on the document tier
     ("SELECT ?x (COUNT(*) AS ?n) WHERE { { ?o ex:status ?x } UNION "
      "{ ?o2 ex:priority ?x } } GROUP BY ?x ORDER BY ?x", True),
+    # EXISTS / MINUS probes on the document tier
+    ("SELECT ?st (COUNT(*) AS ?n) WHERE { ?o ex:status ?st . "
+     "FILTER EXISTS { ?o ex:cust ?c . FILTER(?c > 1000) } } "
+     "GROUP BY ?st ORDER BY ?st", True),
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?o ex:priority ?pr . '
+     'MINUS { ?o ex:status "F" } }', True),
 ]
 
 

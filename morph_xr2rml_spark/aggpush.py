@@ -906,7 +906,8 @@ def _extract_bgp(patterns, fresh: list) -> Optional[tuple]:
 
 
 def _try_push(spark: SparkSession, mapping: MappingDocument,
-              q: SelectQuery, tier_factory) -> Optional[DataFrame]:
+              q: SelectQuery, tier_factory,
+              as_subquery: bool = False) -> Optional[DataFrame]:
     """Compile an aggregate/DISTINCT SELECT directly onto the source
     scans when bindings provably equal source rows; None = not provable
     or out of shape -- caller falls back to the full evaluator."""
@@ -1018,7 +1019,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     sub_provided: set = set()
     sub_computed: set = set()
     for sub in g.subqueries:
-        sdf = _try_push(spark, mapping, sub, tier_factory)
+        sdf = _try_push(spark, mapping, sub, tier_factory,
+                        as_subquery=True)
         if sdf is None:
             return None          # sub not pushable: keep the evaluator
         aliases = ({a[3] for a in sub.aggregates}
@@ -1104,7 +1106,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # path (already dedup-eliminated + branch-folded); plain JOIN and
     # UNION SELECTs benefit from the scan-level builders
     if not q.aggregates and not q.distinct and not has_edges and not multi \
-            and not g.subqueries:
+            and not g.subqueries and not g.exists and not g.minuses \
+            and not as_subquery:
         return None
     # branch-local filters: the evaluator applies them inside the branch
     # group over branch bindings -- mirror per-branch, vars branch-bound
@@ -1201,6 +1204,11 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # plus fresh BIND vars -- aggregate inputs over them mirror the
     # evaluator's plain-column treatment in _apply_tail
     computed = prealias | binds | sub_computed
+    # aggregate inputs the builders never emit -- computed columns plus
+    # sub-only TERM columns, both present on the frame by aggregation
+    # time (the tail computes their #a inputs with the term-correct
+    # numeric_value/lexical_value forms, same as the evaluator)
+    agg_late = computed | sub_only
 
     for func, var, _d, _a, _s in specs:
         if func not in _AGG_FUNCS:
@@ -1209,8 +1217,6 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             return None
         if var is not None and var not in known_vars | computed:
             return None
-        if var in sub_only and var not in sub_computed:
-            return None          # sub-only term input: builders cannot emit
 
     # variables that must surface as rendered term columns in the
     # bindings frame (projection keys, term-form aggregate inputs,
@@ -1294,11 +1300,11 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         edges_b = len(gb) > 1 or any(v in gb for v in ob)
         if edges_b:
             u_b = _build_join_frame(tier, mapping, gb, ob, opt_binding,
-                                    term_vars, specs, computed, absent,
+                                    term_vars, specs, agg_late, absent,
                                     nullable)
         else:
             u_b = _build_single_frame(tier, mapping, gb, opt_binding,
-                                      term_vars, specs, computed,
+                                      term_vars, specs, agg_late,
                                       absent, nullable)
             if u_b is None:
                 # a single visible group can still need the join
@@ -1306,7 +1312,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 # a subject (pseudo-group against the ROM parent)
                 u_b = _build_join_frame(tier, mapping, gb, ob,
                                         opt_binding, term_vars, specs,
-                                        computed, absent, nullable)
+                                        agg_late, absent, nullable)
         if u_b is None:
             return None
         if multi:
@@ -1361,7 +1367,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
         exists_joins.append((kind, e_f, list(common)))
 
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
-                       post_exprs, specs, computed, nullable,
+                       post_exprs, specs, agg_late, nullable,
                        agg_alias, proj, exists_joins)
 
 

@@ -195,10 +195,14 @@ QUERIES = [
      "(SUM(?p) AS ?t) WHERE { ?o ex:placedBy ?c . ?o ex:totalPrice ?p }"
      " GROUP BY ?c ORDER BY DESC(?t) ?c LIMIT 5 } } ORDER BY ?name",
      True),
-    # outer aggregate over a sub-only TERM column: builders cannot emit
+    # outer aggregates over sub-only TERM columns: the tail computes
+    # their inputs from the joined column (term-correct forms)
     ("SELECT (COUNT(DISTINCT ?d) AS ?n) WHERE { ?c ex:segment ?s . "
      "{ SELECT ?c ?d WHERE { ?o2 ex:placedBy ?c . ?o2 ex:orderDate ?d }"
-     " } }", False),
+     " } }", True),
+    ("SELECT ?s (AVG(?p2) AS ?a) (COUNT(*) AS ?n) WHERE { "
+     "?c ex:segment ?s . { SELECT ?c ?p2 WHERE { ?o2 ex:placedBy ?c . "
+     "?o2 ex:totalPrice ?p2 } } } GROUP BY ?s ORDER BY ?s", True),
     # ---- rdf:type constants: pure TM candidacy ----
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c a ex:Customer }", True),
     ("SELECT (COUNT(*) AS ?n) WHERE { ?n a ex:Nation }", True),

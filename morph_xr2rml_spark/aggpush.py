@@ -1074,6 +1074,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # domains), unlike NOT EXISTS' wholesale probe.  The evaluator
     # applies exists first, then minuses -- mirrored in list order.
     exists_specs: list = []      # (kind, egroups, eobj, common, eg)
+    exists_vars_all: set = set()
     probes = [("semi" if pos else "anti", eg) for pos, eg in g.exists] \
         + [("minus", mg) for mg in g.minuses]
     for kind, eg in probes:
@@ -1097,6 +1098,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 return None
         if kind == "minus" and not common:
             continue             # no shared domain: every row stays
+        exists_vars_all |= evars
         exists_specs.append((kind, egroups, eobj, common, eg))
 
     # multi-subject BGPs (or a subject bound as an object) route through
@@ -1123,24 +1125,43 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                     return None
                 branch_filter_vars |= fv
 
-    # VALUES: the evaluator's single-bound-var case is a term-string
-    # membership constraint (exact mirror over the same term columns);
-    # an UNDEF row is a wildcard (no constraint); multi-var or
-    # pattern-unbound VALUES keep the evaluator's join semantics
-    values_conds: list = []      # (var, [term lexicals])
-    for vars_, rows in g.values:
-        if len(vars_) != 1 or vars_[0] not in known_vars | binds:
+    # VALUES: the single-bound-var case is a term-string membership
+    # constraint (exact mirror over the same term columns); an UNDEF
+    # row is a wildcard (no constraint).  Every other shape -- multi-
+    # var, fresh vars, UNDEF on shared vars -- mirrors the evaluator's
+    # vdf join VERBATIM in _apply_tail (same lexical rows, same common
+    # computation, same NULL-compat condition); fresh VALUES vars join
+    # as term-lexical columns available downstream.  Collisions with
+    # BIND/subquery columns refuse (computed-vs-term join forms).
+    values_conds: list = []      # (var, [term lexicals]) membership
+    values_joins: list = []      # (vars_, lex_rows) general mirror
+    values_provided: set = set()
+
+    def _values_lex(term):
+        kind, val = term
+        if kind == "undef":
             return None
-        lex = []
-        for row in rows:
-            kind, val = row[0]
-            if kind == "undef":
-                break            # wildcard binding: no constraint
-            lex.append(f"<{val}>" if kind == "iri"
-                       else (val if kind in ("lit", "lit_exact")
-                             else str(val)))
+        if kind == "iri":
+            return f"<{val}>"
+        if kind in ("lit", "lit_exact"):
+            return val
+        return str(val)
+
+    for vars_, rows in g.values:
+        lex_rows = [tuple(_values_lex(t) for t in row) for row in rows]
+        if len(vars_) == 1 and vars_[0] in known_vars | binds:
+            if any(r[0] is None for r in lex_rows):
+                continue         # wildcard binding: no constraint
+            values_conds.append((vars_[0], [r[0] for r in lex_rows]))
         else:
-            values_conds.append((vars_[0], lex))
+            if any(v in binds | sub_provided | exists_vars_all
+                   for v in vars_):
+                return None
+            values_joins.append((list(vars_), lex_rows))
+            values_provided |= {v for v in vars_
+                                if v not in all_pat_vars
+                                and v not in opt_binding}
+    known_vars |= values_provided
 
     # filters: evaluator-compiled over the bindings frame; vars must all
     # be pattern-bound and no pool-dependent node may appear
@@ -1208,7 +1229,7 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # sub-only TERM columns, both present on the frame by aggregation
     # time (the tail computes their #a inputs with the term-correct
     # numeric_value/lexical_value forms, same as the evaluator)
-    agg_late = computed | sub_only
+    agg_late = computed | sub_only | values_provided
 
     for func, var, _d, _a, _s in specs:
         if func not in _AGG_FUNCS:
@@ -1224,10 +1245,15 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     term_vars: list = []
 
     def need_term(v: str):
-        # sub-only columns exist after the subquery join -- never
-        # rendered by the pattern builders
-        if v not in term_vars and v not in sub_only:
+        # sub-only / fresh-VALUES columns exist after their joins --
+        # never rendered by the pattern builders
+        if v not in term_vars and v not in sub_only \
+                and v not in values_provided:
             term_vars.append(v)
+
+    for vars_, _lr in values_joins:
+        for v in vars_:          # VALUES join keys on the outer frame
+            need_term(v)
 
     # subquery join keys must surface on the outer frame
     for sdf in sub_frames:
@@ -1264,9 +1290,9 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
                 return None
             proj = list(q.variables)
         else:
-            if sub_frames:
-                return None      # * over a subquery join: column order
-                #                  is evaluator-defined
+            if sub_frames or values_joins:
+                return None      # * over a subquery/VALUES join:
+                #                  column order is evaluator-defined
             proj = list(dict.fromkeys(list(groups) + list(obj_binding)
                                       + list(opt_binding)
                                       + pre_aliases + bind_only))
@@ -1368,12 +1394,12 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
 
     return _apply_tail(spark, q, u, g, values_conds, pre_exprs,
                        post_exprs, specs, agg_late, nullable,
-                       agg_alias, proj, exists_joins)
+                       agg_alias, proj, exists_joins, values_joins)
 
 
 def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
                 specs, computed, nullable, agg_alias, proj,
-                exists_joins=()) -> DataFrame:
+                exists_joins=(), values_joins=()) -> DataFrame:
     """The evaluator's SELECT tail over the bindings frame: BINDs,
     VALUES membership, filters, EXISTS probe joins, pre-exprs,
     aggregation + HAVING + post-exprs, projection, DISTINCT, ORDER BY,
@@ -1402,6 +1428,29 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
             bound.add(var)
     for v, lex in values_conds:
         u = u.where(F.col(v).isin(lex))
+    # multi-var / fresh-var VALUES: the evaluator's vdf join, verbatim
+    # (same inline frame, common computation, NULL-compat condition)
+    for vars_, lex_rows in values_joins:
+        vdf = spark.createDataFrame(
+            lex_rows, ", ".join(f"{v} string" for v in vars_))
+        common = [c for c in vars_ if c in u.columns]
+        if not common:
+            u = u.crossJoin(F.broadcast(vdf))
+        elif not any(r[vars_.index(c)] is None
+                     for r in lex_rows for c in common):
+            u = u.join(F.broadcast(vdf), common)
+        else:
+            # UNDEF on a shared var: NULL in the VALUES row is a
+            # wildcard -- join on (value IS NULL OR equal), keep the
+            # pattern side's binding
+            ren = {c: f"#val_{c}" for c in common}
+            for c, r_ in ren.items():
+                vdf = vdf.withColumnRenamed(c, r_)
+            cond = F.lit(True)
+            for c, r_ in ren.items():
+                cond = cond & (F.col(r_).isNull()
+                               | (F.col(c) == F.col(r_)))
+            u = u.join(F.broadcast(vdf), cond).drop(*ren.values())
     for flt in g.filters:
         u = u.where(eng._filter_col(flt, u))
     # EXISTS/NOT EXISTS/MINUS: the evaluator's probe joins, verbatim --

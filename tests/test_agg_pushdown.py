@@ -169,6 +169,15 @@ QUERIES = [
     ("SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . "
      "OPTIONAL { ?c ex:acctbal ?b } "
      "FILTER EXISTS { ?c2 ex:acctbal ?b } }", False),
+    # ---- multi-var / fresh-var VALUES (verbatim vdf join mirror) ----
+    ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . '
+     '?c ex:name ?nm . VALUES (?s ?nm) { '
+     '("BUILDING" "Customer#000000001") ("MACHINERY" UNDEF) } }', True),
+    ('SELECT ?tag (COUNT(*) AS ?n) WHERE { ?c ex:segment "BUILDING" . '
+     'VALUES ?tag { "a" "b" } } GROUP BY ?tag ORDER BY ?tag', True),
+    ('SELECT ?s ?lbl (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . '
+     'VALUES (?s ?lbl) { ("BUILDING" "B!") ("MACHINERY" "M!") } } '
+     "GROUP BY ?s ?lbl ORDER BY ?s", True),
     # ---- MINUS: anti join on commons; no shared domain = row stays ----
     ('SELECT ?s (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s . '
      'MINUS { ?c ex:segment "BUILDING" } } GROUP BY ?s ORDER BY ?s',
@@ -238,10 +247,10 @@ QUERIES = [
     ("SELECT DISTINCT ?seg (UCASE(?seg) AS ?u) WHERE "
      "{ ?c ex:segment ?seg } ORDER BY ?seg", True),
     # ---- refusals: the evaluator keeps these ----
-    # multi-var VALUES keeps the evaluator's join semantics
+    # multi-var VALUES now mirrors the evaluator's vdf join (late r6)
     ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?seg . '
      "?c ex:name ?nm . VALUES (?seg ?nm) { "
-     '("BUILDING" "Customer#000000001") } }', False),
+     '("BUILDING" "Customer#000000001") } }', True),
     # top-level FILTER EXISTS now compiles to a distinct-probe semi
     # join (late r6); parenthesized EXISTS inside boolean filter
     # expressions still needs the pool (existsexpr markers)

@@ -586,7 +586,40 @@ class RichAggGen:
 
     def build(self) -> str:
         r = self.r
-        mode = r.choice(["optional", "union", "path", "subquery"])
+        mode = r.choice(["optional", "union", "path", "subquery",
+                         "exists", "minus", "values"])
+        if mode in ("exists", "minus"):
+            outer = r.choice(["?c ex:segment ?s .",
+                              "?c ex:name ?nm . ?c ex:acctbal ?b ."])
+            sub = r.choice([
+                "?o ex:placedBy ?c",
+                "?o ex:placedBy ?c . ?o ex:totalPrice ?p . "
+                "FILTER(?p > 250000)",
+                '?c ex:segment "BUILDING"',
+                '?o2 ex:status "F"'])
+            kw = ("FILTER EXISTS" if mode == "exists" and r.random() < .5
+                  else "FILTER NOT EXISTS" if mode == "exists"
+                  else "MINUS")
+            grp = "?s" in outer and r.random() < 0.5
+            head = ("?s " if grp else "") + "(COUNT(*) AS ?n)"
+            tail = " GROUP BY ?s ORDER BY ?s" if grp else ""
+            return (f"SELECT {head} WHERE {{ {outer} "
+                    f"{kw} {{ {sub} }} }}{tail}")
+        if mode == "values":
+            shape = r.choice(["fresh", "pair", "undef"])
+            if shape == "fresh":
+                return ('SELECT ?tag (COUNT(*) AS ?n) WHERE { '
+                        '?c ex:segment ?s . VALUES ?tag { "x" "y" } } '
+                        "GROUP BY ?tag ORDER BY ?tag")
+            if shape == "pair":
+                return ('SELECT ?s ?lbl (COUNT(*) AS ?n) WHERE { '
+                        "?c ex:segment ?s . VALUES (?s ?lbl) { "
+                        '("BUILDING" "B") ("FURNITURE" "F") } } '
+                        "GROUP BY ?s ?lbl ORDER BY ?s")
+            return ('SELECT (COUNT(*) AS ?n) WHERE { ?c ex:segment ?s '
+                    ". ?c ex:name ?nm . VALUES (?s ?nm) { "
+                    '("MACHINERY" UNDEF) '
+                    '("BUILDING" "Customer#000000001") } }')
         if mode == "optional":
             opt = r.choice(["?c ex:acctbal ?v", "?c ex:name ?v"])
             aggs = r.choice([
@@ -653,7 +686,7 @@ class RichAggGen:
                 f"{filt} }}{tail}")
 
 
-@pytest.mark.parametrize("seed", range(401, 429))
+@pytest.mark.parametrize("seed", range(401, 453))
 def test_fuzz_rich_pushed_equals_evaluator(spark, env, seed):
     mapping, tables, engine = env
     q = P + RichAggGen(seed).build()

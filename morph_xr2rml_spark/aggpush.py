@@ -216,6 +216,9 @@ class _BindingTier:
             self.doc = JsonNativeCompiler(spark, mapping, catalog, cfg)
 
     def kind(self, tm) -> Optional[str]:
+        if tm.graph_maps or any(pom.graph_maps
+                                for pom in tm.predicate_object_maps):
+            return None          # quads multiply bindings per graph
         if self.tab is not None and is_tabular_compilable(tm):
             if tm.logical_source.kind != "table" \
                     or tm.logical_source.value in (self.tab.tables or {}):

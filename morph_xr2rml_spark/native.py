@@ -37,10 +37,6 @@ def is_tabular_compilable(tm: TriplesMap) -> bool:
     collection term type."""
     if tm.logical_source.iterator or tm.logical_source.pushdowns:
         return False
-    # named graphs are only produced by the document compiler
-    if tm.graph_maps or any(pom.graph_maps
-                            for pom in tm.predicate_object_maps):
-        return False
 
     def ok(m: Optional[TermMap]) -> bool:
         if m is None:
@@ -53,6 +49,9 @@ def is_tabular_compilable(tm: TriplesMap) -> bool:
 
     if not ok(tm.subject_map):
         return False
+    for gm in tm.graph_maps:
+        if not ok(gm):
+            return False
     for pom in tm.predicate_object_maps:
         for m in pom.predicate_maps + pom.object_maps + pom.graph_maps:
             if not ok(m):
@@ -298,47 +297,63 @@ class NativeCompiler:
             df = df.where(self._constraint_col(df, flt))
         subj = self.term_expr(df, tm.subject_map).alias("subj")
 
+        # named graphs (R2RML §9/xR2RML quads): each class triple lands
+        # in the subject map's graphs, each POM triple in subject ∪ POM
+        # graphs; empty set = the default graph (NULL) — same expansion
+        # as the document tier (translate.py:419-452, quad combination)
+        null_g = F.lit(None).cast("string")
+        sub_gs = [self.term_expr(df, gm) for gm in tm.graph_maps]
+
         rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
-        po_pairs: list[tuple[Column, Column]] = []
+        po_trips: list[tuple[Column, Column, Column]] = []
         for cls in tm.class_uris:
-            po_pairs.append((rdf_type, self._iri_term(F.lit(cls))))
+            for gc in (sub_gs or [null_g]):
+                po_trips.append((rdf_type, self._iri_term(F.lit(cls)), gc))
 
         rom_parts: list[DataFrame] = []
         for pom in tm.predicate_object_maps:
+            gcols = (sub_gs + [self.term_expr(df, gm)
+                               for gm in pom.graph_maps]) or [null_g]
             pred_exprs = [self.term_expr(df, pm) for pm in pom.predicate_maps]
             for pred in pred_exprs:
                 for om in pom.object_maps:
-                    po_pairs.append((pred, self.term_expr(df, om)))
+                    for gc in gcols:
+                        po_trips.append((pred, self.term_expr(df, om), gc))
                 for rom in pom.ref_object_maps:
-                    rom_parts.append(self._rom_triples(df, subj, pred, rom))
+                    for gc in gcols:
+                        rom_parts.append(
+                            self._rom_triples(df, subj, pred, rom, gc))
 
-        graph = F.lit(None).cast("string").alias("graph")
         parts: list[DataFrame] = []
-        if po_pairs and (self.fuse_projections and len(po_pairs) > 1):
-            # fused: explode a flat INDEX and pick the (pred, obj) pair
-            # with a CASE — one output string per produced row, instead
-            # of materializing an array of N pre-built structs per source
-            # row (same strings, minus the array/struct wrappers — ~10%
-            # off the translate stage at 33M triples)
+        if po_trips and (self.fuse_projections and len(po_trips) > 1):
+            # fused: explode a flat INDEX and pick the (pred, obj, graph)
+            # triple with a CASE — one output string per produced row,
+            # instead of materializing an array of N pre-built structs
+            # per source row (same strings, minus the array/struct
+            # wrappers — ~10% off the translate stage at 33M triples)
             idx = F.explode(F.sequence(
-                F.lit(0), F.lit(len(po_pairs) - 1))).alias("_i")
+                F.lit(0), F.lit(len(po_trips) - 1))).alias("_i")
             base = df.select("*", idx)
             pred_c: Optional[Column] = None
             obj_c: Optional[Column] = None
-            for i, (p, o) in enumerate(po_pairs):
+            graph_c: Optional[Column] = None
+            for i, (p, o, gc) in enumerate(po_trips):
                 cond = F.col("_i") == i
                 pred_c = F.when(cond, p) if pred_c is None \
                     else pred_c.when(cond, p)
                 obj_c = F.when(cond, o) if obj_c is None \
                     else obj_c.when(cond, o)
+                graph_c = F.when(cond, gc) if graph_c is None \
+                    else graph_c.when(cond, gc)
             parts.append(base.select(subj, pred_c.alias("pred"),
-                                     obj_c.alias("obj"), graph))
-        elif po_pairs:
-            # unfused: one branch per (pred, obj) with constant preds —
-            # prunable by downstream pattern filters
-            for p, o in po_pairs:
+                                     obj_c.alias("obj"),
+                                     graph_c.alias("graph")))
+        elif po_trips:
+            # unfused: one branch per (pred, obj, graph) with constant
+            # preds — prunable by downstream pattern filters
+            for p, o, gc in po_trips:
                 parts.append(df.select(subj, p.alias("pred"),
-                                       o.alias("obj"), graph))
+                                       o.alias("obj"), gc.alias("graph")))
         parts.extend(rom_parts)
         if not parts:
             # a subject-only TM (no class, no predicate-object map) emits
@@ -395,7 +410,7 @@ class NativeCompiler:
         return True
 
     def _rom_triples(self, child_df: DataFrame, subj: Column, pred: Column,
-                     rom) -> DataFrame:
+                     rom, graph: Optional[Column] = None) -> DataFrame:
         """Referencing object map = equi-join child×parent on the join
         columns; the reference generates a SQL LEFT JOIN
         (MorphRDBUnfolder.scala:284-320) — inner join is equivalent for
@@ -427,8 +442,9 @@ class NativeCompiler:
             kept = child_df.join(parent_keys, ccols[0], "left_semi") \
                            .withColumn(pcols[0], F.col(ccols[0]))
             key_obj = self.term_expr(kept, parent_tm.subject_map)
+            g = F.lit(None).cast("string") if graph is None else graph
             return kept.select(*out_cols, key_obj.alias("obj"),
-                               F.lit(None).cast("string").alias("graph"))
+                               g.alias("graph"))
 
         parent_subj = self.term_expr(pdf, parent_tm.subject_map)
         parent_sel = pdf.select(
@@ -442,9 +458,10 @@ class NativeCompiler:
         # AFTER the shuffle (Catalyst prunes the child side to the
         # source columns + join keys)
         joined = child_df.join(parent_sel, self._join_cond(ccols), "inner")
+        g = F.lit(None).cast("string") if graph is None else graph
         return joined.select(*out_cols,
                              F.col("_psubj").alias("obj"),
-                             F.lit(None).cast("string").alias("graph"))
+                             g.alias("graph"))
 
     @staticmethod
     def _join_cond(ccols: list) -> Column:
@@ -678,6 +695,11 @@ class NativeCompiler:
                if name not in self.tm_skip]
         infos = []
         for _name, tm in tms:
+            if tm.graph_maps or any(pom.graph_maps
+                                    for pom in tm.predicate_object_maps):
+                # named graphs multiply quads per (s,p,o); the branch
+                # proofs below are triple-level -- keep the dedup
+                return False
             df = self._source_df(tm)
             if not self._tm_branches_distinct(tm, df):
                 return False

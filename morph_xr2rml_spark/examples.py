@@ -1074,8 +1074,68 @@ SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask
 """
 
 
+GRAPH_KG_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+
+<#GNation>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "nation"; xrr:uniqueRef "n_nationkey" ];
+    rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}";
+                    rr:class ex:Nation;
+                    rr:graphMap [ rr:template "http://example.org/g/{n_regionkey}" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:name;
+                            rr:objectMap [ rr:column "n_name" ];
+                            rr:graphMap [ rr:constant ex:gnames ] ];
+    rr:predicateObjectMap [
+        rr:predicate ex:inRegion;
+        rr:objectMap [ rr:parentTriplesMap <#GRegion>;
+                       rr:joinCondition [ rr:child "n_regionkey";
+                                          rr:parent "r_regionkey" ] ] ].
+
+<#GRegion>
+    a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "region"; xrr:uniqueRef "r_regionkey" ];
+    rr:subjectMap [ rr:template "http://example.org/region/{r_regionkey}" ];
+    rr:predicateObjectMap [ rr:predicate ex:name;
+                            rr:objectMap [ rr:column "r_name" ] ].
+"""
+
+
+def sparql_graph_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph quads on the NATIVE tier (round 6): subject graph
+    maps apply to the class, POM, and ROM triples; a POM graph map adds
+    its own graph per R2RML quad-combination semantics, and the SPARQL
+    evaluator binds GRAPH ?g over the quad column while plain patterns
+    keep default-graph (NULL) semantics.  The nation name quads land in
+    BOTH the per-region template graph and the constant ex:gnames
+    graph; region names stay in the default graph and must NOT match.
+    Reference: subject/POM graph emission,
+    MorphRDBDataTranslator.scala:95-130 and 140-178."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(GRAPH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?g ?n WHERE { GRAPH ?g { ?s ex:name ?n } }
+        ORDER BY ?g ?n""")
+
+
+SPARQL_GRAPH_QUADS_SQL = f"""
+WITH q AS (
+  SELECT '<{EX}g/' || n_regionkey || '>' AS g, '"' || n_name || '"' AS n
+  FROM nation
+  UNION ALL
+  SELECT '<http://example.com/gnames>' AS g, '"' || n_name || '"' AS n
+  FROM nation
+)
+SELECT g, n FROM q ORDER BY g, n
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
+    "sparql_graph_quads": (sparql_graph_quads, SPARQL_GRAPH_QUADS_SQL),
     "sparql_topk_pushdown": (sparql_topk_pushdown, SPARQL_TOPK_SQL),
     "sparql_agg_pushdown": (sparql_agg_pushdown, SPARQL_AGG_SQL),
     "sparql_agg_doc": (sparql_agg_doc, SPARQL_AGG_DOC_SQL),

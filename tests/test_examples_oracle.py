@@ -44,3 +44,10 @@ def test_sparql_queries_match_oracle(spark):
     for name in examples.SPARQL_QUERIES:
         df = examples.make_sparql_query(name)(spark, SF_DIR)
         _compare(spark, df, examples.sparql_oracle_sql(name))
+
+
+def test_sparql_graph_quads_matches_oracle(spark):
+    from morph_xr2rml_spark.examples import (SPARQL_GRAPH_QUADS_SQL,
+                                             sparql_graph_quads)
+    _compare(spark, sparql_graph_quads(spark, SF_DIR),
+             SPARQL_GRAPH_QUADS_SQL)

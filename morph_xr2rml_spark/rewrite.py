@@ -195,6 +195,83 @@ def _merge_candidates(candidates):
     return AMBIGUOUS
 
 
+# ---------------------------------------------------------------------------
+# Graph-position inversion (R2RML quad semantics)
+# ---------------------------------------------------------------------------
+
+def _graph_map_cats(tm: TriplesMap, preds: Optional[set]) -> list[list]:
+    """Graph-map lists for each triple category the pattern's predicate
+    set can match: the class triples carry the subject graphs, each POM
+    carries subject ∪ POM graphs (R2RML §9 target-graph union; reference
+    emission MorphRDBDataTranslator.scala:95-178).  An empty list means
+    that category lands in the DEFAULT graph."""
+    cats: list[list] = []
+    if tm.class_uris and (preds is None or NS.RDF_TYPE in preds):
+        cats.append(list(tm.graph_maps))
+    for pom in tm.predicate_object_maps:
+        pom_preds = set()
+        dynamic = False
+        for pm in pom.predicate_maps:
+            if pm.kind == CONSTANT and pm.constant is not None \
+                    and pm.constant[0] == "iri":
+                pom_preds.add(pm.constant[1])
+            else:
+                dynamic = True
+        if preds is not None and not dynamic and not (preds & pom_preds):
+            continue
+        cats.append(list(tm.graph_maps) + list(pom.graph_maps))
+    return cats
+
+
+def _invert_graph_map(gm, iri: str):
+    """Constant graph IRI vs one graph term map: None = cannot render it,
+    AMBIGUOUS = renders it with no safe row constraint, dict = source
+    equality constraint (same conventions as invert_subject)."""
+    if gm.kind == CONSTANT:
+        if gm.constant is not None and gm.constant[0] == "iri" \
+                and gm.constant[1] == iri:
+            return AMBIGUOUS
+        return None
+    if gm.kind == COLUMN:
+        return AMBIGUOUS if "%" in iri else {gm.column: ("irieq", iri)}
+    if gm.kind == TEMPLATE:
+        return invert_template(gm.template, iri)
+    return AMBIGUOUS                 # reference/dynamic graph
+
+
+def invert_graph_ctx(tm: TriplesMap, preds: Optional[set], gctx):
+    """Graph-context candidacy + constraint for one pattern against one
+    TM.  ``gctx`` is ("default",) for patterns outside GRAPH (match only
+    the default graph), ("any",) for GRAPH ?var (match any NAMED graph),
+    or ("iri", g).  Returns None (the TM provably emits no triple in
+    this graph context), AMBIGUOUS (matches, no row constraint), or a
+    source-equality conj from inverting the one graph map that can
+    render the constant graph."""
+    cats = _graph_map_cats(tm, preds)
+    if not cats:
+        return None                  # no matching triple category at all
+    if gctx[0] == "default":
+        # a category with NO graph maps emits to the default graph
+        return AMBIGUOUS if any(not c for c in cats) else None
+    if gctx[0] == "any":
+        return AMBIGUOUS if any(c for c in cats) else None
+    g = gctx[1]
+    candidates: list = []
+    seen: set = set()
+    for cat in cats:
+        for gm in cat:
+            inv = _invert_graph_map(gm, g)
+            if inv is None:
+                continue
+            key = "ambiguous" if inv is AMBIGUOUS \
+                else frozenset(inv.items())
+            if key in seen:
+                continue             # the subject graphs repeat per POM
+            seen.add(key)
+            candidates.append(inv)
+    return _merge_candidates(candidates)
+
+
 _LIT_TERM_RE = re.compile(
     r'^"(.*)"(@[A-Za-z][A-Za-z0-9-]*|\^\^<[^<>]*>)?$', re.S)
 
@@ -616,7 +693,8 @@ _LIT_KINDS = ("lit", "lit_exact", "num")
 
 
 def _collect(group: Group, out: list, top: bool = False,
-             in_subquery: bool = False) -> None:
+             in_subquery: bool = False,
+             graph_ctx: tuple = ("default",)) -> None:
     """Recursively collect per-pattern records::
 
         {preds: set|None, svar: str|None, top: bool, cmps: [...],
@@ -631,7 +709,10 @@ def _collect(group: Group, out: list, top: bool = False,
     the root required group — only those define a variable's candidacy.
     Every nested group (OPTIONAL/UNION/GRAPH/MINUS/EXISTS/subquery)
     contributes: retaining MORE source rows than needed is always
-    sound."""
+    sound.  ``graph_ctx`` records which graph the pattern reads:
+    ("default",) outside GRAPH, ("iri", g) under GRAPH <g>, ("any",)
+    under GRAPH ?var — candidacy + graph-map inversion happen per TM
+    in derive_tm_constraints."""
     if group is None:
         return
     # constant bindings for vars in this group: FILTER(?v = <iri>/"lit")
@@ -823,6 +904,7 @@ def _collect(group: Group, out: list, top: bool = False,
                 # the remaining steps stay unconstrained
                 out.append({"preds": {tp.p[1][0][1]}, "svar": None,
                             "top": False, "cmps": [], "lexpats": [],
+                            "graph": graph_ctx,
                             "variants": [(tp.s, ("var", "*"))]})
                 rest: Optional[set] = set()
                 for elt in tp.p[1][1:]:
@@ -833,11 +915,13 @@ def _collect(group: Group, out: list, top: bool = False,
                     rest |= sub
                 out.append({"preds": rest, "svar": None, "top": False,
                             "cmps": [], "lexpats": [],
+                            "graph": graph_ctx,
                             "variants": [(("var", "*"), ("var", "*"))]})
                 continue
             # closures walk intermediate nodes: never constrain
             out.append({"preds": _path_iris(tp.p), "svar": None,
                         "top": False, "cmps": [], "lexpats": [],
+                        "graph": graph_ctx,
                         "variants": [(("var", "*"), ("var", "*"))]})
             continue
         preds = {tp.p[1]} if tp.p[0] == "iri" else None
@@ -861,14 +945,15 @@ def _collect(group: Group, out: list, top: bool = False,
         out.append({"preds": preds, "svar": svar, "top": top,
                     "cmps": cmps, "lexpats": lexpats,
                     "typereqs": typereqs, "s_typereqs": s_typereqs,
-                    "variants": variants})
+                    "graph": graph_ctx, "variants": variants})
     for sub in group.optionals + group.minuses:
-        _collect(sub, out, False, in_subquery)
+        _collect(sub, out, False, in_subquery, graph_ctx)
     for left, right in group.unions:
-        _collect(left, out, False, in_subquery)
-        _collect(right, out, False, in_subquery)
-    for _gterm, sub in group.graphs:
-        _collect(sub, out, False, in_subquery)
+        _collect(left, out, False, in_subquery, graph_ctx)
+        _collect(right, out, False, in_subquery, graph_ctx)
+    for gterm, sub in group.graphs:
+        gc = ("iri", gterm[1]) if gterm[0] == "iri" else ("any",)
+        _collect(sub, out, False, in_subquery, gc)
     for pos, sub in group.exists:
         # a bare top-level FILTER EXISTS is a REQUIRED semi-join: an
         # outer binding survives only if the inner pattern matches, so
@@ -1060,6 +1145,15 @@ def derive_tm_constraints(mapping: MappingDocument,
                     and not (preds & emits):
                 evals.append((rec, None))   # pattern can't match TM triples
                 continue
+            # graph-position candidacy (R2RML quads): a TM whose graph
+            # maps provably cannot emit into the pattern's graph context
+            # serves no binding; an invertible graph template adds a row
+            # constraint (e.g. GRAPH <g/{col}> ⇒ col = value)
+            g_res = invert_graph_ctx(tm, preds,
+                                     rec.get("graph", ("default",)))
+            if g_res is None:
+                evals.append((rec, None))
+                continue
             single_pred = next(iter(preds)) \
                 if preds is not None and len(preds) == 1 else None
             results = [_eval_variant(mapping, tm, s, o, single_pred,
@@ -1067,6 +1161,18 @@ def derive_tm_constraints(mapping: MappingDocument,
                                      rec.get("typereqs", ()),
                                      rec.get("s_typereqs", ()))
                        for s, o in rec["variants"]]
+            if isinstance(g_res, dict) and g_res:
+                merged_results = []
+                for ok, conj in results:
+                    if not ok:
+                        merged_results.append((ok, conj))
+                        continue
+                    m = dict(conj)
+                    if _conj_merge(m, g_res):
+                        merged_results.append((True, m))
+                    else:
+                        merged_results.append((False, None))
+                results = merged_results
             evals.append((rec, results))
 
         # per-subject-variable candidacy + AND-combined constraints from

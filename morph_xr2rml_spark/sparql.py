@@ -976,43 +976,49 @@ class SparqlEngine:
         return self._join_group(q.where).limit(1).count() > 0
 
     # -- property paths ----------------------------------------------------
-    def _iri_pairs(self, iri: str) -> DataFrame:
-        df = self.triples.where(F.col("pred") == f"<{iri}>")
+    def _iri_pairs(self, iri: str, active: Optional[DataFrame] = None
+                   ) -> DataFrame:
+        df = (self.triples if active is None else active) \
+            .where(F.col("pred") == f"<{iri}>")
         if self.dedup_source:
             df = df.dropDuplicates(["subj", "obj"])
         return df.select(F.col("subj").alias("ps"), F.col("obj").alias("po"))
 
-    def _path_pairs(self, pred) -> DataFrame:
+    def _path_pairs(self, pred, active: Optional[DataFrame] = None
+                    ) -> DataFrame:
         """(ps, po) pairs reachable via the property path.  Transitive
         closure is an iterated self-join with frontier-based termination
         (bounded by path_max_hops — the DataFrame equivalent of semi-naive
-        datalog evaluation)."""
+        datalog evaluation).  ``active`` overrides the active graph's
+        triple frame (GRAPH <g> context; None = default graph)."""
         kind = pred[0]
         if kind == "iri":
-            return self._iri_pairs(pred[1])
+            return self._iri_pairs(pred[1], active)
         if kind == "inv":
-            inner = self._path_pairs(pred[1])
+            inner = self._path_pairs(pred[1], active)
             return inner.select(F.col("po").alias("ps"),
                                 F.col("ps").alias("po"))
         if kind == "seq":
             elts = pred[1]
-            out = self._path_pairs(elts[0])
+            out = self._path_pairs(elts[0], active)
             for elt in elts[1:]:
-                nxt = self._path_pairs(elt).withColumnRenamed("ps", "#mid") \
-                                           .withColumnRenamed("po", "#po2")
+                nxt = self._path_pairs(elt, active) \
+                    .withColumnRenamed("ps", "#mid") \
+                    .withColumnRenamed("po", "#po2")
                 out = (out.join(nxt, out["po"] == nxt["#mid"])
                           .select(F.col("ps"), F.col("#po2").alias("po")))
             return out
         if kind == "alt":
-            out = self._path_pairs(pred[1][0])
+            out = self._path_pairs(pred[1][0], active)
             for alt in pred[1][1:]:
-                out = out.unionByName(self._path_pairs(alt))
+                out = out.unionByName(self._path_pairs(alt, active))
             return out.distinct()
         if kind == "negset":
             fwd, inv = pred[1], pred[2]
+            src = self.triples if active is None else active
             parts = []
             if fwd:
-                df = self.triples.where(
+                df = src.where(
                     ~F.col("pred").isin([f"<{i}>" for i in fwd]))
                 if self.dedup_source:
                     df = df.dropDuplicates(["subj", "obj"])
@@ -1021,7 +1027,7 @@ class SparqlEngine:
             if inv:
                 # inverse members: REVERSE edges whose pred is outside
                 # the inverse set
-                df = self.triples.where(
+                df = src.where(
                     ~F.col("pred").isin([f"<{i}>" for i in inv]))
                 if self.dedup_source:
                     df = df.dropDuplicates(["subj", "obj"])
@@ -1032,15 +1038,17 @@ class SparqlEngine:
                 out = out.unionByName(parts[1]).distinct()
             return out
         if kind == "opt":
-            base = self._mod_base(pred[1])
-            return base.unionByName(self._all_nodes_identity()).distinct()
+            base = self._mod_base(pred[1], active)
+            return base.unionByName(
+                self._all_nodes_identity(active)).distinct()
         if kind in ("plus", "star"):
             # semi-naive evaluation TO FIXPOINT.  Each frontier is
             # localCheckpoint'ed (eager): the iteration result is
             # materialized once, its lineage truncated (no exponential
             # plan growth over hops), and nothing stays in the cache
             # manager once the frontier DataFrames are dropped.
-            base = self._mod_base(pred[1]).distinct().localCheckpoint()
+            base = self._mod_base(pred[1], active).distinct() \
+                       .localCheckpoint()
             closure = base
             frontier = base
             hops = 0
@@ -1069,28 +1077,39 @@ class SparqlEngine:
                 frontier = new
             if kind == "star":
                 closure = closure.unionByName(
-                    self._all_nodes_identity()).distinct()
+                    self._all_nodes_identity(active)).distinct()
             return closure
         raise ValueError(f"unsupported property path {pred!r}")
 
-    def _mod_base(self, inner) -> DataFrame:
+    def _mod_base(self, inner, active: Optional[DataFrame] = None
+                  ) -> DataFrame:
         """Base pair set for a +/*/? modifier: a bare IRI (stored as its
         string) or a parenthesized sub-path (stored as its AST)."""
         if isinstance(inner, str):
-            return self._iri_pairs(inner)
-        return self._path_pairs(inner)
+            return self._iri_pairs(inner, active)
+        return self._path_pairs(inner, active)
 
-    def _all_nodes_identity(self) -> DataFrame:
-        """(n, n) for every node in the default graph — the reflexive
+    def _all_nodes_identity(self, active: Optional[DataFrame] = None
+                            ) -> DataFrame:
+        """(n, n) for every node in the active graph — the reflexive
         part of `p*` and `p?` (SPARQL: zero-length paths match every
         graph term)."""
-        nodes = (self.triples.select(F.col("subj").alias("n"))
-                 .unionByName(self.triples.select(F.col("obj").alias("n")))
+        src = self.triples if active is None else active
+        nodes = (src.select(F.col("subj").alias("n"))
+                 .unionByName(src.select(F.col("obj").alias("n")))
                  .distinct())
         return nodes.select(F.col("n").alias("ps"), F.col("n").alias("po"))
 
-    def _path_pattern_df(self, tp: TriplePattern) -> DataFrame:
-        pairs = self._path_pairs(tp.p)
+    def _path_pattern_df(self, tp: TriplePattern,
+                         graph_term=None) -> DataFrame:
+        if graph_term is not None and graph_term[0] != "iri":
+            raise NotImplementedError(
+                "property paths under GRAPH ?var are not supported: the "
+                "closure would have to run per named graph")
+        active = None if graph_term is None else \
+            self.quads.where(F.col("graph") == f"<{graph_term[1]}>") \
+                      .select("subj", "pred", "obj")
+        pairs = self._path_pairs(tp.p, active)
         sel = []
         for role, term in (("ps", tp.s), ("po", tp.o)):
             kind, val = term
@@ -1111,7 +1130,7 @@ class SparqlEngine:
     def _pattern_df(self, tp: TriplePattern, idx: int,
                     graph_term=None) -> DataFrame:
         if tp.p[0] in ("seq", "plus", "star", "inv", "alt", "opt", "negset"):
-            return self._path_pattern_df(tp)
+            return self._path_pattern_df(tp, graph_term)
         if graph_term is None:
             df = self.triples
         elif graph_term[0] == "iri":
@@ -1166,8 +1185,8 @@ class SparqlEngine:
                 common = [c for c in gdf.columns if c in df.columns]
                 df = df.join(gdf, common) if common else df.crossJoin(gdf)
         for left, right in g.unions:
-            udf_ = self._join_group(left)
-            rdf_ = self._join_group(right)
+            udf_ = self._join_group(left, graph_term)
+            rdf_ = self._join_group(right, graph_term)
             for missing in set(rdf_.columns) - set(udf_.columns):
                 udf_ = udf_.withColumn(missing, F.lit(None).cast("string"))
             for missing in set(udf_.columns) - set(rdf_.columns):
@@ -1179,11 +1198,11 @@ class SparqlEngine:
                 common = [c for c in both.columns if c in df.columns]
                 df = df.join(both, common) if common else df.crossJoin(both)
         for opt in g.optionals:
-            odf = self._join_group(opt)
+            odf = self._join_group(opt, graph_term)
             common = [c for c in odf.columns if c in df.columns]
             df = df.join(odf, common, "left") if common else df.crossJoin(odf)
         for sub in g.subqueries:
-            sdf = self.evaluate(sub)
+            sdf = self.evaluate(sub, graph_term)
             if df is None:
                 df = sdf
             else:
@@ -1254,14 +1273,16 @@ class SparqlEngine:
                                        | (F.col(c) == F.col(r)))
                     df = df.join(F.broadcast(vdf), cond).drop(*ren.values())
         for flt in g.filters:
-            df, flt, markers = self._attach_exists_markers(df, flt)
+            df, flt, markers = self._attach_exists_markers(df, flt,
+                                                           graph_term)
             df = df.where(self._filter_col(flt, df))
             if markers:
                 df = df.drop(*markers)
         for positive, sub in g.exists:
-            df = self._exists_join(df, self._join_group(sub), positive)
+            df = self._exists_join(df, self._join_group(sub, graph_term),
+                                   positive)
         for sub in g.minuses:
-            df = self._minus_join(df, self._join_group(sub))
+            df = self._minus_join(df, self._join_group(sub, graph_term))
         return df
 
     # -- compatibility joins (EXISTS / MINUS) ------------------------------
@@ -1366,7 +1387,7 @@ class SparqlEngine:
                 parts.append(part)   # no dom overlap possible: keep
         return self._union_all(parts)
 
-    def _attach_exists_markers(self, df: DataFrame, ast):
+    def _attach_exists_markers(self, df: DataFrame, ast, graph_term=None):
         """EXISTS inside a compound filter expression: rewrite each
         ("existsexpr", group) node to a boolean marker column computed
         by a left join on the shared variables (no shared vars → a
@@ -1377,7 +1398,7 @@ class SparqlEngine:
             if not isinstance(node, tuple):
                 return node, df
             if node[0] == "existsexpr":
-                sdf = self._join_group(node[1])
+                sdf = self._join_group(node[1], graph_term)
                 common = [c for c in sdf.columns if c in df.columns]
                 if not common:
                     return ("const", not sdf.isEmpty()), df
@@ -1863,8 +1884,8 @@ class SparqlEngine:
             out = out.limit(q.limit)
         return out
 
-    def evaluate(self, q: SelectQuery) -> DataFrame:
-        df = self._join_group(q.where)
+    def evaluate(self, q: SelectQuery, graph_term=None) -> DataFrame:
+        df = self._join_group(q.where, graph_term)
         has_aggs = bool(q.aggregates or q.having)
         # SELECT expressions that feed GROUP BY keys compute pre-grouping;
         # in an aggregate query the rest compute POST-aggregation over the

@@ -336,15 +336,19 @@ class NativeCompiler:
             base = df.select("*", idx)
             pred_c: Optional[Column] = None
             obj_c: Optional[Column] = None
-            graph_c: Optional[Column] = None
+            # graph-less mapping (the common case): keep the constant
+            # NULL instead of a per-row CASE over the index
+            all_default = all(gc is null_g for _p, _o, gc in po_trips)
+            graph_c: Optional[Column] = null_g if all_default else None
             for i, (p, o, gc) in enumerate(po_trips):
                 cond = F.col("_i") == i
                 pred_c = F.when(cond, p) if pred_c is None \
                     else pred_c.when(cond, p)
                 obj_c = F.when(cond, o) if obj_c is None \
                     else obj_c.when(cond, o)
-                graph_c = F.when(cond, gc) if graph_c is None \
-                    else graph_c.when(cond, gc)
+                if not all_default:
+                    graph_c = F.when(cond, gc) if graph_c is None \
+                        else graph_c.when(cond, gc)
             parts.append(base.select(subj, pred_c.alias("pred"),
                                      obj_c.alias("obj"),
                                      graph_c.alias("graph")))

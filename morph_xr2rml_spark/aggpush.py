@@ -917,6 +917,8 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # ---- query shape ---------------------------------------------------
     if q.construct is not None or q.is_ask or q.describe:
         return None
+    if q.from_graphs or q.from_named:
+        return None     # dataset clauses re-scope the graph semantics
     g = q.where
     if g is None:
         return None

@@ -250,25 +250,30 @@ def invert_graph_ctx(tm: TriplesMap, preds: Optional[set], gctx):
     cats = _graph_map_cats(tm, preds)
     if not cats:
         return None                  # no matching triple category at all
+    if gctx[0] == "none":
+        return None                  # dataset clause emptied this side
     if gctx[0] == "default":
         # a category with NO graph maps emits to the default graph
         return AMBIGUOUS if any(not c for c in cats) else None
     if gctx[0] == "any":
         return AMBIGUOUS if any(c for c in cats) else None
-    g = gctx[1]
+    # constant graph(s): ("iri", g) or ("anyof", (g1, g2, ...)) from a
+    # FROM / FROM NAMED dataset clause (OR across the listed graphs)
+    targets = (gctx[1],) if gctx[0] == "iri" else tuple(gctx[1])
     candidates: list = []
     seen: set = set()
-    for cat in cats:
-        for gm in cat:
-            inv = _invert_graph_map(gm, g)
-            if inv is None:
-                continue
-            key = "ambiguous" if inv is AMBIGUOUS \
-                else frozenset(inv.items())
-            if key in seen:
-                continue             # the subject graphs repeat per POM
-            seen.add(key)
-            candidates.append(inv)
+    for g in targets:
+        for cat in cats:
+            for gm in cat:
+                inv = _invert_graph_map(gm, g)
+                if inv is None:
+                    continue
+                key = "ambiguous" if inv is AMBIGUOUS \
+                    else frozenset(inv.items())
+                if key in seen:
+                    continue         # the subject graphs repeat per POM
+                seen.add(key)
+                candidates.append(inv)
     return _merge_candidates(candidates)
 
 
@@ -1111,6 +1116,19 @@ def derive_tm_constraints(mapping: MappingDocument,
     _collect(q.where, pats, top=True)
     if q.construct:
         pass    # CONSTRUCT template doesn't read sources
+    if q.from_graphs or q.from_named:
+        # dataset clauses REPLACE the dataset: patterns outside GRAPH
+        # read the merge of the FROM graphs (empty if none listed) and
+        # GRAPH clauses see only the FROM NAMED graphs
+        deflt, named = tuple(q.from_graphs), tuple(q.from_named)
+        for rec in pats:
+            g = rec.get("graph", ("default",))
+            if g[0] == "default":
+                rec["graph"] = ("anyof", deflt) if deflt else ("none",)
+            elif g[0] == "any":
+                rec["graph"] = ("anyof", named) if named else ("none",)
+            elif g[0] == "iri":
+                rec["graph"] = g if g[1] in named else ("none",)
 
     from .native import (subject_renders_unique,
                          subject_renders_unique_schemaless, subject_space,

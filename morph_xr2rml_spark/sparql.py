@@ -80,6 +80,8 @@ class SelectQuery:
     is_ask: bool = False
     construct: Optional[list] = None    # [TriplePattern] template
     describe: Optional[list] = None     # [term] resources / vars
+    from_graphs: list = field(default_factory=list)  # FROM <g> merge
+    from_named: list = field(default_factory=list)   # FROM NAMED <g>
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +140,18 @@ class _P:
             return True
         return False
 
+    def _dataset_clauses(self, q: SelectQuery) -> None:
+        """DatasetClause* (SPARQL §13.2): FROM <g> graphs MERGE into the
+        query's default graph; FROM NAMED <g> lists the named graphs
+        available to GRAPH.  Either clause alone leaves the other side
+        of the dataset EMPTY."""
+        while self.kw("FROM"):
+            named = self.kw("NAMED")
+            t = self._term()
+            if t[0] != "iri":
+                raise ValueError("SPARQL parse: FROM expects an IRI")
+            (q.from_named if named else q.from_graphs).append(t[1])
+
     # --- grammar -------------------------------------------------------
     def parse(self) -> SelectQuery:
         while self.kw("PREFIX"):
@@ -147,19 +161,23 @@ class _P:
         if self.kw("ASK"):
             q = SelectQuery(variables=["*"], aggregates=[])
             q.is_ask = True
+            self._dataset_clauses(q)
+            self.kw("WHERE")
             q.where = self._group()
             return q
         if self.kw("CONSTRUCT"):
             q = SelectQuery(variables=["*"], aggregates=[])
-            if self.peek()[1].upper() == "WHERE":
+            if self.peek()[1].upper() in ("WHERE", "FROM"):
                 # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.3):
                 # the pattern doubles as the template
-                self.next()
+                self._dataset_clauses(q)
+                self.expect("WHERE")
                 q.where = self._group()
                 q.construct = q.where.patterns
             else:
                 tmpl_group = self._group()
                 q.construct = tmpl_group.patterns
+                self._dataset_clauses(q)
                 self.expect("WHERE")
                 q.where = self._group()
             if self.kw("LIMIT"):
@@ -173,6 +191,7 @@ class _P:
             q.describe = []
             while self.peek()[0] in ("IRI", "PNAME", "VAR"):
                 q.describe.append(self._term())
+            self._dataset_clauses(q)
             if self.kw("WHERE"):
                 q.where = self._group()
             return q
@@ -221,6 +240,7 @@ class _P:
                     q.variables.append(alias)
             else:
                 break
+        self._dataset_clauses(q)
         self.expect("WHERE")
         q.where = self._group()
         if self.kw("GROUP"):
@@ -930,15 +950,42 @@ class SparqlEngine:
         # silently truncated result)
         self.path_max_hops = path_max_hops
 
+    def _dataset_engine(self, q: SelectQuery) -> "SparqlEngine":
+        """Engine scoped to the query's RDF dataset clauses (SPARQL
+        §13.2): the new default graph is the MERGE of the FROM graphs,
+        the named graphs are exactly the FROM NAMED ones.  No clauses →
+        self (the storage dataset)."""
+        if not q.from_graphs and not q.from_named:
+            return self
+        null_g = F.lit(None).cast("string")
+        parts = []
+        if q.from_graphs:
+            parts.append(self.quads.where(F.col("graph").isin(
+                [f"<{g}>" for g in q.from_graphs]))
+                .select("subj", "pred", "obj",
+                        null_g.alias("graph")))
+        if q.from_named:
+            parts.append(self.quads.where(F.col("graph").isin(
+                [f"<{g}>" for g in q.from_named])))
+        quads = parts[0]
+        for p in parts[1:]:
+            quads = quads.unionByName(p)
+        # merging >1 graph can duplicate a triple stored in several of
+        # them: per-pattern dedup (after the constant filters) restores
+        # set semantics without an eager global exchange
+        dedup = self.dedup_source or len(q.from_graphs) > 1
+        return SparqlEngine(quads, self.path_max_hops, dedup_source=dedup)
+
     def sql(self, query_text) -> DataFrame:
         """``query_text``: raw SPARQL or an already-parsed SelectQuery
         (callers that parse for dispatch, e.g. the endpoint, pass the
         parse instead of paying for a second one)."""
         q = query_text if isinstance(query_text, SelectQuery) \
             else parse_sparql(query_text)
+        eng = self._dataset_engine(q)
         if q.describe is not None:
-            return self._describe(q)
-        return self.evaluate(q)
+            return eng._describe(q)
+        return eng.evaluate(q)
 
     def _describe(self, q: SelectQuery) -> DataFrame:
         """DESCRIBE: for every resource (given IRI, or each binding of a
@@ -973,7 +1020,8 @@ class SparqlEngine:
             else parse_sparql(query_text)
         if not q.is_ask:
             raise ValueError("not an ASK query")
-        return self._join_group(q.where).limit(1).count() > 0
+        eng = self._dataset_engine(q)
+        return eng._join_group(q.where).limit(1).count() > 0
 
     # -- property paths ----------------------------------------------------
     def _iri_pairs(self, iri: str, active: Optional[DataFrame] = None
@@ -1860,7 +1908,7 @@ class SparqlEngine:
             else parse_sparql(query_text)
         if q.construct is None:
             raise ValueError("not a CONSTRUCT query")
-        bindings = self._join_group(q.where)
+        bindings = self._dataset_engine(q)._join_group(q.where)
 
         def term_col(term) -> Column:
             kind, val = term

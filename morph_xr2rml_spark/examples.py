@@ -1133,9 +1133,31 @@ SELECT g, n FROM q ORDER BY g, n
 """
 
 
+def sparql_from_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM dataset clause (round 6, SPARQL §13.2): the query's default
+    graph becomes the merge of the FROM graphs, and the graph-template
+    inversion turns the clause into a source row constraint — the
+    nation scan carries EqualTo(n_regionkey,2), region is never read."""
+    from .rewrite import answer_tabular
+    mapping = MappingDocument.from_text(GRAPH_KG_MAPPING)
+    return answer_tabular(spark, mapping, tpch_tables(spark, sf_dir),
+                          SPARQL_PREFIX + """
+        SELECT ?s ?n FROM <http://example.org/g/2>
+        WHERE { ?s ex:name ?n } ORDER BY ?s ?n""")
+
+
+SPARQL_FROM_DATASET_SQL = f"""
+SELECT '<{EX}nation/' || n_nationkey || '>' AS s,
+       '"' || n_name || '"' AS n
+FROM nation WHERE n_regionkey = 2
+ORDER BY s, n
+"""
+
+
 # extra gate queries that do not run over the TPC-H KG mapping
 EXTRA_QUERIES = {
     "sparql_graph_quads": (sparql_graph_quads, SPARQL_GRAPH_QUADS_SQL),
+    "sparql_from_dataset": (sparql_from_dataset, SPARQL_FROM_DATASET_SQL),
     "sparql_topk_pushdown": (sparql_topk_pushdown, SPARQL_TOPK_SQL),
     "sparql_agg_pushdown": (sparql_agg_pushdown, SPARQL_AGG_SQL),
     "sparql_agg_doc": (sparql_agg_doc, SPARQL_AGG_DOC_SQL),

@@ -51,3 +51,10 @@ def test_sparql_graph_quads_matches_oracle(spark):
                                              sparql_graph_quads)
     _compare(spark, sparql_graph_quads(spark, SF_DIR),
              SPARQL_GRAPH_QUADS_SQL)
+
+
+def test_sparql_from_dataset_matches_oracle(spark):
+    from morph_xr2rml_spark.examples import (SPARQL_FROM_DATASET_SQL,
+                                             sparql_from_dataset)
+    _compare(spark, sparql_from_dataset(spark, SF_DIR),
+             SPARQL_FROM_DATASET_SQL)

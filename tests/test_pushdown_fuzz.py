@@ -328,3 +328,96 @@ def test_fuzz_document_rewrite_equals_full(spark, doc_env, seed):
                   answer_documents(spark, mapping, catalog, q).collect())
     slow = sorted(tuple(r) for r in engine.sql(q).collect())
     assert fast == slow, f"divergence (seed {seed}) on:\n{q}"
+
+
+# ---------------------------------------------------------------------------
+# Graph-context tier (round 6): GRAPH clauses + FROM/FROM NAMED dataset
+# clauses over a graph-mapped mapping — the rewriter's graph candidacy
+# pruning and graph-template inversion must never change the answer.
+# ---------------------------------------------------------------------------
+
+GRAPHS = [f"<http://example.org/g/{i}>" for i in (0, 2, 4, 7)] + \
+         ["<http://example.com/gnames>", "<http://example.com/nope>"]
+
+
+class GraphQueryGen:
+    """Seeded random query over the GRAPH_KG_MAPPING nation/region star:
+    patterns land in a random graph context (default / GRAPH <g> /
+    GRAPH ?g), optionally under FROM / FROM NAMED dataset clauses."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    def build(self):
+        r = self.rng
+        vars_ = []
+
+        def v(n):
+            if n not in vars_:
+                vars_.append(n)
+            return "?" + n
+
+        pats = []
+        picks = r.sample(["name", "class", "region"], k=r.randint(1, 3))
+        subj = (f"<http://example.org/nation/{r.choice([1, 7, 99])}>"
+                if r.random() < 0.2 else v("s") and "?s")
+        for p in picks:
+            if p == "name":
+                pats.append(f"{subj} ex:name {v('n')} .")
+            elif p == "class":
+                pats.append(f"{subj} a ex:Nation .")
+            else:
+                pats.append(f"{subj} ex:inRegion {v('rg')} .")
+        # region names live in the DEFAULT graph: a cross-graph join
+        if "rg" in vars_ and r.random() < 0.5:
+            pats.append("?rg ex:name ?rn ." if r.random() < 0.5
+                        else "OPTIONAL { ?rg ex:name ?rn }")
+            v("rn")
+
+        ctx = r.choice(["default", "const", "var", "mixed"])
+        if ctx == "const":
+            body = [f"GRAPH {r.choice(GRAPHS)} {{ {' '.join(pats[:1])} }}"] \
+                + pats[1:]
+        elif ctx == "var":
+            body = [f"GRAPH {v('g')} {{ {' '.join(pats[:1])} }}"] + pats[1:]
+        elif ctx == "mixed" and len(pats) > 1:
+            body = [f"GRAPH {r.choice(GRAPHS + ['?g'])} "
+                    f"{{ {' '.join(pats[:2])} }}"] + pats[2:]
+        else:
+            body = pats
+
+        dataset = ""
+        if r.random() < 0.5:
+            for g in r.sample(GRAPHS, r.randint(1, 2)):
+                dataset += ("FROM NAMED " if r.random() < 0.5
+                            else "FROM ") + g + " "
+
+        proj = "*" if r.random() < 0.5 else " ".join(
+            "?" + n for n in r.sample(vars_, min(len(vars_), 2))) or "*"
+        distinct = "DISTINCT " if r.random() < 0.3 else ""
+        where = "\n  ".join(body)
+        return (f"SELECT {distinct}{proj} {dataset}"
+                f"WHERE {{\n  {where}\n}}")
+
+
+@pytest.fixture(scope="module")
+def graph_env(spark):
+    from morph_xr2rml_spark.examples import GRAPH_KG_MAPPING
+    mapping = MappingDocument.from_text(GRAPH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    full = NativeCompiler(spark, mapping, tables,
+                          fuse_projections=False).triples(dedup=True)
+    return mapping, tables, SparqlEngine(full)
+
+
+GRAPH_SEEDS = list(range(501, 526))
+
+
+@pytest.mark.parametrize("seed", GRAPH_SEEDS)
+def test_fuzz_graph_rewrite_equals_full(spark, graph_env, seed):
+    mapping, tables, engine = graph_env
+    q = P + GraphQueryGen(seed).build()
+    fast = sorted(tuple(r) for r in
+                  answer_tabular(spark, mapping, tables, q).collect())
+    slow = sorted(tuple(r) for r in engine.sql(q).collect())
+    assert fast == slow, f"divergence (seed {seed}) on:\n{q}"

@@ -197,7 +197,10 @@ class _P:
             return q
         self.expect("SELECT")
         q = SelectQuery(variables=[], aggregates=[])
-        q.distinct = self.kw("DISTINCT")
+        # REDUCED permits (but does not require) duplicate elimination
+        # (§18.2.5.2): answering with the DISTINCT solution set is a
+        # conformant — and deterministic — implementation
+        q.distinct = self.kw("DISTINCT") or self.kw("REDUCED")
         while True:
             t = self.peek()
             if t[1] == "*":
@@ -270,7 +273,42 @@ class _P:
                 q.offset = int(self.next()[1])
             else:
                 break
+        if self.kw("VALUES"):
+            # postfix ValuesClause (§18.2.4.7): joins the WHERE pattern's
+            # solutions — same algebra as a group-level VALUES block
+            q.where.values.append(self._values_block())
         return q
+
+    def _values_block(self):
+        """VALUES data block after the keyword: single-var or multi-var
+        form; returns ([vars], [rows of terms])."""
+        if self.peek()[1] == "(":
+            # multi-var form: VALUES (?x ?y) { (a b) (c d) }
+            self.next()
+            vars_ = []
+            while self.peek()[0] == "VAR":
+                vars_.append(self.next()[1][1:])
+            self.expect(")")
+            self.expect("{")
+            rows = []
+            while self.peek()[1] == "(":
+                self.next()
+                row = []
+                while self.peek()[1] != ")":
+                    row.append(self._term())
+                self.next()
+                if len(row) != len(vars_):
+                    raise ValueError("VALUES row arity mismatch")
+                rows.append(row)
+            self.expect("}")
+            return (vars_, rows)
+        var = self.next()[1][1:]
+        self.expect("{")
+        terms = []
+        while not (self.peek()[1] == "}"):
+            terms.append(self._term())
+        self.next()
+        return ([var], [[t] for t in terms])
 
     def _order_key(self):
         """ORDER BY key: plain variable (kept as a bare name for the
@@ -309,34 +347,7 @@ class _P:
                 g.minuses.append(self._group())
             elif t[1].upper() == "VALUES":
                 self.next()
-                if self.peek()[1] == "(":
-                    # multi-var form: VALUES (?x ?y) { (a b) (c d) }
-                    self.next()
-                    vars_ = []
-                    while self.peek()[0] == "VAR":
-                        vars_.append(self.next()[1][1:])
-                    self.expect(")")
-                    self.expect("{")
-                    rows = []
-                    while self.peek()[1] == "(":
-                        self.next()
-                        row = []
-                        while self.peek()[1] != ")":
-                            row.append(self._term())
-                        self.next()
-                        if len(row) != len(vars_):
-                            raise ValueError("VALUES row arity mismatch")
-                        rows.append(row)
-                    self.expect("}")
-                    g.values.append((vars_, rows))
-                else:
-                    var = self.next()[1][1:]
-                    self.expect("{")
-                    terms = []
-                    while not (self.peek()[1] == "}"):
-                        terms.append(self._term())
-                    self.next()
-                    g.values.append(([var], [[t] for t in terms]))
+                g.values.append(self._values_block())
             elif t[1].upper() == "BIND":
                 self.next()
                 self.expect("(")
@@ -850,7 +861,14 @@ class _P:
 
 
 def parse_sparql(text: str) -> SelectQuery:
-    return _P(text).parse()
+    p = _P(text)
+    q = p.parse()
+    if p.peek()[0] != "EOF":
+        # trailing clauses must be a loud error, never silently ignored
+        # (a dropped VALUES/ORDER/... clause changes the answer)
+        raise ValueError(
+            f"SPARQL parse: unexpected trailing input at {p.peek()[1]!r}")
+    return q
 
 
 # ---------------------------------------------------------------------------

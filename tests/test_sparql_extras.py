@@ -133,3 +133,41 @@ def test_bind_in_filter_chain(engine):
             FILTER(?w > 13.5)
         }""").collect()
     assert len(rows) == 1
+
+
+# ---------------------------------------------------------------------------
+# Postfix VALUES / REDUCED / trailing-input guard (late round 6)
+# ---------------------------------------------------------------------------
+
+def test_postfix_values_joins_solutions(spark):
+    from morph_xr2rml_spark.sparql import SparqlEngine
+    df = spark.createDataFrame(
+        [("<a>", "<p>", '"a"', None), ("<b>", "<p>", '"b"', None),
+         ("<c>", "<p>", '"c"', None)],
+        "subj string, pred string, obj string, graph string")
+    eng = SparqlEngine(df)
+    out = eng.sql('SELECT ?s ?x WHERE { ?s <p> ?x } '
+                  'VALUES ?x { "a" "b" }')
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("<a>", '"a"'), ("<b>", '"b"')]
+    # multi-var postfix form with an UNDEF wildcard
+    out2 = eng.sql('SELECT * WHERE { ?s <p> ?x } '
+                   'VALUES (?s ?x) { (<a> "a") (<c> UNDEF) }')
+    assert sorted(tuple(r) for r in out2.collect()) == \
+        [("<a>", '"a"'), ("<c>", '"c"')]
+
+
+def test_reduced_eliminates_duplicates(spark):
+    from morph_xr2rml_spark.sparql import SparqlEngine
+    df = spark.createDataFrame(
+        [("<a>", "<p>", '"x"', None), ("<b>", "<p>", '"x"', None)],
+        "subj string, pred string, obj string, graph string")
+    out = SparqlEngine(df).sql("SELECT REDUCED ?o WHERE { ?s <p> ?o }")
+    assert [tuple(r) for r in out.collect()] == [('"x"',)]
+
+
+def test_trailing_input_is_a_parse_error():
+    import pytest as _pytest
+    from morph_xr2rml_spark.sparql import parse_sparql
+    with _pytest.raises(ValueError, match="trailing"):
+        parse_sparql("SELECT ?x WHERE { ?s <p> ?x } NONSENSE")

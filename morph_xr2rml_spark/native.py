@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from . import namespaces as NS
-from .functions.encoding import _ENCODE_RESERVED
+from .functions.encoding import _ENCODE_RESERVED, _ENCODE_URL, encode_url
 from .functions.templates import get_template_groups
 from .model import (COLUMN, CONSTANT, TEMPLATE, MappingDocument, TermMap,
                     TriplesMap)
@@ -76,6 +76,16 @@ def encode_reserved_col(col: Column) -> Column:
     (JVM-side, codegen-friendly)."""
     out = col
     for old, new in _ENCODE_RESERVED:
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
+
+
+def encode_url_col(col: Column) -> Column:
+    """GeneralUtility.encodeURI (URL-UNSAFE chars only — ':' '/' '%' etc.
+    stay) as native replaces; the whole-IRI encoding the Python tier
+    applies in _make_term (translate.py:332-333)."""
+    out = col
+    for old, new in _ENCODE_URL:
         out = F.replace(out, F.lit(old), F.lit(new))
     return out
 
@@ -232,8 +242,11 @@ class NativeCompiler:
                     # createIRI trims unconditionally (translate.py:331)
                     iri = strip_ws_col(iri)
                     if self.cfg.encode_unsafe_chars_in_uri:
-                        # string columns may hold unsafe chars
-                        iri = encode_reserved_col(iri)
+                        # whole-IRI encodeURI: URL-UNSAFE chars only —
+                        # ':' '/' etc. stay (the reserved-chars encoder
+                        # is for TEMPLATE GROUP content, not column
+                        # IRIs; translate.py:330-333)
+                        iri = encode_url_col(iri)
                 return self._iri_term(iri)
             dtype = m.datatype or (natural_datatype(df.schema[m.column].dataType)
                                    if self.cfg.infer_datatypes and not m.language
@@ -256,11 +269,21 @@ class NativeCompiler:
         for g in groups:
             fixed, _, rest = rest.partition("{" + g + "}")
             segments.append(fixed)
+        # the Python tier applies encodeURI over the WHOLE expanded IRI
+        # (_make_term, translate.py:332-333); group content is already
+        # reserved-encoded (a superset of the URL-unsafe set), so the
+        # whole-string pass only ever touches the FIXED segments —
+        # encode them at compile time
+        def fix(seg: str) -> str:
+            if tt == NS.RR_IRI and self.cfg.encode_unsafe_chars_in_uri:
+                return encode_url(seg)
+            return seg
+
         parts: list[Column] = []
         col_exprs: list[Column] = []
         for seg, g in zip(segments, groups):
             if seg:
-                parts.append(F.lit(seg))
+                parts.append(F.lit(fix(seg)))
             raw = _col_as_string(df, g)
             if tt == NS.RR_IRI and self.cfg.encode_unsafe_chars_in_db_values \
                     and isinstance(df.schema[g].dataType, T.StringType):
@@ -269,7 +292,7 @@ class NativeCompiler:
             # NULL column value contributes '' (MorphRDBDataTranslator.scala:357-372)
             parts.append(F.coalesce(raw, F.lit("")))
         if rest:
-            parts.append(F.lit(rest))
+            parts.append(F.lit(fix(rest)))
         expanded = F.concat(*parts)
         # all-groups-NULL → no term
         all_null = None
@@ -281,7 +304,10 @@ class NativeCompiler:
         if tt == NS.RR_IRI:
             return self._iri_term(expanded)
         if tt == NS.RR_BLANKNODE:
-            return F.concat(F.lit("_:"), expanded)
+            # format_bnode applies encodeURI unconditionally over the
+            # whole id (translate.py:336) — groups included, since bnode
+            # groups get no reserved-encoding pass
+            return F.concat(F.lit("_:"), encode_url_col(expanded))
         return self._literal_term(expanded, m.datatype, m.language)
 
     # -- triples map compilation ----------------------------------------
@@ -300,29 +326,64 @@ class NativeCompiler:
         # named graphs (R2RML §9/xR2RML quads): each class triple lands
         # in the subject map's graphs, each POM triple in subject ∪ POM
         # graphs; empty set = the default graph (NULL) — same expansion
-        # as the document tier (translate.py:419-452, quad combination)
+        # as the document tier (translate.py:419-452, quad combination).
+        # A NON-CONSTANT graph map can render NULL per row: the Python
+        # tier drops that graph from the row's list and falls back to
+        # the default graph only when EVERY render is null — mirrored
+        # here with per-variant row conditions (constant graph maps fold
+        # to unconditional variants)
         null_g = F.lit(None).cast("string")
         sub_gs = [self.term_expr(df, gm) for gm in tm.graph_maps]
+        sub_kinds = [gm.kind for gm in tm.graph_maps]
+
+        def graph_variants(gcols: list, kinds: list
+                           ) -> list[tuple[Column, Optional[Column]]]:
+            """[(graph expr, row condition | None)] per quad-combination
+            semantics over this POM's graph-map renders."""
+            if not gcols:
+                return [(null_g, None)]
+            if all(k == CONSTANT for k in kinds):
+                return [(g, None) for g in gcols]
+            out = [(g, g.isNotNull()) for g in gcols]
+            allnull = gcols[0].isNull()
+            for g in gcols[1:]:
+                allnull = allnull & g.isNull()
+            out.append((null_g, allnull))
+            return out
 
         rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
         po_trips: list[tuple[Column, Column, Column]] = []
+        cond_parts: list[DataFrame] = []
+        sub_variants = graph_variants(sub_gs, sub_kinds)
+
+        def emit(pred: Column, obj: Column, gc: Column,
+                 cond: Optional[Column]) -> None:
+            if cond is None:
+                po_trips.append((pred, obj, gc))
+            else:
+                cond_parts.append(df.where(cond).select(
+                    subj, pred.alias("pred"), obj.alias("obj"),
+                    gc.alias("graph")))
+
         for cls in tm.class_uris:
-            for gc in (sub_gs or [null_g]):
-                po_trips.append((rdf_type, self._iri_term(F.lit(cls)), gc))
+            for gc, cond in sub_variants:
+                emit(rdf_type, self._iri_term(F.lit(cls)), gc, cond)
 
         rom_parts: list[DataFrame] = []
         for pom in tm.predicate_object_maps:
-            gcols = (sub_gs + [self.term_expr(df, gm)
-                               for gm in pom.graph_maps]) or [null_g]
+            gvars = graph_variants(
+                sub_gs + [self.term_expr(df, gm) for gm in pom.graph_maps],
+                sub_kinds + [gm.kind for gm in pom.graph_maps])
             pred_exprs = [self.term_expr(df, pm) for pm in pom.predicate_maps]
             for pred in pred_exprs:
                 for om in pom.object_maps:
-                    for gc in gcols:
-                        po_trips.append((pred, self.term_expr(df, om), gc))
+                    for gc, cond in gvars:
+                        emit(pred, self.term_expr(df, om), gc, cond)
                 for rom in pom.ref_object_maps:
-                    for gc in gcols:
-                        rom_parts.append(
-                            self._rom_triples(df, subj, pred, rom, gc))
+                    for gc, cond in gvars:
+                        rom_parts.append(self._rom_triples(
+                            df.where(cond) if cond is not None else df,
+                            subj, pred, rom, gc))
 
         parts: list[DataFrame] = []
         if po_trips and (self.fuse_projections and len(po_trips) > 1):
@@ -358,6 +419,7 @@ class NativeCompiler:
             for p, o, gc in po_trips:
                 parts.append(df.select(subj, p.alias("pred"),
                                        o.alias("obj"), gc.alias("graph")))
+        parts.extend(cond_parts)
         parts.extend(rom_parts)
         if not parts:
             # a subject-only TM (no class, no predicate-object map) emits

@@ -30,6 +30,13 @@ def _entry():
     return e
 
 
+def _null_safe_sort(rows):
+    """NULLs sort before any string (tuples mixing None and str are not
+    orderable directly)."""
+    return sorted(rows, key=lambda r: tuple((x is not None, x or "")
+                                            for x in r))
+
+
 def test_all_queries_match_oracles_sf001(spark):
     e = _entry()
     queries = e.queries()
@@ -37,13 +44,15 @@ def test_all_queries_match_oracles_sf001(spark):
     failures = []
     for name in sorted(queries):
         df = queries[name](spark, SF_DIR)
-        got = sorted(tuple(str(x) if x is not None else None for x in r)
-                     for r in df.collect())
+        got = _null_safe_sort(
+            tuple(str(x) if x is not None else None for x in r)
+            for r in df.collect())
         if name not in oracles:
             assert len(got) >= 0  # rows-only check
             continue
-        want = sorted(tuple(str(x) if x is not None else None for x in r)
-                      for r in _duck(oracles[name]))
+        want = _null_safe_sort(
+            tuple(str(x) if x is not None else None for x in r)
+            for r in _duck(oracles[name]))
         if len(got) != len(want):
             failures.append(f"{name}: rows {len(got)} vs {len(want)}")
             continue

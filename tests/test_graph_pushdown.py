@@ -187,3 +187,58 @@ def test_optional_inside_graph_reads_named_graph(spark):
     out = eng.sql("SELECT ?x WHERE { GRAPH <g> { ?s <p> ?o "
                   "OPTIONAL { ?s <q> ?x } } }")
     assert [r["x"] for r in out.collect()] == ["<good>"]
+
+
+NULLABLE_GRAPHS_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.com/> .
+<#T> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "t" ];
+    rr:subjectMap [ rr:template "http://example.org/x/{id}";
+                    rr:class ex:Thing;
+                    rr:graphMap [ rr:template "http://example.org/g/{ga}" ];
+                    rr:graphMap [ rr:template "http://example.org/h/{gb}" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:v;
+                            rr:objectMap [ rr:column "val" ];
+                            rr:graphMap [ rr:column "gc" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:iri;
+                            rr:objectMap [ rr:column "gc"; rr:termType rr:IRI ] ].
+"""
+
+
+def test_null_graph_renders_and_column_iri_encoding_parity(spark):
+    """Two late-r6 semantics fixes, parity-checked against the Python
+    tier: (1) a NULL graph-map render drops that graph from the row's
+    target list, falling back to the default graph only when EVERY
+    render is null (translate.py quad combination); (2) COLUMN-valued
+    IRI term maps get the whole-IRI encodeURI (URL-unsafe chars only),
+    NOT the template-group reserved-chars encoder — ':' and '/' must
+    survive."""
+    from morph_xr2rml_spark.engine import materialize
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.native import NativeCompiler
+    from morph_xr2rml_spark.sources import SourceCatalog
+    t = spark.createDataFrame(
+        [(1, "A", "p", "q", "http://example.org/c1"),
+         (2, "B", None, "r", None),        # ga null: only the h-graph
+         (3, "C", None, None, None),       # all null: default graph
+         (4, "D (x)", "s", None, "http://example.org/c2?a=1&b; c")],
+        "id int, val string, ga string, gb string, gc string")
+    mapping = MappingDocument.from_text(NULLABLE_GRAPHS_MAPPING)
+    cat = SourceCatalog()
+    cat.register_table("t", t)
+    want = sorted(tuple(r) for r in materialize(spark, mapping, cat)
+                  .collect())
+    for fuse in (True, False):
+        got = sorted(tuple(r) for r in
+                     NativeCompiler(spark, mapping, {"t": t},
+                                    fuse_projections=fuse)
+                     .triples(dedup=True).collect())
+        assert got == want
+    # the column IRI keeps ':' '/' and encodes only URL-unsafe chars
+    assert ("<http://example.org/x/3>", "<http://example.com/iri>",
+            "<http://example.org/c1>") not in [w[:3] for w in want]
+    iris = {w[2] for w in want if w[1] == "<http://example.com/iri>"}
+    assert "<http://example.org/c1>" in iris
+    # URL-unsafe set: '=' ';' ' ' encode, '&' '?' ':' '/' survive
+    assert "<http://example.org/c2?a%3D1&b%3B%20c>" in iris

@@ -91,11 +91,15 @@ def compilable(tm: TriplesMap) -> bool:
                        for g in get_template_groups(m.template))
         return False
 
-    if not tm_ok(tm.subject_map) or tm.graph_maps:
+    if not tm_ok(tm.subject_map):
         return False
-    for pom in tm.predicate_object_maps:
-        if pom.graph_maps:
+    for gm in tm.graph_maps:
+        if not tm_ok(gm):
             return False
+    for pom in tm.predicate_object_maps:
+        for gm in pom.graph_maps:
+            if not tm_ok(gm):
+                return False
         for m in pom.predicate_maps + pom.object_maps:
             if not tm_ok(m):
                 return False
@@ -324,9 +328,13 @@ class JsonNativeCompiler:
                     add(g)
 
         walk_tm(tm.subject_map)
+        for gm in tm.graph_maps:
+            walk_tm(gm)
         for pom in tm.predicate_object_maps:
             for m in pom.predicate_maps + pom.object_maps:
                 walk_tm(m)
+            for gm in pom.graph_maps:
+                walk_tm(gm)
             for rom in pom.ref_object_maps:
                 for jc in rom.join_conditions:
                     add(jc.child_ref)
@@ -516,21 +524,57 @@ class JsonNativeCompiler:
 
         subj = self._term_expr(tm, root, item, tm.subject_map).alias("subj")
         rdf_type = F.lit(f"<{NS.RDF_TYPE}>")
+
+        # named graphs: subject ∪ POM target-graph union, NULL render
+        # drops the graph, all-null falls back to the default graph —
+        # identical to the Python tier's quad combination
+        # (translate.py:419-452) and the native tabular compiler
+        null_g = F.lit(None).cast("string")
+        sub_gs = [self._term_expr(tm, root, item, gm)
+                  for gm in tm.graph_maps]
+        sub_kinds = [gm.kind for gm in tm.graph_maps]
+
+        def graph_variants(gcols, kinds):
+            if not gcols:
+                return [(null_g, None)]
+            if all(k == CONSTANT for k in kinds):
+                return [(g, None) for g in gcols]
+            out = [(g, g.isNotNull()) for g in gcols]
+            allnull = gcols[0].isNull()
+            for g in gcols[1:]:
+                allnull = allnull & g.isNull()
+            out.append((null_g, allnull))
+            return out
+
+        def entry(pred, obj, gc, cond):
+            s = F.struct(pred.alias("pred"), obj.alias("obj"),
+                         gc.alias("graph"))
+            # a false condition nulls the array element; the obj-notnull
+            # filter below drops it after the explode
+            return s if cond is None else F.when(cond, s)
+
+        sub_variants = graph_variants(sub_gs, sub_kinds)
         po_entries = []
         for cls in tm.class_uris:
-            po_entries.append(F.struct(rdf_type.alias("pred"),
-                                       F.lit(f"<{cls}>").alias("obj")))
+            for gc, cond in sub_variants:
+                po_entries.append(entry(rdf_type, F.lit(f"<{cls}>"),
+                                        gc, cond))
         rom_selects = []
         for pom in tm.predicate_object_maps:
+            gvars = graph_variants(
+                sub_gs + [self._term_expr(tm, root, item, gm)
+                          for gm in pom.graph_maps],
+                sub_kinds + [gm.kind for gm in pom.graph_maps])
             preds = [self._term_expr(tm, root, item, pm)
                      for pm in pom.predicate_maps]
             for pred in preds:
                 for om in pom.object_maps:
-                    po_entries.append(F.struct(
-                        pred.alias("pred"),
-                        self._term_expr(tm, root, item, om).alias("obj")))
+                    obj = self._term_expr(tm, root, item, om)
+                    for gc, cond in gvars:
+                        po_entries.append(entry(pred, obj, gc, cond))
                 for rom in pom.ref_object_maps:
-                    rom_selects.append((pred, rom))
+                    for gc, cond in gvars:
+                        rom_selects.append((pred, rom, gc, cond))
         out_parts = []
         if po_entries:
             fused = parsed.select(subj, F.explode(F.array(*po_entries))
@@ -538,11 +582,16 @@ class JsonNativeCompiler:
             out_parts.append(fused.select(
                 "subj", F.col("_po.pred").alias("pred"),
                 F.col("_po.obj").alias("obj"),
-                F.lit(None).cast("string").alias("graph"))
+                F.col("_po.graph").alias("graph"))
                 .where(F.col("subj").isNotNull() & F.col("obj").isNotNull()))
-        for pred, rom in rom_selects:
+        for pred, rom, gc, cond in rom_selects:
             out_parts.append(self._rom_triples(tm, parsed, root, item,
-                                               subj, pred, rom))
+                                               subj, pred, rom, gc, cond))
+        if not out_parts:
+            # subject-only TM (no class, no POM): R2RML emits rows only
+            # per POM/class — same as the tabular compiler
+            from .engine import TRIPLE_SCHEMA
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
         out = out_parts[0]
         for p in out_parts[1:]:
             out = out.unionByName(p)
@@ -560,7 +609,8 @@ class JsonNativeCompiler:
                     .when(col, F.lit("true")).otherwise(F.lit("false"))
         return col.cast("string")
 
-    def _rom_triples(self, tm, parsed, root, item, subj, pred, rom) -> DataFrame:
+    def _rom_triples(self, tm, parsed, root, item, subj, pred, rom,
+                     graph=None, cond=None) -> DataFrame:
         if not rom.join_conditions:
             # intersection of zero per-condition sets = empty (matches the
             # document engine / reference), never a cross product
@@ -584,22 +634,24 @@ class JsonNativeCompiler:
             pitem = F.col("_item")
         psubj = self._term_expr(parent_tm, proot, pitem,
                                 parent_tm.subject_map)
-        child_sel = parsed.select(
-            subj, pred.alias("pred"),
+        child_src = parsed if cond is None else parsed.where(cond)
+        gcol = (F.lit(None).cast("string") if graph is None
+                else graph).alias("graph")
+        child_sel = child_src.select(
+            subj, pred.alias("pred"), gcol,
             *[self._join_key(tm, root, item, jc.child_ref).alias(f"_ck{i}")
               for i, jc in enumerate(rom.join_conditions)])
         parent_sel = pparsed.select(
             psubj.alias("_psubj"),
             *[self._join_key(parent_tm, proot, pitem, jc.parent_ref)
               .alias(f"_pk{i}") for i, jc in enumerate(rom.join_conditions)])
-        cond = None
+        jcond = None
         for i in range(len(rom.join_conditions)):
             c = F.col(f"_ck{i}") == F.col(f"_pk{i}")
-            cond = c if cond is None else (cond & c)
-        joined = child_sel.join(parent_sel, cond)
+            jcond = c if jcond is None else (jcond & c)
+        joined = child_sel.join(parent_sel, jcond)
         return joined.select("subj", "pred",
-                             F.col("_psubj").alias("obj"),
-                             F.lit(None).cast("string").alias("graph")) \
+                             F.col("_psubj").alias("obj"), "graph") \
                      .where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
 
     def triples(self, dedup: bool = True) -> DataFrame:

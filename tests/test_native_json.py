@@ -119,3 +119,60 @@ def test_corpus_mapping_json_native_equals_doc_engine(spark):
               JsonNativeCompiler(spark, mapping, cat1).triples().collect()}
     pyudf = {tuple(r) for r in materialize(spark, mapping, cat2).collect()}
     assert native == pyudf
+
+
+GRAPH_DOC_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#D> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.docs.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/d/{$.id}";
+                    rr:class ex:Doc;
+                    rr:graphMap [ rr:template "http://example.org/g/{$.ga}" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:v;
+                            rr:objectMap [ xrr:reference "$.val" ];
+                            rr:graphMap [ rr:constant ex:gd ] ];
+    rr:predicateObjectMap [
+        rr:predicate ex:ref;
+        rr:objectMap [ rr:parentTriplesMap <#P>;
+                       rr:joinCondition [ rr:child "$.pk"; rr:parent "$.k" ] ] ].
+<#P> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.parents.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/p/{$.k}" ].
+"""
+
+
+def test_json_native_graph_quads_match_python_tier(spark):
+    """Named graphs on the json-native tier (late r6): subject ∪ POM
+    target-graph expansion with the Python tier's null-render fallback
+    (a missing graph field drops that graph; all-missing → default),
+    ROM quads in the subject graphs, and a subject-only parent TM
+    emitting nothing — byte-parity against the document engine."""
+    import json as _json
+    from morph_xr2rml_spark.engine import materialize
+    from morph_xr2rml_spark.native_json import JsonNativeCompiler, compilable
+    from morph_xr2rml_spark.sources import SourceCatalog
+    docs = [_json.dumps(d) for d in [
+        {"id": 1, "ga": "x", "val": "A", "pk": 10},
+        {"id": 2, "val": "B", "pk": 20},        # ga missing
+        {"id": 3, "ga": "y", "val": "C", "pk": 99},   # dangling ref
+    ]]
+    parents = [_json.dumps({"k": 10}), _json.dumps({"k": 20})]
+    cat = SourceCatalog()
+    cat.register_collection("docs", spark.createDataFrame(
+        [(d,) for d in docs], "content string"))
+    cat.register_collection("parents", spark.createDataFrame(
+        [(p,) for p in parents], "content string"))
+    mapping = MappingDocument.from_text(GRAPH_DOC_MAPPING)
+    assert compilable(mapping.triples_maps["#D"])
+    got = sorted(tuple(r) for r in
+                 JsonNativeCompiler(spark, mapping, cat)
+                 .triples(dedup=True).collect())
+    want = sorted(tuple(r) for r in materialize(spark, mapping, cat)
+                  .collect())
+    assert got == want and len(got) == 10
+    graphs = {r[3] for r in got}
+    assert "<http://example.com/gd>" in graphs
+    assert "<http://example.org/g/x>" in graphs
+    assert None in graphs                       # id=2 class/ref quads

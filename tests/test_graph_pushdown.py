@@ -242,3 +242,38 @@ def test_null_graph_renders_and_column_iri_encoding_parity(spark):
     assert "<http://example.org/c1>" in iris
     # URL-unsafe set: '=' ';' ' ' encode, '&' '?' ':' '/' survive
     assert "<http://example.org/c2?a%3D1&b%3B%20c>" in iris
+
+
+def test_doc_tier_graph_constant_composes_into_find(spark):
+    """Document tier: a constant GRAPH against a graph template over a
+    doc field composes into the collection's find() filter (the
+    constraint key is the doc-level reference, handled by _conj_to_find
+    like any template-inversion equality)."""
+    import json as _json
+    from morph_xr2rml_spark.rewrite import answer_documents
+    from morph_xr2rml_spark.sources import SourceCatalog
+    M = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#D> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.docs.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/d/{$.id}";
+                    rr:graphMap [ rr:template "http://example.org/g/{$.ga}" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:v;
+                            rr:objectMap [ xrr:reference "$.val" ] ].
+"""
+    docs = [_json.dumps({"id": i, "ga": "x" if i % 2 else "y",
+                         "val": f"V{i}"}) for i in range(10)]
+    cat = SourceCatalog().register_collection(
+        "docs", spark.createDataFrame([(d,) for d in docs],
+                                      "content string"))
+    mapping = MappingDocument.from_text(M)
+    q = (SPARQL_PREFIX + "SELECT ?s ?v WHERE "
+         "{ GRAPH <http://example.org/g/x> { ?s ex:v ?v } } ORDER BY ?s")
+    cons = derive_tm_constraints(mapping, q)
+    assert cons["#D"] == [{"$.ga": "x"}]
+    out = [tuple(r) for r in answer_documents(spark, mapping, cat, q)
+           .collect()]
+    assert len(out) == 5
+    assert out[0] == ("<http://example.org/d/1>", '"V1"')

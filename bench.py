@@ -352,6 +352,23 @@ def q_sparql_subquery_topk(spark, sf_dir: str):
         "ORDER BY DESC(?t) LIMIT 10")
 
 
+def q_sparql_graph_pushdown(spark, sf_dir: str):
+    """Graph-position pushdown (late r6): a constant GRAPH against a
+    graph TEMPLATE inverts to a parquet PushedFilter on the render
+    column (EqualTo(n_regionkey,2)) and drops every graph-less TM from
+    the plan — the named-graph point-query latency class."""
+    from morph_xr2rml_spark.examples import GRAPH_KG_MAPPING, tpch_tables
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.rewrite import answer_tabular
+
+    mapping = MappingDocument.from_text(GRAPH_KG_MAPPING)
+    return answer_tabular(
+        spark, mapping, tpch_tables(spark, sf_dir),
+        "PREFIX ex: <http://example.com/>\n"
+        "SELECT ?s ?n WHERE { GRAPH <http://example.org/g/2> "
+        "{ ?s ex:name ?n } } ORDER BY ?s")
+
+
 def queries():
     q = {
         "kg_repo_corpus": q_kg_repo_corpus,
@@ -365,6 +382,7 @@ def queries():
         "sparql_agg_pushdown": q_sparql_agg_pushdown,
         "sparql_join_agg_pushdown": q_sparql_join_agg_pushdown,
         "sparql_subquery_topk": q_sparql_subquery_topk,
+        "sparql_graph_pushdown": q_sparql_graph_pushdown,
     }
     try:
         from morph_xr2rml_spark.ops import registry

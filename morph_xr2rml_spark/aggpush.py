@@ -1180,12 +1180,13 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
     # HAVING: mirror the evaluator's hidden-aggregate machinery
     specs = [tuple(a) for a in q.aggregates]
     visible = [a[3] for a in q.aggregates]
-    agg_alias = {(f_, v_, d_): a_ for f_, v_, d_, a_, _s in specs}
+    # repr keys: expression aggregate inputs are ASTs (may hold lists)
+    agg_alias = {(f_, repr(v_), d_): a_ for f_, v_, d_, a_, _s in specs}
 
     def _collect_aggrefs(x):
         if isinstance(x, tuple):
             if x and x[0] == "aggref":
-                key = (x[1], x[2], x[3])
+                key = (x[1], repr(x[2]), x[3])
                 if key not in agg_alias:
                     alias = f"#hav{len(specs)}"
                     specs.append((x[1], x[2], x[3], alias, " "))
@@ -1522,7 +1523,7 @@ def _apply_tail(spark, q, u, g, values_conds, pre_exprs, post_exprs,
         def _resolve(x):
             if isinstance(x, tuple):
                 if x and x[0] == "aggref":
-                    return ("var", agg_alias[(x[1], x[2], x[3])])
+                    return ("var", agg_alias[(x[1], repr(x[2]), x[3])])
                 return tuple(_resolve(e) for e in x)
             if isinstance(x, list):
                 return [_resolve(e) for e in x]

@@ -218,8 +218,17 @@ class _P:
                     func = self.next()[1].upper()
                     self.expect("(")
                     distinct = self.kw("DISTINCT")
-                    inner = self.next()
-                    var = None if inner[1] == "*" else inner[1][1:]
+                    if self.peek()[1] == "*":
+                        self.next()
+                        var = None
+                    else:
+                        # aggregate input: a bare variable (kept as its
+                        # name) or any expression (kept as its AST,
+                        # computed pre-grouping)
+                        inner_e = self._additive()
+                        var = inner_e[1] if (isinstance(inner_e, tuple)
+                                             and inner_e[0] == "var") \
+                            else inner_e
                     sep = " "
                     if self.peek()[1] == ";":   # GROUP_CONCAT separator
                         self.next()
@@ -248,8 +257,32 @@ class _P:
         q.where = self._group()
         if self.kw("GROUP"):
             self.expect("BY")
-            while self.peek()[0] == "VAR":
-                q.group_by.append(self.next()[1][1:])
+            while True:
+                t = self.peek()
+                if t[0] == "VAR":
+                    q.group_by.append(self.next()[1][1:])
+                elif t[1] == "(":
+                    # GroupCondition '(' Expression ('AS' Var)? ')': the
+                    # key computes pre-grouping as a select expression;
+                    # '#'-prefixed internal keys never project
+                    self.next()
+                    expr = self._additive()
+                    alias = self.next()[1][1:] if self.kw("AS") \
+                        else f"#gk{len(q.group_by)}"
+                    self.expect(")")
+                    q.select_exprs.append((alias, expr))
+                    q.group_by.append(alias)
+                elif t[0] == "KW" and self.peek(1)[1] == "(" \
+                        and t[1].upper() not in ("HAVING", "ORDER",
+                                                 "LIMIT", "OFFSET",
+                                                 "VALUES"):
+                    # bare BuiltInCall group condition, e.g. STR(?x)
+                    expr = self._additive()
+                    alias = f"#gk{len(q.group_by)}"
+                    q.select_exprs.append((alias, expr))
+                    q.group_by.append(alias)
+                else:
+                    break
         while self.kw("HAVING"):
             q.having.append(self._filter_expr())
         if self.kw("ORDER"):
@@ -766,8 +799,13 @@ class _P:
             func = t[1].upper()
             self.expect("(")
             distinct = self.kw("DISTINCT")
-            inner = self.next()
-            var = None if inner[1] == "*" else inner[1][1:]
+            if self.peek()[1] == "*":
+                self.next()
+                var = None
+            else:
+                inner_e = self._additive()
+                var = inner_e[1] if (isinstance(inner_e, tuple)
+                                     and inner_e[0] == "var") else inner_e
             self.expect(")")
             return ("aggref", func, var, distinct)
         if t[0] == "KW" and t[1].upper() == "CONCAT":
@@ -1968,12 +2006,13 @@ class SparqlEngine:
             visible = [a[3] for a in specs]
             # HAVING may reference aggregates not in the projection:
             # compute them as hidden columns, filter, then drop
-            agg_alias = {(f, v, d): a for f, v, d, a, _s in specs}
+            # keys use repr(input) — an expression AST may hold lists
+            agg_alias = {(f, repr(v), d): a for f, v, d, a, _s in specs}
 
             def _collect_aggrefs(x):
                 if isinstance(x, tuple):
                     if x[0] == "aggref":
-                        key = (x[1], x[2], x[3])
+                        key = (x[1], repr(x[2]), x[3])
                         if key not in agg_alias:
                             alias = f"#hav{len(specs)}"
                             specs.append((x[1], x[2], x[3], alias, " "))
@@ -1988,17 +2027,29 @@ class SparqlEngine:
             for h in q.having:
                 _collect_aggrefs(h)
 
+            # expression aggregate inputs compute PRE-GROUPING as
+            # hidden columns (plain computed values, not term strings)
+            expr_inputs: dict = {}
+            for func, var, distinct, alias, sep in specs:
+                if isinstance(var, tuple) and repr(var) not in expr_inputs:
+                    hid = f"#aggin{len(expr_inputs)}"
+                    df = df.withColumn(hid, self._operand_col(var))
+                    expr_inputs[repr(var)] = hid
+
             aggs = []
             for func, var, distinct, alias, sep in specs:
                 if func == "COUNT" and var is None:
                     aggs.append(F.count(F.lit(1)).alias(alias))
                     continue
-                col = F.col(var)
+                is_expr = isinstance(var, tuple)
+                col = F.col(expr_inputs[repr(var)]) if is_expr \
+                    else F.col(var)
                 if func == "COUNT":
                     aggs.append((F.count_distinct(col) if distinct
                                  else F.count(col)).alias(alias))
                 elif func == "GROUP_CONCAT":
-                    vals = lexical_value(col)
+                    vals = col.cast("string") if is_expr \
+                        else lexical_value(col)
                     coll = F.collect_set(vals) if distinct \
                         else F.collect_list(vals)
                     # SPARQL leaves member order undefined; sorting makes
@@ -2012,10 +2063,18 @@ class SparqlEngine:
                     # DISTINCT removes duplicate TERMS before the
                     # numeric aggregate (§18.5.1); MIN/MAX are
                     # unaffected by the quantifier
-                    aggs.append(distinct_numeric_agg(col, func)
-                                .alias(alias))
+                    if is_expr:
+                        ncol = col.cast("double")
+                        agg = F.sum_distinct(ncol) if func == "SUM" \
+                            else (F.sum_distinct(ncol) /
+                                  F.count_distinct(ncol))
+                        aggs.append(agg.alias(alias))
+                    else:
+                        aggs.append(distinct_numeric_agg(col, func)
+                                    .alias(alias))
                 else:
-                    ncol = numeric_value(col)
+                    ncol = col.cast("double") if is_expr \
+                        else numeric_value(col)
                     fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min,
                           "MAX": F.max}[func]
                     aggs.append(fn(ncol).alias(alias))
@@ -2027,7 +2086,7 @@ class SparqlEngine:
             def _resolve(x):
                 if isinstance(x, tuple):
                     if x[0] == "aggref":
-                        return ("var", agg_alias[(x[1], x[2], x[3])])
+                        return ("var", agg_alias[(x[1], repr(x[2]), x[3])])
                     return tuple(_resolve(e) for e in x)
                 if isinstance(x, list):
                     return [_resolve(e) for e in x]
@@ -2044,7 +2103,9 @@ class SparqlEngine:
             # aliases AND aggregate aliases in source order); group keys
             # not explicitly selected keep their legacy trailing spot
             proj = list(dict.fromkeys(
-                [v for v in q.variables if v != "*"] + q.group_by + visible))
+                [v for v in q.variables if v != "*"]
+                + [g for g in q.group_by if not g.startswith("#")]
+                + visible))
             if not proj:
                 raise ValueError("HAVING needs GROUP BY or a projected "
                                  "aggregate")

@@ -88,8 +88,46 @@ class SelectQuery:
 # Parser
 # ---------------------------------------------------------------------------
 
+def _canon_string_token(tok: str) -> str:
+    """Normalize any SPARQL string form ('…', '''…''', \"\"\"…\"\"\") to
+    the canonical short double-quoted token the rest of the engine
+    expects: source-quote escapes unwrap, raw quotes/newlines from the
+    long forms re-escape, existing escape sequences pass through."""
+    if tok[:3] in ('"""', "'''"):
+        body = tok[3:-3]
+    elif tok[0] == '"':
+        return tok                   # already canonical short form
+    else:
+        body = tok[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "'":
+                out.append("'")      # \' needs no escape in "…"
+            else:
+                out.append(c + nxt)
+            i += 2
+            continue
+        if c == '"':
+            out.append('\\"')
+        elif c == "\n":
+            out.append("\\n")
+        elif c == "\r":
+            out.append("\\r")
+        else:
+            out.append(c)
+        i += 1
+    return '"' + "".join(out) + '"'
+
+
 _TOKEN = re.compile(r"""
-      (?P<STR>"(?:[^"\\]|\\.)*")
+      (?P<STR>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
+             |'''(?:[^'\\]|\\.|'(?!''))*'''
+             |"(?:[^"\\]|\\.)*"
+             |'(?:[^'\\]|\\.)*')
     | (?P<IRI><[^>\s]*>)
     | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
     | (?P<BNODE>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
@@ -114,7 +152,10 @@ class _P:
             pos = m.end()
             if m.lastgroup in ("WS", "COMMENT"):
                 continue
-            self.toks.append((m.lastgroup, m.group(0)))
+            val = m.group(0)
+            if m.lastgroup == "STR":
+                val = _canon_string_token(val)
+            self.toks.append((m.lastgroup, val))
         self.toks.append(("EOF", ""))
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -422,6 +463,10 @@ class _P:
 
     def _term(self) -> tuple:
         t = self.next()
+        if t[1] == "(" and self.peek()[1] == ")":
+            self.next()              # NIL: the empty collection
+            return ("iri",
+                    "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")
         if t[0] == "VAR":
             return ("var", t[1][1:])
         if t[0] == "IRI":

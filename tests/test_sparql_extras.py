@@ -243,3 +243,28 @@ def test_aggpush_refuses_expression_inputs(spark):
         "SELECT (SUM(?p) AS ?t) WHERE { ?o ex:totalPrice ?p }"
     ).collect()[0]["t"]
     assert abs(got - 2 * want) < 1e-6 * abs(got)
+
+
+def test_alternative_string_forms_normalize(spark):
+    """Single-quoted and long (triple-quoted) SPARQL strings normalize
+    to the canonical double-quoted escaped term form at tokenization,
+    so they match storage written by the engine."""
+    from morph_xr2rml_spark.sparql import SparqlEngine, parse_sparql
+    df = spark.createDataFrame(
+        [("<a>", "<p>", '"abc"', None),
+         ("<b>", "<p>", '"he said \\"hi\\""', None),
+         ("<c>", "<p>", '"multi\\nline"', None)],
+        "subj string, pred string, obj string, graph string")
+    eng = SparqlEngine(df)
+    assert [r["s"] for r in
+            eng.sql("SELECT ?s WHERE { ?s <p> 'abc' }").collect()] == ["<a>"]
+    assert [r["s"] for r in eng.sql(
+        "SELECT ?s WHERE { ?s <p> '''he said \"hi\"''' }"
+    ).collect()] == ["<b>"]
+    assert [r["s"] for r in eng.sql(
+        'SELECT ?s WHERE { ?s <p> """multi\nline""" }'
+    ).collect()] == ["<c>"]
+    # NIL term: the empty collection IRI
+    q = parse_sparql("SELECT ?s WHERE { ?s <p> () }")
+    assert q.where.patterns[0].o == \
+        ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")

@@ -291,8 +291,17 @@ class JsonNativeCompiler:
         self.catalog = catalog
         self.cfg = cfg or EngineConfig()
         self.sample_n = sample_n
-        self._schema_cache: dict[str, T.StructType] = {}
-        self._unsafe_paths: dict[str, list[str]] = {}
+        # schema sampling costs a driver-side collect() job per (source,
+        # path-set): cache on the CATALOG so repeated queries over the
+        # same registered data pay it once, not once per compile.  The
+        # key carries the needed-path set, so different mappings sharing
+        # a catalog never collide; re-registering data makes a new
+        # catalog (or clears the attribute).
+        cache = getattr(catalog, "_json_schema_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(catalog, "_json_schema_cache", cache)
+        self._schema_cache: dict[str, tuple] = cache
 
     # -- schema ----------------------------------------------------------
     def _needed_paths(self, tm: TriplesMap) -> list[list[str]]:
@@ -340,10 +349,15 @@ class JsonNativeCompiler:
                     add(jc.child_ref)
         return paths
 
+    def _cache_key(self, tm: TriplesMap) -> str:
+        paths = sorted(".".join(p) for p in self._needed_paths(tm))
+        return (tm.logical_source.source_id() + "|" + repr(paths)
+                + f"|{self.sample_n}")
+
     def _schema_for(self, tm: TriplesMap) -> T.StructType:
-        key = tm.logical_source.source_id() + "|" + tm.name
+        key = self._cache_key(tm)
         if key in self._schema_cache:
-            return self._schema_cache[key]
+            return self._schema_cache[key][0]
         tree: dict = {}
         for path in self._needed_paths(tm):
             node = tree
@@ -381,19 +395,18 @@ class JsonNativeCompiler:
                 scan(node[k], f"{prefix}.{k}" if prefix else k)
 
         scan(tree, "")
-        self._unsafe_paths[key] = unsafe
         schema = _tree_to_struct(tree)
-        self._schema_cache[key] = schema
+        self._schema_cache[key] = (schema, unsafe)
         return schema
 
     def unsafe_paths(self, tm: TriplesMap) -> list[str]:
         """Mapping-required leaves whose type the sample could not pin
         (unseen or conflicting) — non-empty means this TM should run on
         the document compiler instead."""
-        key = tm.logical_source.source_id() + "|" + tm.name
-        if key not in self._unsafe_paths:
+        key = self._cache_key(tm)
+        if key not in self._schema_cache:
             self._schema_for(tm)
-        return self._unsafe_paths[key]
+        return self._schema_cache[key][1]
 
     # -- term expressions --------------------------------------------------
     def _field_col(self, tm: TriplesMap, root: Column, item: Optional[Column],

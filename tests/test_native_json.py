@@ -176,3 +176,39 @@ def test_json_native_graph_quads_match_python_tier(spark):
     assert "<http://example.com/gd>" in graphs
     assert "<http://example.org/g/x>" in graphs
     assert None in graphs                       # id=2 class/ref quads
+
+
+def test_schema_sampling_cached_on_catalog(spark):
+    """The schema-inference sampling collect() runs once per (source,
+    path-set) PER CATALOG, not per compiler instance — repeated point
+    queries over the same registered data skip the driver job."""
+    import time
+    from morph_xr2rml_spark.native_json import JsonNativeCompiler
+    from morph_xr2rml_spark.sources import SourceCatalog
+    import json as _json
+    docs = [_json.dumps({"id": i, "v": i * 2}) for i in range(50)]
+    cat = SourceCatalog().register_collection(
+        "c", spark.createDataFrame([(d,) for d in docs], "content string"))
+    M = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#T> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.c.find({})" ];
+    rr:subjectMap [ rr:template "http://example.org/t/{$.id}" ];
+    rr:predicateObjectMap [ rr:predicate ex:v;
+                            rr:objectMap [ xrr:reference "$.v" ] ].
+"""
+    mapping = MappingDocument.from_text(M)
+    tm = mapping.triples_maps["#T"]
+    s1 = JsonNativeCompiler(spark, mapping, cat)._schema_for(tm)
+    t0 = time.time()
+    s2 = JsonNativeCompiler(spark, mapping, cat)._schema_for(tm)
+    assert time.time() - t0 < 0.05      # no sampling job on the rerun
+    assert s1 == s2
+    # a different path set misses the cache (no false sharing)
+    M2 = M.replace('xrr:reference "$.v"', 'xrr:reference "$.id"')
+    m2 = MappingDocument.from_text(M2)
+    s3 = JsonNativeCompiler(spark, m2, cat)._schema_for(
+        m2.triples_maps["#T"])
+    assert "v" not in s3.fieldNames()

@@ -421,3 +421,98 @@ def test_fuzz_graph_rewrite_equals_full(spark, graph_env, seed):
                   answer_tabular(spark, mapping, tables, q).collect())
     slow = sorted(tuple(r) for r in engine.sql(q).collect())
     assert fast == slow, f"divergence (seed {seed}) on:\n{q}"
+
+
+# ---------------------------------------------------------------------------
+# Document-tier graph contexts: the same GRAPH/FROM shapes over a
+# graph-mapped JSON collection (constraints compose into find()).
+# ---------------------------------------------------------------------------
+
+GRAPH_DOC_FUZZ_MAPPING = """
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#D> a rr:TriplesMap;
+    xrr:logicalSource [ xrr:query "db.gdocs.find({})"; xrr:uniqueRef "$.id" ];
+    rr:subjectMap [ rr:template "http://example.org/d/{$.id}";
+                    rr:class ex:Doc;
+                    rr:graphMap [ rr:template "http://example.org/g/{$.ga}" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:v;
+                            rr:objectMap [ xrr:reference "$.val" ];
+                            rr:graphMap [ rr:constant ex:gv ] ];
+    rr:predicateObjectMap [ rr:predicate ex:tag;
+                            rr:objectMap [ xrr:reference "$.tag" ] ].
+"""
+
+DOC_GRAPHS = ["<http://example.org/g/x>", "<http://example.org/g/y>",
+              "<http://example.com/gv>", "<http://example.com/nope>"]
+
+
+class DocGraphQueryGen:
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    def build(self):
+        r = self.rng
+        vars_ = []
+
+        def v(n):
+            if n not in vars_:
+                vars_.append(n)
+            return "?" + n
+
+        pats = []
+        for p in r.sample(["v", "tag", "class"], k=r.randint(1, 3)):
+            subj = v("s") and "?s"
+            if p == "v":
+                pats.append(f"{subj} ex:v {v('x')} .")
+            elif p == "tag":
+                pats.append(f"{subj} ex:tag {v('t')} .")
+            else:
+                pats.append(f"{subj} a ex:Doc .")
+        ctx = r.choice(["default", "const", "var"])
+        if ctx == "const":
+            body = [f"GRAPH {r.choice(DOC_GRAPHS)} "
+                    f"{{ {' '.join(pats)} }}"]
+        elif ctx == "var":
+            body = [f"GRAPH {v('g')} {{ {' '.join(pats)} }}"]
+        else:
+            body = pats
+        dataset = ""
+        if r.random() < 0.4:
+            for g in r.sample(DOC_GRAPHS, r.randint(1, 2)):
+                dataset += ("FROM NAMED " if r.random() < 0.5
+                            else "FROM ") + g + " "
+        proj = "*" if r.random() < 0.5 else " ".join(
+            "?" + n for n in r.sample(vars_, min(len(vars_), 2))) or "*"
+        return (f"SELECT {proj} {dataset}"
+                f"WHERE {{\n  {' '.join(body)}\n}}")
+
+
+@pytest.fixture(scope="module")
+def doc_graph_env(spark):
+    import json as _json
+    docs = [_json.dumps({"id": i, "ga": "x" if i % 2 else "y",
+                         "val": f"V{i}", "tag": f"T{i % 3}"})
+            for i in range(12)]
+    from morph_xr2rml_spark.sources import SourceCatalog
+    cat = SourceCatalog().register_collection(
+        "gdocs", spark.createDataFrame([(d,) for d in docs],
+                                       "content string"))
+    mapping = MappingDocument.from_text(GRAPH_DOC_FUZZ_MAPPING)
+    from morph_xr2rml_spark.engine import materialize
+    pool = materialize(spark, mapping, cat)
+    return mapping, cat, SparqlEngine(pool)
+
+
+DOC_GRAPH_SEEDS = list(range(701, 719))
+
+
+@pytest.mark.parametrize("seed", DOC_GRAPH_SEEDS)
+def test_fuzz_doc_graph_rewrite_equals_full(spark, doc_graph_env, seed):
+    mapping, cat, engine = doc_graph_env
+    q = P + DocGraphQueryGen(seed).build()
+    fast = sorted(tuple(r) for r in
+                  answer_documents(spark, mapping, cat, q).collect())
+    slow = sorted(tuple(r) for r in engine.sql(q).collect())
+    assert fast == slow, f"divergence (seed {seed}) on:\n{q}"

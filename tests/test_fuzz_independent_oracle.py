@@ -11,8 +11,9 @@ materialized pool) and the pushdown path (answer_tabular) must match.
 
 Restricted to shapes with an exact 1:1 SQL rendering: required BGP
 chains, constant subjects/objects, numeric-comparison and STRSTARTS and
-IN filters, DISTINCT, GROUP BY + COUNT/COUNT DISTINCT/MIN/MAX/SUM,
-total-order ORDER BY + LIMIT.  Numeric cells compare at 1e-6 relative
+IN filters, OPTIONAL (fresh-object left extensions -> LEFT JOIN),
+FILTER (NOT) EXISTS (-> correlated [NOT] EXISTS), DISTINCT, GROUP BY +
+COUNT/COUNT DISTINCT/MIN/MAX/SUM, total-order ORDER BY + LIMIT.  Numeric cells compare at 1e-6 relative
 (SUM reassociation)."""
 
 import random
@@ -129,8 +130,35 @@ class Gen:
     def build(self):
         r = self.r
         root = r.choice(["customer", "order", "nation"])
-        self.entity_patterns(root, self.v(root[0]))
+        root_var = self.v(root[0])
+        self.entity_patterns(root, root_var)
         self.gen_filters()
+
+        # OPTIONAL: fresh-object left extensions on the root subject
+        self.optionals = []      # (svar, pred_iri, ovar)
+        if r.random() < 0.4:
+            pred, kind = r.choice(
+                [(p, k) for p, k in VOCAB[root] if k != "iri"])
+            ovar = self.v("opt")
+            self.var_kind[ovar] = kind
+            self.optionals.append((root_var, EX + pred, ovar))
+        # FILTER (NOT) EXISTS probes on the root subject
+        self.exists = []         # (positive, svar, pred_iri, obj_term)
+        if r.random() < 0.35:
+            positive = r.random() < 0.5
+            if root == "customer":
+                obj = ("lit", f'"{r.choice(SEGMENTS)}"') \
+                    if r.random() < 0.6 else None
+                self.exists.append((positive, root_var,
+                                    EX + "segment", obj))
+            elif root == "order":
+                obj = ("lit", f'"{r.choice(STATUSES)}"') \
+                    if r.random() < 0.6 else None
+                self.exists.append((positive, root_var,
+                                    EX + "status", obj))
+            else:
+                self.exists.append((positive, root_var,
+                                    EX + "inRegion", None))
 
         all_vars = [v for v in self.var_kind]
         agg = None
@@ -175,6 +203,12 @@ class Gen:
             return v  # lit carries quotes
 
         lines = [f"{sterm(s)} <{p}> {sterm(o)} ." for s, p, o in self.pats]
+        for sv, p_iri, ov in self.optionals:
+            lines.append(f"OPTIONAL {{ ?{sv} <{p_iri}> ?{ov} }}")
+        for positive, sv, p_iri, obj in self.exists:
+            kw = "EXISTS" if positive else "NOT EXISTS"
+            ob = sterm(obj) if obj is not None else "?exo"
+            lines.append(f"FILTER {kw} {{ ?{sv} <{p_iri}> {ob} }}")
         for f in self.filters:
             if f[0] == "numcmp":
                 lines.append(f"FILTER(?{f[1]} {f[2]} {f[3]})")
@@ -230,6 +264,19 @@ class Gen:
         def num(col):
             return f"CAST({lex(col)} AS DOUBLE)"
 
+        for k, (sv, p_iri, ov) in enumerate(self.optionals):
+            t = f"o{k}"
+            joins.append(f"LEFT JOIN triples {t} ON {t}.pred = '<{p_iri}>' "
+                         f"AND {t}.subj = {var_col[sv]}")
+            var_col[ov] = f"{t}.obj"
+        for k, (positive, sv, p_iri, obj) in enumerate(self.exists):
+            sub = (f"SELECT 1 FROM triples e{k} WHERE "
+                   f"e{k}.pred = '<{p_iri}>' AND e{k}.subj = {var_col[sv]}")
+            if obj is not None:
+                lit = obj[1].replace("'", "''")
+                sub += f" AND e{k}.obj = '{lit}'"
+            wheres.append(("EXISTS (" if positive else "NOT EXISTS (")
+                          + sub + ")")
         for f in self.filters:
             col = var_col[f[1]]
             if f[0] == "numcmp":
@@ -321,7 +368,7 @@ def env(spark):
     return mapping, tables, SparqlEngine(pool), con
 
 
-SEEDS = list(range(9001, 9036))
+SEEDS = list(range(9001, 9051))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

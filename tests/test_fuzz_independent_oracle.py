@@ -389,3 +389,178 @@ def test_fuzz_vs_duckdb_oracle(spark, env, seed):
                      answer_tabular(spark, mapping, tables, q).collect())
     assert got_push == want, \
         f"pushdown divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Graph-context shapes vs an independent quad CTE: the round-6 quad
+# machinery (native graph emission + GRAPH pushdown + evaluator graph
+# scoping) checked against DuckDB executing the R2RML target-graph
+# expansion spelled out in SQL.
+# ---------------------------------------------------------------------------
+
+def graph_quads_cte() -> str:
+    ex = "http://example.com/"
+    nat = "'<http://example.org/nation/' || n_nationkey || '>'"
+    reg = "'<http://example.org/region/' || r_regionkey || '>'"
+    g_reg = "'<http://example.org/g/' || n_regionkey || '>'"
+    rdft = "'<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'"
+    parts = [
+        # nation class triples: subject graphs
+        f"SELECT {nat} AS subj, {rdft} AS pred, '<{ex}Nation>' AS obj, "
+        f"{g_reg} AS graph FROM nation",
+        # nation names: subject graph ∪ POM constant graph
+        f"SELECT {nat}, '<{ex}name>', '\"' || n_name || '\"', {g_reg} "
+        f"FROM nation",
+        f"SELECT {nat}, '<{ex}name>', '\"' || n_name || '\"', "
+        f"'<{ex}gnames>' FROM nation",
+        # inRegion ROM quads: subject graphs
+        f"SELECT {nat}, '<{ex}inRegion>', {reg}, {g_reg} "
+        f"FROM nation JOIN region ON n_regionkey = r_regionkey",
+        # region names: default graph
+        f"SELECT {reg}, '<{ex}name>', '\"' || r_name || '\"', "
+        f"CAST(NULL AS VARCHAR) FROM region",
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return (f"WITH quads AS (SELECT DISTINCT * FROM (\n{body}\n) "
+            f"q(subj, pred, obj, graph))")
+
+
+GQ_GRAPHS = [f"http://example.org/g/{i}" for i in (0, 2, 4, 9)] + \
+            ["http://example.com/gnames", "http://example.com/nope"]
+
+
+class GraphGen:
+    """Random GRAPH-context query over the graph-mapped nation/region
+    KG, rendered to SPARQL and to SQL over the quad CTE."""
+
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def build(self):
+        r = self.r
+        # inner patterns (within the graph context), over nation
+        inner = []
+        vars_ = ["s"]
+        picks = r.sample(["name", "class", "region"], k=r.randint(1, 3))
+        for p in picks:
+            if p == "name":
+                inner.append(("s", EX + "name", ("var", "n")))
+                vars_.append("n")
+            elif p == "class":
+                inner.append(("s", RDF_TYPE, ("iri", EX + "Nation")))
+            else:
+                inner.append(("s", EX + "inRegion", ("var", "rg")))
+                vars_.append("rg")
+        ctx = r.choice(["default", "const", "var"])
+        gconst = r.choice(GQ_GRAPHS)
+        cross = "rg" in vars_ and r.random() < 0.6
+        if cross:
+            vars_.append("rn")   # default-graph join outside the ctx
+        proj = r.sample(vars_, min(len(vars_), r.randint(1, 3)))
+        if ctx == "var":
+            proj = list(dict.fromkeys(proj + ["g"]))
+
+        # SPARQL
+        def sterm(t):
+            return f"?{t[1]}" if t[0] == "var" else f"<{t[1]}>"
+
+        ilines = " ".join(f"?{s} <{p}> {sterm(o)} ." for s, p, o in inner)
+        if ctx == "default":
+            body = ilines
+        elif ctx == "const":
+            body = f"GRAPH <{gconst}> {{ {ilines} }}"
+        else:
+            body = f"GRAPH ?g {{ {ilines} }}"
+        if cross:
+            body += f" ?rg <{EX}name> ?rn ."
+        sel = " ".join(f"?{v}" for v in proj)
+        sparql = (f"SELECT {sel} WHERE {{ {body} }} ORDER BY "
+                  + " ".join(f"?{v}" for v in proj))
+
+        # SQL
+        var_col: dict = {}
+        joins, wheres = [], []
+
+        def gcond(t):
+            if ctx == "default":
+                return f"{t}.graph IS NULL"
+            if ctx == "const":
+                return f"{t}.graph = '<{gconst}>'"
+            return f"{t}.graph IS NOT NULL"
+
+        for i, (sv, p, o) in enumerate(inner):
+            t = f"t{i}"
+            conds = [f"{t}.pred = '<{p}>'", gcond(t)]
+            if sv in var_col:
+                conds.append(f"{t}.subj = {var_col[sv]}")
+            else:
+                var_col[sv] = f"{t}.subj"
+            if ctx == "var":
+                # one GRAPH group: every pattern binds the SAME graph
+                if "g" in var_col:
+                    conds.append(f"{t}.graph = {var_col['g']}")
+                else:
+                    var_col["g"] = f"{t}.graph"
+            k, v = o
+            if k == "var":
+                if v in var_col:
+                    conds.append(f"{t}.obj = {var_col[v]}")
+                else:
+                    var_col[v] = f"{t}.obj"
+            else:
+                conds.append(f"{t}.obj = '<{v}>'")
+            if i == 0:
+                joins.append("quads t0")
+                wheres.extend(conds)
+            else:
+                joins.append(f"JOIN quads {t} ON " + " AND ".join(conds))
+        if cross:
+            t = "tx"
+            joins.append(
+                f"JOIN quads {t} ON {t}.pred = '<{EX}name>' AND "
+                f"{t}.graph IS NULL AND {t}.subj = {var_col['rg']}")
+            var_col["rn"] = f"{t}.obj"
+
+        sel_cols = ", ".join(f"{var_col[v]} AS {v}" for v in proj)
+        lexv = {v: (f"(CASE WHEN {var_col[v]} LIKE '<%' THEN "
+                    f"regexp_replace({var_col[v]}, '^<|>$', '', 'g') "
+                    f"ELSE regexp_extract({var_col[v]}, "
+                    f"'^\"([^\"]*)', 1) END)") for v in proj}
+        rank = {v: (f"(CASE WHEN {var_col[v]} LIKE '<%' THEN 2 "
+                    f"ELSE 3 END)") for v in proj}
+        keys = ", ".join(f"{rank[v]}, {lexv[v]}" for v in proj)
+        sql = (f"SELECT {sel_cols}\nFROM " + "\n".join(joins)
+               + ("\nWHERE " + " AND ".join(wheres) if wheres else "")
+               + f"\nORDER BY {keys}")
+        return sparql, sql
+
+
+@pytest.fixture(scope="module")
+def graph_env(spark):
+    from morph_xr2rml_spark.examples import GRAPH_KG_MAPPING
+    mapping = MappingDocument.from_text(GRAPH_KG_MAPPING)
+    tables = tpch_tables(spark, SF_DIR)
+    pool = NativeCompiler(spark, mapping, tables,
+                          fuse_projections=False).triples(dedup=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return mapping, tables, SparqlEngine(pool), con
+
+
+GRAPH_SEEDS = list(range(9501, 9526))
+
+
+@pytest.mark.parametrize("seed", GRAPH_SEEDS)
+def test_graph_fuzz_vs_duckdb_oracle(spark, graph_env, seed):
+    mapping, tables, engine, con = graph_env
+    sparql, sql = GraphGen(seed).build()
+    q = "PREFIX ex: <http://example.com/>\n" + sparql
+    want = _norm(con.execute(graph_quads_cte() + "\n" + sql).fetchall())
+    got_eval = _norm(engine.sql(q).collect())
+    assert got_eval == want, \
+        f"evaluator divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"
+    got_push = _norm(answer_tabular(spark, mapping, tables, q).collect())
+    assert got_push == want, \
+        f"pushdown divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"

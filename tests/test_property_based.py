@@ -175,3 +175,56 @@ def test_numcmp_python_op_matches_semantics(x, bound):
     assert pred({"f": x}) == (x > bound)
     assert not pred({"f": "not-a-number"})
     assert not pred({})                        # missing field never matches
+
+
+# ---------------------------------------------------------------------------
+# Round-6: graph-context inversion soundness (rewrite.invert_graph_ctx)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + string.digits,
+                        min_size=1, max_size=8), min_size=1, max_size=2),
+       _SEP,
+       st.sampled_from(["default", "any", "iri"]),
+       st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_invert_graph_ctx_never_false_prunes(values, sep, ctx_kind,
+                                             with_pom_graph):
+    """A TM whose graph maps CAN render into the pattern's graph context
+    must never come back None (no false TM elimination), and a derived
+    conj must be exactly the rendering row's values (no wrong
+    constraint) — the soundness contract the GRAPH pushdown relies on."""
+    from morph_xr2rml_spark.model import MappingDocument
+    from morph_xr2rml_spark.rewrite import AMBIGUOUS, invert_graph_ctx
+    groups = [f"c{i}" for i in range(len(values))]
+    tmpl = "http://g/" + sep.join("{" + g + "}" for g in groups)
+    pom_graph = ('rr:graphMap [ rr:constant <http://g/const> ];'
+                 if with_pom_graph else "")
+    mapping = MappingDocument.from_text(f"""
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix ex: <http://example.com/> .
+<#T> a rr:TriplesMap;
+    rr:logicalTable [ rr:tableName "t" ];
+    rr:subjectMap [ rr:template "http://s/{{{groups[0]}}}";
+                    rr:graphMap [ rr:template "{tmpl}" ] ];
+    rr:predicateObjectMap [ rr:predicate ex:v; {pom_graph}
+                            rr:objectMap [ rr:column "v" ] ].
+""")
+    tm = mapping.triples_maps["#T"]
+    rendered = "http://g/" + sep.join(values)
+    if ctx_kind == "default":
+        ctx = ("default",)
+    elif ctx_kind == "any":
+        ctx = ("any",)
+    else:
+        ctx = ("iri", rendered)
+    res = invert_graph_ctx(tm, {"http://example.com/v"}, ctx)
+    if ctx_kind == "default":
+        # every POM triple lands in named graphs: provably not default
+        assert res is None
+    elif ctx_kind == "any":
+        assert res is AMBIGUOUS
+    else:
+        # the template renders this graph for SOME row: never None
+        assert res is not None
+        if isinstance(res, dict):
+            assert res == dict(zip(groups, values))

@@ -911,7 +911,8 @@ class _P:
             self.expect(")")
             return ("numop", func, arg)
         if t[0] == "KW" and t[1].upper() in (
-                "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+                "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+                "TZ", "TIMEZONE"):
             func = t[1].upper()
             self.expect("(")
             arg = self._operand()
@@ -1824,6 +1825,24 @@ class SparqlEngine:
         s = self._operand_col(arg, lexical=True).cast("string")
         if func == "TZ":
             return F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1)
+        if func == "TIMEZONE":
+            # §17.4.5.7: the timezone as an xsd:dayTimeDuration term;
+            # no timezone on the dateTime → error (NULL/unbound)
+            tz = F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2})$", 1)
+            sign = F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+            h = F.regexp_extract(tz, r"(\d{2}):", 1).try_cast("int")
+            m = F.regexp_extract(tz, r":(\d{2})$", 1).try_cast("int")
+            dur = (F.when(tz == "Z", F.lit("PT0S"))
+                    .when((h == 0) & (m == 0), F.lit("PT0S"))
+                    .when(m == 0, F.concat(sign, F.lit("PT"),
+                                           h.cast("string"), F.lit("H")))
+                    .otherwise(F.concat(sign, F.lit("PT"),
+                                        h.cast("string"), F.lit("H"),
+                                        m.cast("string"), F.lit("M"))))
+            return F.when(tz == "", F.lit(None)).otherwise(F.concat(
+                F.lit('"'), dur,
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema'
+                      '#dayTimeDuration>')))
         v = F.regexp_extract(s, self._DT_PATTERNS[func], 1)
         return v.try_cast("double" if func == "SECONDS" else "int")
 

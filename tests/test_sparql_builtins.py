@@ -257,3 +257,22 @@ def test_typed_literal_in_list(eng):
             FILTER(?d IN ("1987-06-05"^^xsd:date, "2001-01-01"^^xsd:date))
         }}""")
     assert got == ["<http://ex/c>"]
+
+
+def test_timezone_builtin(spark):
+    """TIMEZONE (§17.4.5.7): the zone as an xsd:dayTimeDuration term —
+    the spec's own examples; no timezone → error (unbound)."""
+    from morph_xr2rml_spark.sparql import SparqlEngine
+    XD = "^^<http://www.w3.org/2001/XMLSchema#dateTime>"
+    df = spark.createDataFrame(
+        [("<a>", "<p>", f'"2011-01-10T14:45:13.815-05:00"{XD}', None),
+         ("<b>", "<p>", f'"2011-01-10T14:45:13Z"{XD}', None),
+         ("<c>", "<p>", f'"2011-01-10T14:45:13+05:30"{XD}', None),
+         ("<d>", "<p>", f'"2011-01-10T14:45:13"{XD}', None)],
+        "subj string, pred string, obj string, graph string")
+    out = SparqlEngine(df).sql(
+        "SELECT ?s (TIMEZONE(?x) AS ?tz) WHERE { ?s <p> ?x } ORDER BY ?s")
+    dt = "^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>"
+    assert [tuple(r) for r in out.collect()] == [
+        ("<a>", f'"-PT5H"{dt}'), ("<b>", f'"PT0S"{dt}'),
+        ("<c>", f'"PT5H30M"{dt}'), ("<d>", None)]

@@ -453,6 +453,18 @@ class GraphGen:
                 vars_.append("rg")
         ctx = r.choice(["default", "const", "var"])
         gconst = r.choice(GQ_GRAPHS)
+        # dataset clauses: FROM graphs merge into the default graph,
+        # FROM NAMED restricts GRAPH — mirrored in SQL as per-pattern
+        # graph conditions / a DISTINCT merge subselect
+        dataset = None
+        if r.random() < 0.5:
+            kind = r.choice(["from1", "from2", "named"])
+            if kind == "from1":
+                dataset = ("from", [r.choice(GQ_GRAPHS)])
+            elif kind == "from2":
+                dataset = ("from", r.sample(GQ_GRAPHS, 2))
+            else:
+                dataset = ("named", r.sample(GQ_GRAPHS, r.randint(1, 2)))
         cross = "rg" in vars_ and r.random() < 0.6
         if cross:
             vars_.append("rn")   # default-graph join outside the ctx
@@ -474,23 +486,52 @@ class GraphGen:
         if cross:
             body += f" ?rg <{EX}name> ?rn ."
         sel = " ".join(f"?{v}" for v in proj)
-        sparql = (f"SELECT {sel} WHERE {{ {body} }} ORDER BY "
+        ds = ""
+        if dataset is not None:
+            kw = "FROM " if dataset[0] == "from" else "FROM NAMED "
+            ds = "".join(f"{kw}<{g}> " for g in dataset[1])
+        sparql = (f"SELECT {sel} {ds}WHERE {{ {body} }} ORDER BY "
                   + " ".join(f"?{v}" for v in proj))
 
         # SQL
         var_col: dict = {}
         joins, wheres = [], []
+        merged = None
+        if dataset is not None and dataset[0] == "from":
+            ins = ", ".join(f"'<{g}>'" for g in dataset[1])
+            merged = ("(SELECT DISTINCT subj, pred, obj, "
+                      "CAST(NULL AS VARCHAR) AS graph FROM quads "
+                      f"WHERE graph IN ({ins}))")
 
-        def gcond(t):
-            if ctx == "default":
-                return f"{t}.graph IS NULL"
-            if ctx == "const":
-                return f"{t}.graph = '<{gconst}>'"
-            return f"{t}.graph IS NOT NULL"
+        def src_for(context):
+            if dataset is not None and dataset[0] == "from" \
+                    and context == "default":
+                return merged
+            return "quads"
+
+        def gcond_for(t, context):
+            if dataset is None:
+                if context == "default":
+                    return f"{t}.graph IS NULL"
+                if context == "const":
+                    return f"{t}.graph = '<{gconst}>'"
+                return f"{t}.graph IS NOT NULL"
+            if dataset[0] == "from":
+                # named graphs empty; merged default carries NULL graph
+                return f"{t}.graph IS NULL" if context == "default" \
+                    else "1 = 0"
+            named = dataset[1]
+            if context == "default":
+                return "1 = 0"
+            if context == "const":
+                return f"{t}.graph = '<{gconst}>'" \
+                    if gconst in named else "1 = 0"
+            ins = ", ".join(f"'<{g}>'" for g in named)
+            return f"{t}.graph IN ({ins})"
 
         for i, (sv, p, o) in enumerate(inner):
             t = f"t{i}"
-            conds = [f"{t}.pred = '<{p}>'", gcond(t)]
+            conds = [f"{t}.pred = '<{p}>'", gcond_for(t, ctx)]
             if sv in var_col:
                 conds.append(f"{t}.subj = {var_col[sv]}")
             else:
@@ -510,15 +551,18 @@ class GraphGen:
             else:
                 conds.append(f"{t}.obj = '<{v}>'")
             if i == 0:
-                joins.append("quads t0")
+                joins.append(f"{src_for(ctx)} t0")
                 wheres.extend(conds)
             else:
-                joins.append(f"JOIN quads {t} ON " + " AND ".join(conds))
+                joins.append(f"JOIN {src_for(ctx)} {t} ON "
+                             + " AND ".join(conds))
         if cross:
             t = "tx"
             joins.append(
-                f"JOIN quads {t} ON {t}.pred = '<{EX}name>' AND "
-                f"{t}.graph IS NULL AND {t}.subj = {var_col['rg']}")
+                f"JOIN {src_for('default')} {t} ON "
+                f"{t}.pred = '<{EX}name>' AND "
+                f"{gcond_for(t, 'default')} AND "
+                f"{t}.subj = {var_col['rg']}")
             var_col["rn"] = f"{t}.obj"
 
         sel_cols = ", ".join(f"{var_col[v]} AS {v}" for v in proj)

@@ -593,7 +593,7 @@ def graph_env(spark):
     return mapping, tables, SparqlEngine(pool), con
 
 
-GRAPH_SEEDS = list(range(9501, 9526))
+GRAPH_SEEDS = list(range(9501, 9541))
 
 
 @pytest.mark.parametrize("seed", GRAPH_SEEDS)

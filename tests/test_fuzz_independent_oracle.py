@@ -608,3 +608,137 @@ def test_graph_fuzz_vs_duckdb_oracle(spark, graph_env, seed):
     got_push = _norm(answer_tabular(spark, mapping, tables, q).collect())
     assert got_push == want, \
         f"pushdown divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Top-level UNION shapes: bag union with NULL-padding to the column
+# union — SQL UNION ALL over aligned branch subqueries.
+# ---------------------------------------------------------------------------
+
+class UnionGen:
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    def _branch(self, tag: str):
+        """One branch: a small chain built by the base generator."""
+        g = Gen(0)
+        g.r = self.r                  # share the seeded stream
+        root = self.r.choice(["customer", "order", "nation"])
+        g.entity_patterns(root, g.v(root[0] + tag))
+        g.gen_filters()
+        return g
+
+    def build(self):
+        r = self.r
+        a, b = self._branch("a"), self._branch("b")
+
+        def sterm(t):
+            k, v = t
+            if k == "var":
+                return f"?{v}"
+            if k == "iri":
+                return f"<{v}>"
+            return v
+
+        def spql(g):
+            lines = [f"{sterm(s)} <{p}> {sterm(o)} ."
+                     for s, p, o in g.pats]
+            for f in g.filters:
+                if f[0] == "numcmp":
+                    lines.append(f"FILTER(?{f[1]} {f[2]} {f[3]})")
+                elif f[0] == "strstarts":
+                    lines.append(f'FILTER(STRSTARTS(?{f[1]}, "{f[2]}"))')
+                else:
+                    ins = ", ".join(f'"{x}"' for x in f[2])
+                    lines.append(f"FILTER(?{f[1]} IN ({ins}))")
+            return " ".join(lines)
+
+        all_vars = sorted(set(a.var_kind) | set(b.var_kind))
+        proj = r.sample(all_vars, min(len(all_vars), r.randint(1, 3)))
+        distinct = r.random() < 0.4
+        sel = ("DISTINCT " if distinct else "") \
+            + " ".join(f"?{v}" for v in proj)
+        sparql = (f"SELECT {sel} WHERE {{ {{ {spql(a)} }} UNION "
+                  f"{{ {spql(b)} }} }} ORDER BY "
+                  + " ".join(f"?{v}" for v in proj))
+
+        def branch_sql(g):
+            var_col: dict = {}
+            joins, wheres = [], []
+            for i, (s, p, o) in enumerate(g.pats):
+                t = f"t{i}"
+                conds = [f"{t}.pred = '<{p}>'"]
+                for term, col in ((s, f"{t}.subj"), (o, f"{t}.obj")):
+                    k, v = term
+                    if k == "var":
+                        if v in var_col:
+                            conds.append(f"{col} = {var_col[v]}")
+                        else:
+                            var_col[v] = col
+                    elif k == "iri":
+                        conds.append(f"{col} = '<{v}>'")
+                    else:
+                        conds.append(f"{col} = '{v}'")
+                if i == 0:
+                    joins.append("triples t0")
+                    wheres.extend(conds)
+                else:
+                    joins.append(f"JOIN triples {t} ON "
+                                 + " AND ".join(conds))
+
+            def lex(col):
+                return f"regexp_extract({col}, '^\"([^\"]*)', 1)"
+
+            for f in g.filters:
+                col = var_col[f[1]]
+                if f[0] == "numcmp":
+                    wheres.append(
+                        f"CAST({lex(col)} AS DOUBLE) {f[2]} {f[3]}")
+                elif f[0] == "strstarts":
+                    wheres.append(f"{lex(col)} LIKE '{f[2]}%'")
+                else:
+                    ins = ", ".join(f"'\"{x}\"'" for x in f[2])
+                    wheres.append(f"{col} IN ({ins})")
+            sel_cols = ", ".join(
+                (f"{var_col[v]} AS {v}" if v in var_col
+                 else f"CAST(NULL AS VARCHAR) AS {v}") for v in proj)
+            return (f"SELECT {sel_cols} FROM " + " ".join(joins)
+                    + (" WHERE " + " AND ".join(wheres) if wheres else ""))
+
+        inner = branch_sql(a) + "\nUNION ALL\n" + branch_sql(b)
+        num_re = (r"\^\^<http://www\.w3\.org/2001/XMLSchema#(integer|"
+                  r"decimal|double|float|long|int|short|byte)>$")
+        keys = []
+        for v in proj:
+            c = v
+            keys.append(f"(CASE WHEN {c} IS NULL THEN 0 "
+                        f"WHEN {c} LIKE '<%' THEN 2 ELSE 3 END)")
+            keys.append(f"(CASE WHEN regexp_matches({c}, '{num_re}') "
+                        f"THEN CAST(regexp_extract({c}, "
+                        f"'^\"([^\"]*)', 1) AS DOUBLE) END) NULLS FIRST")
+            keys.append(f"(CASE WHEN {c} LIKE '<%' THEN "
+                        f"regexp_replace({c}, '^<|>$', '', 'g') "
+                        f"WHEN {c} LIKE '\"%' THEN "
+                        f"regexp_extract({c}, '^\"([^\"]*)', 1) "
+                        f"ELSE {c} END)")
+        sql = ("SELECT " + ("DISTINCT " if distinct else "") + "* FROM (\n"
+               + inner + "\n) u\nORDER BY " + ", ".join(keys))
+        return sparql, sql
+
+
+UNION_SEEDS = list(range(9801, 9819))
+
+
+@pytest.mark.parametrize("seed", UNION_SEEDS)
+def test_union_fuzz_vs_duckdb_oracle(spark, env, seed):
+    mapping, tables, engine, con = env
+    sparql, sql = UnionGen(seed).build()
+    q = "PREFIX ex: <http://example.com/>\n" + sparql
+    want = _norm(con.execute(kg_tpch_triples_cte() + "\n" + sql)
+                 .fetchall())
+    got_eval = _norm(engine.sql(q).collect())
+    assert got_eval == want, \
+        f"evaluator divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"
+    got_push = _norm(answer_tabular(spark, mapping, tables, q).collect())
+    assert got_push == want, \
+        f"pushdown divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"

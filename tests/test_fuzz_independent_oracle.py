@@ -142,23 +142,26 @@ class Gen:
             ovar = self.v("opt")
             self.var_kind[ovar] = kind
             self.optionals.append((root_var, EX + pred, ovar))
-        # FILTER (NOT) EXISTS probes on the root subject
-        self.exists = []         # (positive, svar, pred_iri, obj_term)
-        if r.random() < 0.35:
+        # FILTER (NOT) EXISTS probes on the root subject; MINUS with a
+        # subject-only shared var evaluates identically to NOT EXISTS
+        # (every common var bound on both sides -> anti join)
+        self.exists = []    # (positive, svar, pred_iri, obj_term, minus)
+        if r.random() < 0.45:
             positive = r.random() < 0.5
+            minus = (not positive) and r.random() < 0.4
             if root == "customer":
                 obj = ("lit", f'"{r.choice(SEGMENTS)}"') \
                     if r.random() < 0.6 else None
                 self.exists.append((positive, root_var,
-                                    EX + "segment", obj))
+                                    EX + "segment", obj, minus))
             elif root == "order":
                 obj = ("lit", f'"{r.choice(STATUSES)}"') \
                     if r.random() < 0.6 else None
                 self.exists.append((positive, root_var,
-                                    EX + "status", obj))
+                                    EX + "status", obj, minus))
             else:
                 self.exists.append((positive, root_var,
-                                    EX + "inRegion", None))
+                                    EX + "inRegion", None, minus))
 
         all_vars = [v for v in self.var_kind]
         agg = None
@@ -205,10 +208,13 @@ class Gen:
         lines = [f"{sterm(s)} <{p}> {sterm(o)} ." for s, p, o in self.pats]
         for sv, p_iri, ov in self.optionals:
             lines.append(f"OPTIONAL {{ ?{sv} <{p_iri}> ?{ov} }}")
-        for positive, sv, p_iri, obj in self.exists:
-            kw = "EXISTS" if positive else "NOT EXISTS"
+        for positive, sv, p_iri, obj, minus in self.exists:
             ob = sterm(obj) if obj is not None else "?exo"
-            lines.append(f"FILTER {kw} {{ ?{sv} <{p_iri}> {ob} }}")
+            if minus:
+                lines.append(f"MINUS {{ ?{sv} <{p_iri}> {ob} }}")
+            else:
+                kw = "EXISTS" if positive else "NOT EXISTS"
+                lines.append(f"FILTER {kw} {{ ?{sv} <{p_iri}> {ob} }}")
         for f in self.filters:
             if f[0] == "numcmp":
                 lines.append(f"FILTER(?{f[1]} {f[2]} {f[3]})")
@@ -269,7 +275,8 @@ class Gen:
             joins.append(f"LEFT JOIN triples {t} ON {t}.pred = '<{p_iri}>' "
                          f"AND {t}.subj = {var_col[sv]}")
             var_col[ov] = f"{t}.obj"
-        for k, (positive, sv, p_iri, obj) in enumerate(self.exists):
+        for k, (positive, sv, p_iri, obj, _minus) in \
+                enumerate(self.exists):
             sub = (f"SELECT 1 FROM triples e{k} WHERE "
                    f"e{k}.pred = '<{p_iri}>' AND e{k}.subj = {var_col[sv]}")
             if obj is not None:

@@ -749,3 +749,59 @@ def test_union_fuzz_vs_duckdb_oracle(spark, env, seed):
     got_push = _norm(answer_tabular(spark, mapping, tables, q).collect())
     assert got_push == want, \
         f"pushdown divergence (seed {seed})\nSPARQL:\n{q}\nSQL:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Subquery / top-k analytics shapes vs DuckDB (the flagship pattern the
+# aggregate fast path compiles; here the whole pipeline — sub-aggregate,
+# outer join, HAVING-like filter, top-k — is checked independently).
+# ---------------------------------------------------------------------------
+
+def _subquery_cases():
+    name_p, placed_p, price_p = (f"<{EX}name>", f"<{EX}placedBy>",
+                                 f"<{EX}totalPrice>")
+    lexd = "CAST(regexp_extract({c}, '^\"([^\"]*)', 1) AS DOUBLE)"
+    cases = []
+    for thr in (5, 15, 25):
+        cases.append((
+            f"SELECT ?name ?k WHERE {{ ?c ex:name ?name . "
+            f"{{ SELECT ?c (COUNT(*) AS ?k) WHERE "
+            f"{{ ?o ex:placedBy ?c }} GROUP BY ?c }} "
+            f"FILTER(?k >= {thr}) }} ORDER BY ?name ?k",
+            f"""SELECT regexp_extract(t0.obj, '^"([^"]*)"', 0) AS name, s.k
+FROM triples t0
+JOIN (SELECT t1.obj AS c, COUNT(*) AS k FROM triples t1
+      WHERE t1.pred = '{placed_p}' GROUP BY t1.obj) s
+  ON t0.subj = s.c
+WHERE t0.pred = '{name_p}' AND s.k >= {thr}
+ORDER BY regexp_extract(t0.obj, '^"([^"]*)', 1), s.k"""))
+    for k in (5, 10):
+        cases.append((
+            f"SELECT ?name ?t WHERE {{ ?c ex:name ?name . "
+            f"{{ SELECT ?c (SUM(?p) AS ?t) WHERE {{ ?o ex:placedBy ?c . "
+            f"?o ex:totalPrice ?p }} GROUP BY ?c }} }} "
+            f"ORDER BY DESC(?t) ?name LIMIT {k}",
+            f"""SELECT t0.obj AS name, s.t
+FROM triples t0
+JOIN (SELECT t1.obj AS c, SUM({lexd.format(c='t2.obj')}) AS t
+      FROM triples t1
+      JOIN triples t2 ON t2.subj = t1.subj
+           AND t2.pred = '{price_p}'
+      WHERE t1.pred = '{placed_p}' GROUP BY t1.obj) s
+  ON t0.subj = s.c
+WHERE t0.pred = '{name_p}'
+ORDER BY s.t DESC, regexp_extract(t0.obj, '^"([^"]*)', 1) LIMIT {k}"""))
+    return cases
+
+
+@pytest.mark.parametrize("idx", range(len(_subquery_cases())))
+def test_subquery_topk_vs_duckdb_oracle(spark, env, idx):
+    mapping, tables, engine, con = env
+    sparql, sql = _subquery_cases()[idx]
+    q = "PREFIX ex: <http://example.com/>\n" + sparql
+    want = _norm(con.execute(kg_tpch_triples_cte() + "\n" + sql)
+                 .fetchall())
+    got_eval = _norm(engine.sql(q).collect())
+    assert got_eval == want, f"evaluator divergence on:\n{q}"
+    got_push = _norm(answer_tabular(spark, mapping, tables, q).collect())
+    assert got_push == want, f"pushdown divergence on:\n{q}"

@@ -193,6 +193,31 @@ class _P:
                 raise ValueError("SPARQL parse: FROM expects an IRI")
             (q.from_named if named else q.from_graphs).append(t[1])
 
+    def _order_slice(self, q: SelectQuery) -> None:
+        """ORDER BY + LIMIT/OFFSET — shared by all four query forms
+        (the SolutionModifier tail of the grammar)."""
+        if self.kw("ORDER"):
+            self.expect("BY")
+            while True:
+                t = self.peek()
+                if t[1].upper() in ("ASC", "DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.expect("(")
+                    q.order_by.append((self._order_key(), asc))
+                    self.expect(")")
+                elif t[0] == "VAR" or (t[0] == "KW"
+                                       and self.peek(1)[1] == "("):
+                    q.order_by.append((self._order_key(), True))
+                else:
+                    break
+        while True:   # LIMIT/OFFSET appear in either order (SPARQL §18.2)
+            if self.kw("LIMIT"):
+                q.limit = int(self.next()[1])
+            elif self.kw("OFFSET"):
+                q.offset = int(self.next()[1])
+            else:
+                break
+
     # --- grammar -------------------------------------------------------
     def parse(self) -> SelectQuery:
         while self.kw("PREFIX"):
@@ -205,6 +230,7 @@ class _P:
             self._dataset_clauses(q)
             self.kw("WHERE")
             q.where = self._group()
+            self._order_slice(q)   # grammar-legal; existence unaffected
             return q
         if self.kw("CONSTRUCT"):
             q = SelectQuery(variables=["*"], aggregates=[])
@@ -221,8 +247,7 @@ class _P:
                 self._dataset_clauses(q)
                 self.expect("WHERE")
                 q.where = self._group()
-            if self.kw("LIMIT"):
-                q.limit = int(self.next()[1])
+            self._order_slice(q)
             return q
         if self.kw("DESCRIBE"):
             # DESCRIBE <uri>... / DESCRIBE ?v WHERE {...} — the reference
@@ -235,6 +260,7 @@ class _P:
             self._dataset_clauses(q)
             if self.kw("WHERE"):
                 q.where = self._group()
+            self._order_slice(q)
             return q
         self.expect("SELECT")
         q = SelectQuery(variables=[], aggregates=[])
@@ -326,27 +352,7 @@ class _P:
                     break
         while self.kw("HAVING"):
             q.having.append(self._filter_expr())
-        if self.kw("ORDER"):
-            self.expect("BY")
-            while True:
-                t = self.peek()
-                if t[1].upper() in ("ASC", "DESC"):
-                    asc = self.next()[1].upper() == "ASC"
-                    self.expect("(")
-                    q.order_by.append((self._order_key(), asc))
-                    self.expect(")")
-                elif t[0] == "VAR" or (t[0] == "KW"
-                                       and self.peek(1)[1] == "("):
-                    q.order_by.append((self._order_key(), True))
-                else:
-                    break
-        while True:   # LIMIT/OFFSET appear in either order (SPARQL §18.2)
-            if self.kw("LIMIT"):
-                q.limit = int(self.next()[1])
-            elif self.kw("OFFSET"):
-                q.offset = int(self.next()[1])
-            else:
-                break
+        self._order_slice(q)
         if self.kw("VALUES"):
             # postfix ValuesClause (§18.2.4.7): joins the WHERE pattern's
             # solutions — same algebra as a group-level VALUES block
@@ -1105,6 +1111,7 @@ class SparqlEngine:
             bindings = self._join_group(q.where) if q.where else None
             if bindings is None:
                 raise ValueError("DESCRIBE ?var needs a WHERE clause")
+            bindings = self._slice_solutions(bindings, q)
             for v in vars_:
                 vdf = bindings.select(F.col(v).alias("r")).distinct()
                 res = vdf if res is None else res.unionByName(vdf).distinct()
@@ -2029,6 +2036,7 @@ class SparqlEngine:
         if q.construct is None:
             raise ValueError("not a CONSTRUCT query")
         bindings = self._dataset_engine(q)._join_group(q.where)
+        bindings = self._slice_solutions(bindings, q)
 
         def term_col(term) -> Column:
             kind, val = term
@@ -2046,11 +2054,30 @@ class SparqlEngine:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out = out.where(F.col("subj").isNotNull() & F.col("obj").isNotNull()) \
-                 .distinct()
+        # solution modifiers apply BEFORE template instantiation
+        # (§16.2: slice the solution sequence, then build the graph)
+        return out.where(F.col("subj").isNotNull()
+                         & F.col("obj").isNotNull()).distinct()
+
+    def _slice_solutions(self, df: DataFrame, q: SelectQuery) -> DataFrame:
+        """Apply ORDER BY / OFFSET / LIMIT to a solutions frame (the
+        grammar's SolutionModifier on CONSTRUCT/DESCRIBE/ASK forms)."""
+        if q.order_by:
+            dtypes = dict(df.dtypes)
+
+            def keys(v):
+                if not isinstance(v, str):
+                    return [self._operand_col(v, lexical=True)]
+                if dtypes.get(v, "string") != "string":
+                    return [F.col(v)]
+                return term_order_keys(F.col(v))
+            df = df.orderBy(*[k.asc() if a else k.desc()
+                              for v, a in q.order_by for k in keys(v)])
+        if q.offset:
+            df = df.offset(q.offset)
         if q.limit is not None:
-            out = out.limit(q.limit)
-        return out
+            df = df.limit(q.limit)
+        return df
 
     def evaluate(self, q: SelectQuery, graph_term=None) -> DataFrame:
         df = self._join_group(q.where, graph_term)

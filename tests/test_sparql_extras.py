@@ -268,3 +268,24 @@ def test_alternative_string_forms_normalize(spark):
     q = parse_sparql("SELECT ?s WHERE { ?s <p> () }")
     assert q.where.patterns[0].o == \
         ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")
+
+
+def test_construct_describe_solution_modifiers(spark):
+    """ORDER BY / LIMIT / OFFSET are grammar-legal on every query form
+    (SolutionModifier): CONSTRUCT slices the SOLUTION sequence before
+    template instantiation (§16.2), DESCRIBE before resource
+    collection."""
+    from morph_xr2rml_spark.sparql import SparqlEngine, parse_sparql
+    rows = [(f"<s{i}>", "<p>", f'"{chr(97 + i)}"', None) for i in range(6)]
+    rows += [(f"<s{i}>", "<q>", f'"x{i}"', None) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    eng = SparqlEngine(df)
+    out = eng.construct("CONSTRUCT { ?s <made> ?o } WHERE { ?s <p> ?o } "
+                        "ORDER BY DESC(?o) LIMIT 2")
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [("<s4>", "<made>", '"e"'), ("<s5>", "<made>", '"f"')]
+    out2 = eng.sql("DESCRIBE ?s WHERE { ?s <p> ?o } ORDER BY ?o LIMIT 1")
+    assert sorted(tuple(r) for r in out2.collect()) == \
+        [("<s0>", "<p>", '"a"'), ("<s0>", "<q>", '"x0"')]
+    assert eng.ask(parse_sparql("ASK { ?s <p> ?o } LIMIT 1"))

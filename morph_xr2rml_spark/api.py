@@ -63,7 +63,8 @@ def materialize_auto(spark: SparkSession, mapping: MappingDocument,
 
     from .native_json import JsonNativeCompiler, compilable as json_ok
 
-    jc = JsonNativeCompiler(spark, mapping, catalog, cfg)
+    jc = JsonNativeCompiler(spark, mapping, catalog, cfg,
+                            fuse_projections=fuse_projections)
 
     def json_native_ok(tm) -> bool:
         if not json_ok(tm):

@@ -285,12 +285,21 @@ class JsonNativeCompiler:
 
     def __init__(self, spark: SparkSession, mapping: MappingDocument,
                  catalog: SourceCatalog, cfg: Optional[EngineConfig] = None,
-                 sample_n: int = 200):
+                 sample_n: int = 200, fuse_projections: bool = True):
+        """fuse_projections mirrors NativeCompiler: True → ONE scan per TM
+        (explode over an array of (pred, obj, graph) structs) — best for
+        materialization throughput.  False → one union branch per
+        predicate-object entry with a CONSTANT pred per branch, which
+        lets Catalyst constant-fold away branches a downstream pattern's
+        pred filter can't match — the SPARQL evaluator's per-pattern
+        ``pred = <iri>`` then prunes every non-matching collection scan
+        (and its from_json parse) out of the plan entirely."""
         self.spark = spark
         self.mapping = mapping
         self.catalog = catalog
         self.cfg = cfg or EngineConfig()
         self.sample_n = sample_n
+        self.fuse_projections = fuse_projections
         # schema sampling costs a driver-side collect() job per (source,
         # path-set): cache on the CATALOG so repeated queries over the
         # same registered data pay it once, not once per compile.  The
@@ -517,13 +526,35 @@ class JsonNativeCompiler:
         raise ValueError(f"not json-native compilable: {m.kind}")
 
     # -- triples map --------------------------------------------------------
+    @staticmethod
+    def _parse_select(src: DataFrame, schema: T.StructType) -> DataFrame:
+        """content → parsed ``_doc`` struct, evaluated ONCE per row.
+
+        The ``when(monotonically_increasing_id() >= 0, ...)`` wrapper is
+        an always-true guard whose only purpose is to make the parse
+        expression NONDETERMINISTIC, turning this Project into a
+        predicate-pushdown barrier: without it Catalyst substitutes the
+        from_json alias into every downstream term predicate
+        (subject/object null-guards, the evaluator's pattern filters),
+        and — because from_json schema pruning then specializes each
+        copy to different fields — common-subexpression elimination
+        cannot merge them, so one row gets parsed 4-5×.  The wrapper
+        keeps exactly one from_json per scan row (guide §4.2 "parse
+        once"/§4.4 "stop the optimizer duplicating"); the
+        branch-folding constant preds live ABOVE the barrier, so
+        per-pattern branch pruning is unaffected.  (A plain extra
+        nondeterministic column does not work: ColumnPruning drops it
+        and the Project turns deterministic again.)"""
+        doc = F.when(F.monotonically_increasing_id() >= 0,
+                     F.from_json(F.col("content"), schema))
+        return src.select(doc.alias("_doc"), "_seq")
+
     def tm_base(self, tm: TriplesMap) -> DataFrame:
         """Scan → from_json → (explode) → fused (pred, obj) array explode.
         Returns (subj, pred, obj, graph) plus join-key columns per ROM."""
         src, _pyf = self.catalog.resolve(tm.logical_source)
         schema = self._schema_for(tm)
-        parsed = src.select(F.from_json(F.col("content"), schema)
-                            .alias("_doc"), "_seq")
+        parsed = self._parse_select(src, schema)
         root = F.col("_doc")
         item = None
         if tm.logical_source.iterator is not None:
@@ -567,11 +598,10 @@ class JsonNativeCompiler:
             return s if cond is None else F.when(cond, s)
 
         sub_variants = graph_variants(sub_gs, sub_kinds)
-        po_entries = []
+        po_specs = []
         for cls in tm.class_uris:
             for gc, cond in sub_variants:
-                po_entries.append(entry(rdf_type, F.lit(f"<{cls}>"),
-                                        gc, cond))
+                po_specs.append((rdf_type, F.lit(f"<{cls}>"), gc, cond))
         rom_selects = []
         for pom in tm.predicate_object_maps:
             gvars = graph_variants(
@@ -584,12 +614,13 @@ class JsonNativeCompiler:
                 for om in pom.object_maps:
                     obj = self._term_expr(tm, root, item, om)
                     for gc, cond in gvars:
-                        po_entries.append(entry(pred, obj, gc, cond))
+                        po_specs.append((pred, obj, gc, cond))
                 for rom in pom.ref_object_maps:
                     for gc, cond in gvars:
                         rom_selects.append((pred, rom, gc, cond))
         out_parts = []
-        if po_entries:
+        if po_specs and (self.fuse_projections or len(po_specs) == 1):
+            po_entries = [entry(*spec) for spec in po_specs]
             fused = parsed.select(subj, F.explode(F.array(*po_entries))
                                   .alias("_po"))
             out_parts.append(fused.select(
@@ -597,6 +628,17 @@ class JsonNativeCompiler:
                 F.col("_po.obj").alias("obj"),
                 F.col("_po.graph").alias("graph"))
                 .where(F.col("subj").isNotNull() & F.col("obj").isNotNull()))
+        elif po_specs:
+            # unfused: one branch per (pred, obj, graph) entry — constant
+            # preds fold against downstream pattern filters, so only the
+            # branches a pattern can match keep their scan in the plan
+            for pred, obj, gc, cond in po_specs:
+                b = parsed if cond is None else parsed.where(cond)
+                out_parts.append(
+                    b.select(subj, pred.alias("pred"), obj.alias("obj"),
+                             gc.alias("graph"))
+                     .where(F.col("subj").isNotNull()
+                            & F.col("obj").isNotNull()))
         for pred, rom, gc, cond in rom_selects:
             out_parts.append(self._rom_triples(tm, parsed, root, item,
                                                subj, pred, rom, gc, cond))
@@ -633,8 +675,7 @@ class JsonNativeCompiler:
         # parent side must also be json-native compilable
         psrc, _ = self.catalog.resolve(parent_tm.logical_source)
         pschema = self._schema_for(parent_tm)
-        pparsed = psrc.select(F.from_json(F.col("content"), pschema)
-                              .alias("_doc"), "_seq")
+        pparsed = self._parse_select(psrc, pschema)
         proot = F.col("_doc")
         pitem = None
         if parent_tm.logical_source.iterator is not None:

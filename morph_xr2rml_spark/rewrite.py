@@ -1523,8 +1523,11 @@ def answer_documents(spark: SparkSession, mapping: MappingDocument,
         from .engine import TRIPLE_SCHEMA
         triples = spark.createDataFrame([], TRIPLE_SCHEMA)
     else:
+        # unfused branches (constant pred per union branch) so the
+        # evaluator's per-pattern pred filter prunes non-matching
+        # collection scans out of the plan (NativeCompiler twin)
         triples = materialize_auto(spark, m2, catalog=catalog, cfg=cfg,
-                                   dedup=False)
+                                   dedup=False, fuse_projections=False)
     from .native_json import provably_distinct_json
     eng = SparqlEngine(triples,
                        dedup_source=not provably_distinct_json(m2),

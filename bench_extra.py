@@ -57,6 +57,8 @@ def main() -> None:
                 f.write(text)
             print(f"wrote {path} ({len(text)} bytes)")
     else:
+        # mode "time": noop sink (computes every column — plan analysis);
+        # mode "count": df.count() — the frozen bench.py methodology
         iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
         times = {}
         for name in names:
@@ -66,13 +68,17 @@ def main() -> None:
                 spark.sparkContext.setJobDescription(f"{name} iter{i}")
                 t0 = time.time()
                 df = qs[name](spark, qdir)
-                df.write.format("noop").mode("overwrite").save()
+                if mode == "count":
+                    df.count()
+                else:
+                    df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
             times[name] = {"min": min(samples), "samples": samples}
             print(json.dumps({name: times[name]}), flush=True)
-        print(json.dumps({"noop_times": {k: v["min"] for k, v in
-                                         times.items()}, "sf_dir": sf_dir}))
+        print(json.dumps({f"{mode}_times": {k: v["min"] for k, v in
+                                            times.items()},
+                          "sf_dir": sf_dir}))
     spark.stop()
 
 

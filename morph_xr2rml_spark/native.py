@@ -223,6 +223,43 @@ class NativeCompiler:
             return F.concat(body, F.lit(f"^^<{datatype}>"))
         return body
 
+    def term_null_cond(self, df: DataFrame, m: TermMap) -> Optional[Column]:
+        """Cheap per-row condition equivalent to ``term_expr(m).isNull()``
+        — evaluated on the RAW source columns, so the null-guard filter
+        does not have to build (and throw away) the rendered term string.
+        None = the term is provably never NULL.
+
+        Exactness: a CONSTANT term is never null; a COLUMN term is null
+        iff the column is null — except BOOLEAN columns, whose lexical is
+        when(col,'true').otherwise('false') and never null; a TEMPLATE
+        term is null iff EVERY group's lexical is null (NULL groups
+        render '', only the all-null row is dropped) — mirroring
+        term_expr's all_null condition exactly."""
+        if m.kind == CONSTANT:
+            return None
+
+        def col_null(name: str) -> Optional[Column]:
+            if isinstance(df.schema[name].dataType, T.BooleanType):
+                return None          # 'false' lexical, never null
+            return F.col(name).isNull()
+
+        if m.kind == COLUMN:
+            return col_null(m.column)
+        if m.kind == TEMPLATE:
+            conds = []
+            for g in get_template_groups(m.template):
+                c = col_null(g)
+                if c is None:
+                    return None      # one never-null group ⇒ term never null
+                conds.append(c)
+            if not conds:
+                return None          # group-less template: constant text
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+        raise ValueError(f"term map kind {m.kind} not native-compilable")
+
     def term_expr(self, df: DataFrame, m: TermMap) -> Column:
         """Term map → Column producing the term (NULL → no triple)."""
         tt = m.infer_term_type()
@@ -352,22 +389,39 @@ class NativeCompiler:
             return out
 
         rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
-        po_trips: list[tuple[Column, Column, Column]] = []
+        po_trips: list[tuple] = []
         cond_parts: list[DataFrame] = []
         sub_variants = graph_variants(sub_gs, sub_kinds)
 
+        # CHEAP null guards (r7): the produced triple set is unchanged —
+        # a row is dropped iff its subject/object term renders NULL — but
+        # the guard tests the RAW source columns instead of
+        # isNotNull(<rendered term string>), so the filter no longer
+        # builds every term string a second time just to check nullness
+        subj_nn = self.term_null_cond(df, tm.subject_map)
+
+        def guards(frame: DataFrame, obj_nn: Optional[Column],
+                   extra: Optional[Column] = None) -> DataFrame:
+            cond = extra
+            if subj_nn is not None:
+                cond = ~subj_nn if cond is None else (cond & ~subj_nn)
+            if obj_nn is not None:
+                cond = ~obj_nn if cond is None else (cond & ~obj_nn)
+            return frame.where(cond) if cond is not None else frame
+
         def emit(pred: Column, obj: Column, gc: Column,
-                 cond: Optional[Column]) -> None:
+                 cond: Optional[Column],
+                 obj_nn: Optional[Column]) -> None:
             if cond is None:
-                po_trips.append((pred, obj, gc))
+                po_trips.append((pred, obj, gc, obj_nn))
             else:
-                cond_parts.append(df.where(cond).select(
+                cond_parts.append(guards(df.where(cond), obj_nn).select(
                     subj, pred.alias("pred"), obj.alias("obj"),
                     gc.alias("graph")))
 
         for cls in tm.class_uris:
             for gc, cond in sub_variants:
-                emit(rdf_type, self._iri_term(F.lit(cls)), gc, cond)
+                emit(rdf_type, self._iri_term(F.lit(cls)), gc, cond, None)
 
         rom_parts: list[DataFrame] = []
         for pom in tm.predicate_object_maps:
@@ -378,12 +432,13 @@ class NativeCompiler:
             for pred in pred_exprs:
                 for om in pom.object_maps:
                     for gc, cond in gvars:
-                        emit(pred, self.term_expr(df, om), gc, cond)
+                        emit(pred, self.term_expr(df, om), gc, cond,
+                             self.term_null_cond(df, om))
                 for rom in pom.ref_object_maps:
                     for gc, cond in gvars:
                         rom_parts.append(self._rom_triples(
                             df.where(cond) if cond is not None else df,
-                            subj, pred, rom, gc))
+                            subj, pred, rom, gc, subj_nn=subj_nn))
 
         parts: list[DataFrame] = []
         if po_trips and (self.fuse_projections and len(po_trips) > 1):
@@ -399,9 +454,11 @@ class NativeCompiler:
             obj_c: Optional[Column] = None
             # graph-less mapping (the common case): keep the constant
             # NULL instead of a per-row CASE over the index
-            all_default = all(gc is null_g for _p, _o, gc in po_trips)
+            all_default = all(gc is null_g for _p, _o, gc, _nn in po_trips)
             graph_c: Optional[Column] = null_g if all_default else None
-            for i, (p, o, gc) in enumerate(po_trips):
+            objnull_c: Optional[Column] = None
+            any_obj_nn = any(nn is not None for _p, _o, _gc, nn in po_trips)
+            for i, (p, o, gc, nn) in enumerate(po_trips):
                 cond = F.col("_i") == i
                 pred_c = F.when(cond, p) if pred_c is None \
                     else pred_c.when(cond, p)
@@ -410,15 +467,21 @@ class NativeCompiler:
                 if not all_default:
                     graph_c = F.when(cond, gc) if graph_c is None \
                         else graph_c.when(cond, gc)
+                if any_obj_nn:
+                    v = nn if nn is not None else F.lit(False)
+                    objnull_c = F.when(cond, v) if objnull_c is None \
+                        else objnull_c.when(cond, v)
+            base = guards(base, objnull_c)
             parts.append(base.select(subj, pred_c.alias("pred"),
                                      obj_c.alias("obj"),
                                      graph_c.alias("graph")))
         elif po_trips:
             # unfused: one branch per (pred, obj, graph) with constant
             # preds — prunable by downstream pattern filters
-            for p, o, gc in po_trips:
-                parts.append(df.select(subj, p.alias("pred"),
-                                       o.alias("obj"), gc.alias("graph")))
+            for p, o, gc, nn in po_trips:
+                parts.append(guards(df, nn).select(
+                    subj, p.alias("pred"), o.alias("obj"),
+                    gc.alias("graph")))
         parts.extend(cond_parts)
         parts.extend(rom_parts)
         if not parts:
@@ -429,7 +492,7 @@ class NativeCompiler:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        return out
 
     @staticmethod
     def _term_source_columns(m: TermMap) -> list[str]:
@@ -476,7 +539,8 @@ class NativeCompiler:
         return True
 
     def _rom_triples(self, child_df: DataFrame, subj: Column, pred: Column,
-                     rom, graph: Optional[Column] = None) -> DataFrame:
+                     rom, graph: Optional[Column] = None,
+                     subj_nn: Optional[Column] = None) -> DataFrame:
         """Referencing object map = equi-join child×parent on the join
         columns; the reference generates a SQL LEFT JOIN
         (MorphRDBUnfolder.scala:284-320) — inner join is equivalent for
@@ -499,6 +563,11 @@ class NativeCompiler:
         pcols = [jc.parent_ref for jc in rom.join_conditions]
         ccols = [jc.child_ref for jc in rom.join_conditions]
         out_cols = [subj, pred.alias("pred")]
+        if subj_nn is not None:
+            # cheap child-subject null guard BEFORE the join: same rows
+            # dropped as the old isNotNull(<rendered subj>) post-filter,
+            # but tested on raw columns and pruning join probes early
+            child_df = child_df.where(~subj_nn)
 
         if self._parent_key_renders_object(parent_tm, pdf, child_df, rom):
             # existence probe: bare parent keys, no subject strings built
@@ -512,6 +581,11 @@ class NativeCompiler:
             return kept.select(*out_cols, key_obj.alias("obj"),
                                g.alias("graph"))
 
+        parent_nn = self.term_null_cond(pdf, parent_tm.subject_map)
+        if parent_nn is not None:
+            # null parent subjects can never produce a triple (the old
+            # plan dropped them via isNotNull(obj) AFTER the join)
+            pdf = pdf.where(~parent_nn)
         parent_subj = self.term_expr(pdf, parent_tm.subject_map)
         parent_sel = pdf.select(
             parent_subj.alias("_psubj"),

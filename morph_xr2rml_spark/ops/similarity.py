@@ -40,19 +40,33 @@ def _norm(a):
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K cosine neighbors for each query vector (vec_id < N_QUERIES),
-    excluding self.  Output: (query_id, rank, neighbor_id)."""
+    excluding self.  Output: (query_id, rank, neighbor_id).
+
+    Optimized shape (same numbers, same ranking):
+      - the two vector NORMS are hoisted out of the per-pair expression
+        and computed once per query row / once per candidate row before
+        the join (they were re-evaluated for every pair — N_QUERIES×
+        more norm work than needed);
+      - the candidate side is repartitioned to the cluster parallelism
+        first: the embeddings file is a few MB → 1-2 input splits, so
+        the interpreted higher-order dot products otherwise run on 1-2
+        cores (guide §2.5, input skew: repartition after the read).
+    Float parity: _dot/_norm fold exactly as before; the norms are the
+    same expressions evaluated on the same rows, so every cos is
+    bit-identical and the (cos DESC, neighbor_id) ranking is unchanged."""
     emb = _emb(spark, sf_dir)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    src = emb if emb.rdd.getNumPartitions() >= par else emb.repartition(par)
+    qv = F.col("embedding").cast("array<double>")
     q = emb.where(F.col("vec_id") < N_QUERIES) \
            .select(F.col("vec_id").alias("query_id"),
-                   F.col("embedding").alias("qv"))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("cv"))
+                   qv.alias("qv"), _norm(qv).alias("_qn"))
+    c = src.select(F.col("vec_id").alias("neighbor_id"),
+                   qv.alias("cv"), _norm(qv).alias("_cn"))
     # broadcast the tiny query side; candidates stream through
     pairs = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id"))
-    qv = F.col("qv").cast("array<double>")
-    cv = F.col("cv").cast("array<double>")
-    cos = _dot(qv, cv) / (_norm(qv) * _norm(cv))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id"))

@@ -35,6 +35,27 @@ from .sources import SourceCatalog, mongo_filter_to_column
 from .translate import CompiledTriplesMap, EngineConfig, expand_collection, \
     _compile_msp, CollTerm
 
+def _fast_loads():
+    """Fastest available JSON parser with stdlib-equivalent acceptance:
+    orjson parses the same documents to the same Python values (floats
+    are correctly-rounded IEEE doubles in both), but rejects a few
+    shapes stdlib accepts (>64-bit ints, NaN/Infinity literals) — those
+    fall back to json.loads, so the accepted-document set is exactly
+    stdlib's.  ~5x faster parse on typical documents (guide §4.2: hand
+    the per-batch work to native libraries)."""
+    try:
+        import orjson
+    except ImportError:
+        return json.loads
+
+    def loads(raw, _oj=orjson.loads, _j=json.loads):
+        try:
+            return _oj(raw)
+        except Exception:
+            return _j(raw)
+    return loads
+
+
 # unified child-stage output schema
 CHILD_SCHEMA = StructType([
     StructField("kind", IntegerType(), False),     # 0=triple 2=join row
@@ -106,13 +127,13 @@ def _make_child_fn(tm: TriplesMap, cfg: EngineConfig, rom_base: int,
                     if py_filter_text else None)
         cols = ("kind", "subj", "pred", "obj", "graph",
                 "rom_id", "cond_id", "key", "uid")
+        loads = _fast_loads()
         for pdf in batches:
             # tuple-row buffers: one append per row, columnized once per
             # batch with zip (C speed) — the per-row dict/append path costs
             # real memory bandwidth at fleet scale
             trips: list[tuple] = []
             joins: list[tuple] = []
-            loads = json.loads
             contents = pdf["content"].values
             seqs = pdf["_seq"].values
             for i in range(len(contents)):
@@ -163,6 +184,46 @@ def _make_child_fn(tm: TriplesMap, cfg: EngineConfig, rom_base: int,
     return translate_batches
 
 
+def _make_child_fn_lean(tm: TriplesMap, cfg: EngineConfig,
+                        py_filter_text: Optional[str]):
+    """ROM-free translation stage: emits the 4 triple columns directly.
+    The unified CHILD_SCHEMA carries 5 extra join-bookkeeping columns
+    (rom_id/cond_id/key/uid/kind) that are all-NULL when the TM has no
+    referencing object map — per-row pandas/Arrow work for 18M × 5 dead
+    cells on the corpus bench (guide §4.1: pass only the columns the
+    stage needs), plus a kind==0 filter pass downstream."""
+
+    def translate_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+        ctm = CompiledTriplesMap(tm, cfg, 0)
+        pyfilter = (compile_filter(parse_filter(py_filter_text))
+                    if py_filter_text else None)
+        loads = _fast_loads()
+        for pdf in batches:
+            trips: list[tuple] = []
+            for raw in pdf["content"].values:
+                if raw is None:
+                    continue
+                try:
+                    doc = loads(raw)
+                except (ValueError, TypeError):
+                    continue  # bad docs skip-and-continue
+                if pyfilter is not None and not pyfilter(doc):
+                    continue
+                for sub in ctm.iterate(doc):
+                    res = ctm.translate_doc(sub)
+                    trips.extend(res.triples)
+                    for s, p, coll, g in res.collections:
+                        head, ctriples = expand_collection(s, p, coll, g)
+                        trips.append((s, p, head, g))
+                        trips.extend(ctriples)
+            ts, tp, to, tg = zip(*trips) if trips else ((), (), (), ())
+            yield pd.DataFrame({"subj": list(ts), "pred": list(tp),
+                                "obj": list(to), "graph": list(tg)})
+
+    return translate_batches
+
+
 def _make_parent_fn(parent_tm: TriplesMap, cfg: EngineConfig,
                     rom_id: int, parent_refs: list[str],
                     py_filter_text: Optional[str]):
@@ -175,6 +236,7 @@ def _make_parent_fn(parent_tm: TriplesMap, cfg: EngineConfig,
         msps = [_compile_msp(r, refform) for r in parent_refs]
         pyfilter = (compile_filter(parse_filter(py_filter_text))
                     if py_filter_text else None)
+        loads = _fast_loads()
         for pdf in batches:
             out = {k: [] for k in ("rom_id", "cond_id", "key", "psubj",
                                    "pseq", "pidx")}
@@ -185,7 +247,7 @@ def _make_parent_fn(parent_tm: TriplesMap, cfg: EngineConfig,
                 if raw is None:
                     continue
                 try:
-                    doc = json.loads(raw)
+                    doc = loads(raw)
                 except (ValueError, TypeError):
                     continue
                 if pyfilter is not None and not pyfilter(doc):
@@ -298,13 +360,17 @@ class SparkMaterializer:
             src = src.offset(self.tm_offset)
         if self.tm_limit is not None:
             src = src.limit(self.tm_limit)
-        child = src.mapInPandas(
-            _make_child_fn(tm, self.cfg, rom_base, py_filter), CHILD_SCHEMA)
-
         roms = [(rom_base + i, rom)
                 for i, rom in enumerate(
                     r for pom in tm.predicate_object_maps
                     for r in pom.ref_object_maps)]
+        if not roms:
+            # ROM-free TM: lean 4-column stage, no kind filter, no
+            # persist — same triples, 5 fewer all-NULL Arrow columns
+            return src.mapInPandas(
+                _make_child_fn_lean(tm, self.cfg, py_filter), TRIPLE_SCHEMA)
+        child = src.mapInPandas(
+            _make_child_fn(tm, self.cfg, rom_base, py_filter), CHILD_SCHEMA)
         if roms:
             # two consumers (base triples + join rows): avoid recomputing
             # the JSON-parse-heavy stage; disk overflow for executor-memory

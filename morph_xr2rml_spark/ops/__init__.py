@@ -14,6 +14,23 @@ from __future__ import annotations
 _PERSISTED: list = []
 
 
+def spread(df):
+    """Scale-adaptive read-side parallelism fix (guide §2.5, input skew:
+    "one huge unsplittable file ... repartition immediately after the
+    read"): the local test tables are single-row-group parquet files, so
+    a scan yields 1-2 partitions and every compute-heavy downstream op
+    (explode, regexp, dot products) serializes on 1-2 cores regardless
+    of the executor count.  Round-robin repartition to the cluster's
+    default parallelism; a no-op whenever the scan already has enough
+    splits (the production/100-TB case).  Results are unchanged: every
+    operator using this is an aggregation/join/sorted-output pipeline
+    with no partition-layout-dependent semantics."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def track_persist(df, level=None):
     """persist(MEMORY_AND_DISK by default) + register for cleanup()."""
     from pyspark import StorageLevel

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
-from . import track_persist
+from . import spread, track_persist
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 TOPK = 5
@@ -26,7 +26,9 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread: single-row-group local files cap the scan at 1-2
+    # partitions (guide §2.5); no-op when splits are plentiful
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a, b):
@@ -55,13 +57,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same expressions evaluated on the same rows, so every cos is
     bit-identical and the (cos DESC, neighbor_id) ranking is unchanged."""
     emb = _emb(spark, sf_dir)
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    src = emb if emb.rdd.getNumPartitions() >= par else emb.repartition(par)
     qv = F.col("embedding").cast("array<double>")
     q = emb.where(F.col("vec_id") < N_QUERIES) \
            .select(F.col("vec_id").alias("query_id"),
                    qv.alias("qv"), _norm(qv).alias("_qn"))
-    c = src.select(F.col("vec_id").alias("neighbor_id"),
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
                    qv.alias("cv"), _norm(qv).alias("_cn"))
     # broadcast the tiny query side; candidates stream through
     pairs = c.crossJoin(F.broadcast(q)).where(

@@ -68,6 +68,11 @@ class JSONPath:
                 self.steps.append(("wild",))
             else:
                 self.steps.append(self._parse_bracket(m.group("bracket").strip()))
+        # fast path for plain field chains ("$.a.b" — the overwhelming
+        # majority of mapping references): evaluate_obj walks dict gets
+        # directly instead of the generic per-step dispatch loop
+        self._fields = tuple(s[1] for s in self.steps) \
+            if all(s[0] == "field" for s in self.steps) else None
 
     @staticmethod
     def _parse_bracket(b: str) -> tuple:
@@ -105,6 +110,15 @@ class JSONPath:
     def evaluate_obj(self, doc: Any) -> list[Any]:
         """Evaluate on a parsed JSON value; returns the list of raw matches
         (suppress-exceptions: missing paths yield [])."""
+        fields = self._fields
+        if fields is not None:
+            node = doc
+            for f in fields:
+                if isinstance(node, dict) and f in node:
+                    node = node[f]
+                else:
+                    return []
+            return [node]
         current = [doc]
         for step in self.steps:
             nxt: list[Any] = []

@@ -179,12 +179,45 @@ def _compile_msp(ref: str, refform: str) -> MixedSyntaxPath:
     return MixedSyntaxPath(ref, refform)
 
 
+def _bind_msp_eval(msp: MixedSyntaxPath):
+    """Resolve the msp evaluation STRATEGY once at compile time (the
+    shape checks are per-path constants; dispatching them per document
+    costs real time at 10^7 rows) — bound-callable mirror of
+    CompiledTermMap._eval_msp, same semantics branch for branch."""
+    if msp.is_pure_jsonpath():
+        return msp.steps[0].evaluate_obj
+    if msp.is_pure_column():
+        col = msp.referenced_column
+
+        def eval_col(doc, _c=col):
+            if isinstance(doc, dict):
+                v = doc.get(_c)
+                return [] if v is None else [v]
+            return []
+        return eval_col
+    if msp.referenced_column is not None:
+        col = msp.referenced_column
+
+        def eval_mixed_col(doc, _c=col, _m=msp):
+            if isinstance(doc, dict):
+                v = doc.get(_c)
+                return [] if v is None else _m.evaluate(v)
+            return _m.evaluate(doc if isinstance(doc, str)
+                               else _obj_to_text(doc))
+        return eval_mixed_col
+
+    def eval_mixed(doc, _m=msp):
+        return _m.evaluate(doc if isinstance(doc, str) else _obj_to_text(doc))
+    return eval_mixed
+
+
 class CompiledTermMap:
     """A term map pre-compiled for per-document evaluation."""
 
     __slots__ = ("tm", "cfg", "kind", "collec_tt", "member_tt", "datatype",
                  "language", "lang_msp", "msp", "tpl_msps", "template",
-                 "tpl_segments", "nested", "constant_term", "pushdowns")
+                 "tpl_segments", "nested", "constant_term", "pushdowns",
+                 "_msp_eval", "_lang_eval", "_tpl_evals", "_tpl_fast")
 
     def __init__(self, tm: TermMap, cfg: EngineConfig):
         self.tm = tm
@@ -216,6 +249,21 @@ class CompiledTermMap:
             self.constant_term = tm.constant
         if tm.nested is not None and not tm.nested.is_simple_nested():
             self.nested = CompiledTermMap(tm.nested, cfg)
+        # compile-time strategy binding (per-document dispatch removed)
+        self._msp_eval = _bind_msp_eval(self.msp) if self.msp is not None \
+            else None
+        self._lang_eval = _bind_msp_eval(self.lang_msp) \
+            if self.lang_msp is not None else None
+        self._tpl_evals = [_bind_msp_eval(m) for m in self.tpl_msps] \
+            if self.tpl_msps is not None else None
+        # fast-template precondition: every group msp is a pure
+        # field-chain JSONPath (its evaluator yields at most one value)
+        # and segments are compiled
+        self._tpl_fast = bool(
+            self.tpl_msps is not None and self.tpl_segments is not None
+            and all(m.is_pure_jsonpath()
+                    and getattr(m.steps[0], "_fields", None) is not None
+                    for m in self.tpl_msps))
 
     # -- evaluation ------------------------------------------------------
     def _eval_msp(self, msp: MixedSyntaxPath, doc: Any) -> list[Any]:
@@ -237,8 +285,8 @@ class CompiledTermMap:
     def _language_for(self, doc: Any) -> Optional[str]:
         """xrr:languageReference beats rr:language when it yields a value
         (MorphMongoDataTranslator.scala:302-317)."""
-        if self.lang_msp is not None:
-            tags = self._eval_msp(self.lang_msp, doc)
+        if self._lang_eval is not None:
+            tags = self._lang_eval(doc)
             if tags:
                 return str(tags[0])
         return self.language
@@ -251,7 +299,7 @@ class CompiledTermMap:
         if self.kind == TEMPLATE:
             return self._translate_template(doc)
         # reference / column
-        values = self._eval_msp(self.msp, doc)
+        values = self._msp_eval(doc)
         lang = self._language_for(doc)
         if self.nested is not None:
             # reference-valued term map with a non-simple nested term map:
@@ -283,10 +331,33 @@ class CompiledTermMap:
 
     def _translate_template(self, doc: Any) -> list:
         cfg = self.cfg
+        # fast path (compile-time detected): every group is a pure
+        # field-chain JSONPath (yields 0..1 values) and this document
+        # binds each group to exactly one non-null scalar — the
+        # overwhelming majority of template evaluations.  Byte-identical
+        # to the generic path below (same _obj_to_text/encode/expand
+        # pipeline, same single-combo expansion), minus the per-group
+        # list plumbing and the cartesian checks.
+        if self._tpl_fast:
+            texts = []
+            enc = (self.member_tt == NS.RR_IRI
+                   and cfg.encode_unsafe_chars_in_db_values)
+            for ev in self._tpl_evals:
+                vs = ev(doc)
+                if not vs or vs[0] is None:
+                    break        # missing/null group: generic path
+                v = vs[0]
+                t = _obj_to_text(v)
+                if enc and isinstance(v, str):
+                    t = encode_reserved_chars(t)
+                texts.append(t)
+            else:
+                expanded = expand_segments(self.tpl_segments, texts)
+                return self._values_to_terms([expanded], self.language)
         replacements = []
         any_nonempty = False
-        for msp in self.tpl_msps:
-            vals = [v for v in self._eval_msp(msp, doc) if v is not None]
+        for ev in self._tpl_evals:
+            vals = [v for v in ev(doc) if v is not None]
             texts = []
             for v in vals:
                 t = _obj_to_text(v)

@@ -1242,7 +1242,11 @@ def _try_push(spark: SparkSession, mapping: MappingDocument,
             return None
         if var is None and func != "COUNT":
             return None
-        if var is not None and var not in known_vars | computed:
+        if var is not None and (not isinstance(var, str)
+                                or var not in known_vars | computed):
+            # expression aggregate inputs (COUNT(COALESCE(...)),
+            # GROUP_CONCAT(CONCAT(?a,?b)), ...) arrive as AST lists —
+            # not pushable, and unhashable in the membership test
             return None
 
     # variables that must surface as rendered term columns in the

@@ -253,8 +253,19 @@ def invert_graph_ctx(tm: TriplesMap, preds: Optional[set], gctx):
     if gctx[0] == "none":
         return None                  # dataset clause emptied this side
     if gctx[0] == "default":
-        # a category with NO graph maps emits to the default graph
-        return AMBIGUOUS if any(not c for c in cats) else None
+        # a category with NO graph maps emits to the default graph; a
+        # category whose graph maps are all NON-CONSTANT can ALSO fall
+        # back to the default graph at runtime (every render NULL drops
+        # to the default graph in all three compilers), so only prune
+        # when every category carries at least one CONSTANT graph map
+        # (constants never render NULL)
+        for c in cats:
+            if not c:
+                return AMBIGUOUS
+            if not any(gm.kind == CONSTANT and gm.constant is not None
+                       for gm in c):
+                return AMBIGUOUS     # all-null renders → default graph
+        return None
     if gctx[0] == "any":
         return AMBIGUOUS if any(c for c in cats) else None
     # constant graph(s): ("iri", g) or ("anyof", (g1, g2, ...)) from a

@@ -264,12 +264,20 @@ class SourceCatalog:
         self._spark = None
 
     # -- registration ----------------------------------------------------
+    def _invalidate_schema_cache(self) -> None:
+        """Drop the JSON schema-sampling cache (native_json.py keys it on
+        this catalog): re-registering a source with different data must
+        not serve stale sampled schemas / unsafe-path verdicts."""
+        if hasattr(self, "_json_schema_cache"):
+            delattr(self, "_json_schema_cache")
+
     def register_collection(self, name: str, df: DataFrame,
                             content_col: str = "content") -> "SourceCatalog":
         """Register a document collection: df must have a JSON-text column."""
         out = df.select(F.col(content_col).alias("content"))
         out = out.withColumn("_seq", F.monotonically_increasing_id())
         self._collections[name] = out
+        self._invalidate_schema_cache()
         return self
 
     def register_table(self, name: str, df: DataFrame) -> "SourceCatalog":
@@ -280,6 +288,7 @@ class SourceCatalog:
         self._tables[name] = df
         self._spark = df.sparkSession
         df.createOrReplaceTempView(name)
+        self._invalidate_schema_cache()
         return self
 
     def register_repo_table(self, df: DataFrame,

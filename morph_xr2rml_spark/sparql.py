@@ -205,8 +205,13 @@ class _P:
                     self.expect("(")
                     q.order_by.append((self._order_key(), asc))
                     self.expect(")")
-                elif t[0] == "VAR" or (t[0] == "KW"
-                                       and self.peek(1)[1] == "("):
+                elif t[0] == "VAR" or (
+                        t[0] == "KW" and self.peek(1)[1] == "("
+                        and t[1].upper() not in ("LIMIT", "OFFSET",
+                                                 "VALUES")):
+                    # expression order key (e.g. STR(?x)); the exclusion
+                    # mirrors the GROUP BY condition loop so a postfix
+                    # "VALUES (?v) { ... }" block is not eaten as a key
                     q.order_by.append((self._order_key(), True))
                 else:
                     break

@@ -553,6 +553,19 @@ class JsonNativeCompiler:
         """Scan → from_json → (explode) → fused (pred, obj) array explode.
         Returns (subj, pred, obj, graph) plus join-key columns per ROM."""
         src, _pyf = self.catalog.resolve(tm.logical_source)
+        if not self.fuse_projections:
+            # answering mode emits one union branch per (pred, obj)
+            # entry and the evaluator references the plan once per
+            # pattern: without a persist every surviving branch re-runs
+            # the source build + find() filter.  Lazy persist of the
+            # RESOLVED, FILTERED content rows — computed when the first
+            # branch executes, shared by the rest (guide §5: reused +
+            # expensive to recompute; released via ops.cleanup).  The
+            # persist sits BELOW the nondeterministic parse barrier:
+            # the cached subplan stays deterministic, so Catalyst's
+            # cache matching (sameResult) recognizes every reference.
+            from .ops import track_persist
+            src = track_persist(src)
         schema = self._schema_for(tm)
         parsed = self._parse_select(src, schema)
         root = F.col("_doc")
@@ -565,6 +578,7 @@ class JsonNativeCompiler:
             parsed = parsed.select("_doc", "_seq",
                                    F.explode(arr).alias("_item"))
             item = F.col("_item")
+
 
         subj = self._term_expr(tm, root, item, tm.subject_map).alias("subj")
         rdf_type = F.lit(f"<{NS.RDF_TYPE}>")
@@ -674,6 +688,10 @@ class JsonNativeCompiler:
         parent_tm = self.mapping.triples_maps[rom.parent_tm]
         # parent side must also be json-native compilable
         psrc, _ = self.catalog.resolve(parent_tm.logical_source)
+        if not self.fuse_projections:
+            # same reuse argument as the child source in tm_base
+            from .ops import track_persist
+            psrc = track_persist(psrc)
         pschema = self._schema_for(parent_tm)
         pparsed = self._parse_select(psrc, pschema)
         proot = F.col("_doc")

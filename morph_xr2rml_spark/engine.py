@@ -438,9 +438,20 @@ class SparkMaterializer:
                 joined = c.join(p, ["key", "_salt"]).drop("_salt")
             else:
                 joined = c.join(p, "key")
-            # one row per (child ctx, parent subject), earliest parent pos
-            joined = joined.groupBy("uid", "subj", "pred", "graph", "psubj") \
-                           .agg(F.min(F.struct("pseq", "pidx")).alias("ppos"))
+            if rom.is_collection():
+                # one row per (child ctx, parent subject), earliest parent
+                # pos — the position orders collection members below
+                joined = joined.groupBy("uid", "subj", "pred", "graph",
+                                        "psubj") \
+                               .agg(F.min(F.struct("pseq", "pidx"))
+                                    .alias("ppos"))
+            else:
+                # plain ROM: the parent position is never used — dedup on
+                # the five key columns directly.  Same rows, but a
+                # HashAggregate instead of the SortAggregate that
+                # min(struct(...)) forces (a full sort of the join output)
+                joined = joined.dropDuplicates(
+                    ["uid", "subj", "pred", "graph", "psubj"])
             per_cond.append(joined)
 
         # AND across join conditions = parent-subject set intersection

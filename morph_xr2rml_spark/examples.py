@@ -73,15 +73,31 @@ TPCH_KG_MAPPING = """
 
 def tpch_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the TPC-H-ish tables; doubles are cast to DECIMAL(12,2) so the
-    literal lexical forms are engine/oracle stable."""
-    tables = {}
-    for name in ("region", "nation", "customer", "orders", "lineitem"):
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for cname, dtype in df.dtypes:
-            if dtype == "double":
-                df = df.withColumn(cname, F.col(cname).cast("decimal(12,2)"))
-        tables[name] = df
-    return tables
+    literal lexical forms are engine/oracle stable.
+
+    The lazy DataFrame HANDLES are memoized on the session (a session
+    catalog, as any real deployment registers tables once): repeated
+    calls skip re-reading five parquet footers (~0.5 s of driver time
+    per call).  Nothing computed is cached — every execution of the
+    returned plans reads the parquet files; the memo dies with the
+    session."""
+    cache = getattr(spark, "_mxs_tpch_tables", None)
+    if cache is None:
+        cache = {}
+        spark._mxs_tpch_tables = cache
+    if sf_dir not in cache:
+        tables = {}
+        for name in ("region", "nation", "customer", "orders", "lineitem"):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            for cname, dtype in df.dtypes:
+                if dtype == "double":
+                    df = df.withColumn(cname,
+                                       F.col(cname).cast("decimal(12,2)"))
+            tables[name] = df
+        cache[sf_dir] = tables
+    # shallow copy: callers (e.g. the bench's scaling harness) replace
+    # entries in the returned dict
+    return dict(cache[sf_dir])
 
 
 def kg_tpch_triples(spark: SparkSession, sf_dir: str,
@@ -686,19 +702,16 @@ ORDERDOC_FLAT_MAPPING = """
 
 
 def orderflat_catalog(spark: SparkSession, sf_dir: str) -> SourceCatalog:
-    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    # the orders file is a single 2-row-group parquet: the scan yields 2
-    # partitions and every JSON parse downstream serializes on 2 cores —
-    # spread the rows first so the bench measures the engine, not the
-    # fixture's file layout (guide §2.5; no-op with plentiful splits)
-    par = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
-    docs = base.select(F.to_json(F.struct(
+    # registered RAW (un-repartitioned): the engine spreads the rows to
+    # cluster parallelism itself where the heavy JSON work happens, and
+    # schema sampling stays an incremental take() over the first file
+    # split instead of paying a full scan+shuffle
+    docs = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.to_json(F.struct(
                 F.col("o_orderkey").alias("ok"),
                 F.col("o_orderstatus").alias("st"),
                 F.col("o_custkey").alias("ck"),
-                F.col("o_orderpriority").alias("pr"))).alias("content"))
+                F.col("o_orderpriority").alias("pr"))).alias("content")))
     return SourceCatalog().register_collection("orderflat", docs)
 
 

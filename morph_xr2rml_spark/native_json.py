@@ -557,15 +557,22 @@ class JsonNativeCompiler:
             # answering mode emits one union branch per (pred, obj)
             # entry and the evaluator references the plan once per
             # pattern: without a persist every surviving branch re-runs
-            # the source build + find() filter.  Lazy persist of the
-            # RESOLVED, FILTERED content rows — computed when the first
+            # the source build + find() filter.  Spread the (filtered)
+            # rows to cluster parallelism first — local test collections
+            # are single-row-group files whose scans yield 1-2 tasks,
+            # which would serialize the per-row parse; no-op with
+            # plentiful splits (guide §2.5) — then lazy-persist the
+            # RESOLVED, FILTERED content rows: computed when the first
             # branch executes, shared by the rest (guide §5: reused +
             # expensive to recompute; released via ops.cleanup).  The
             # persist sits BELOW the nondeterministic parse barrier:
             # the cached subplan stays deterministic, so Catalyst's
             # cache matching (sameResult) recognizes every reference.
-            from .ops import track_persist
-            src = track_persist(src)
+            # Schema sampling (catalog.resolve in _schema_for) sees the
+            # raw registered source, so its limit(n).collect() stays an
+            # incremental first-partition take, not this shuffle.
+            from .ops import spread, track_persist
+            src = track_persist(spread(src))
         schema = self._schema_for(tm)
         parsed = self._parse_select(src, schema)
         root = F.col("_doc")
@@ -689,9 +696,9 @@ class JsonNativeCompiler:
         # parent side must also be json-native compilable
         psrc, _ = self.catalog.resolve(parent_tm.logical_source)
         if not self.fuse_projections:
-            # same reuse argument as the child source in tm_base
-            from .ops import track_persist
-            psrc = track_persist(psrc)
+            # same spread+reuse argument as the child source in tm_base
+            from .ops import spread, track_persist
+            psrc = track_persist(spread(psrc))
         pschema = self._schema_for(parent_tm)
         pparsed = self._parse_select(psrc, pschema)
         proot = F.col("_doc")

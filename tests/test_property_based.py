@@ -219,8 +219,16 @@ def test_invert_graph_ctx_never_false_prunes(values, sep, ctx_kind,
         ctx = ("iri", rendered)
     res = invert_graph_ctx(tm, {"http://example.com/v"}, ctx)
     if ctx_kind == "default":
-        # every POM triple lands in named graphs: provably not default
-        assert res is None
+        if with_pom_graph:
+            # the POM's CONSTANT graph map never renders NULL, so the
+            # category provably never falls back to the default graph
+            assert res is None
+        else:
+            # ADVICE r06 (high): a non-constant graph map can render
+            # NULL per row, and an all-null render falls back to the
+            # DEFAULT graph in all three compilers — pruning here would
+            # silently drop results, so the TM must stay AMBIGUOUS
+            assert res is AMBIGUOUS
     elif ctx_kind == "any":
         assert res is AMBIGUOUS
     else:

@@ -498,6 +498,7 @@ class CompiledTriplesMap:
                 else:
                     res.triples.append((s, RDF_TYPE_IRI, cls, None))
 
+        triples_append = res.triples.append
         for preds, objs, roms, pom_graph_maps, const_preds, const_objs in self.poms:
             predicates = const_preds if const_preds is not None \
                 else [p for pm in preds for p in pm.translate(doc)]
@@ -505,10 +506,25 @@ class CompiledTriplesMap:
                 continue
             objects = const_objs if const_objs is not None \
                 else [o for om in objs for o in om.translate(doc)]
-            pom_graphs = [g for gm in pom_graph_maps for g in gm.translate(doc)]
-            graphs = subject_graphs + pom_graphs or [None]
+            if pom_graph_maps or subject_graphs:
+                pom_graphs = [g for gm in pom_graph_maps
+                              for g in gm.translate(doc)]
+                graphs = subject_graphs + pom_graphs or [None]
+            else:
+                graphs = _DEFAULT_GRAPHS   # graph-less: skip the allocs
 
             # materializeQuads cross product (MorphBaseMaterializer.scala:159-200)
+            if not roms and len(predicates) == 1 and graphs is _DEFAULT_GRAPHS:
+                # hot shape: one constant predicate, default graph, no
+                # ROM — flat loop, no per-row branch nesting
+                p = predicates[0]
+                for s in subjects:
+                    for o in objects:
+                        if isinstance(o, CollTerm):
+                            res.collections.append((s, p, o, None))
+                        else:
+                            triples_append((s, p, o, None))
+                continue
             for p in predicates:
                 for s in subjects:
                     for o in objects:
@@ -516,7 +532,7 @@ class CompiledTriplesMap:
                             if isinstance(o, CollTerm):
                                 res.collections.append((s, p, o, g))
                             else:
-                                res.triples.append((s, p, o, g))
+                                triples_append((s, p, o, g))
                     for rom_id, rom, cond_msps in roms:
                         for cond_id, msp in enumerate(cond_msps):
                             for key in msp_join_keys(msp, doc):
@@ -540,6 +556,9 @@ class CompiledTriplesMap:
 
 
 RDF_TYPE_IRI = format_iri(NS.RDF_TYPE)
+# shared default-graph list for graph-less POMs (never mutated; the quad
+# loops only read it) — one allocation instead of one per POM per item
+_DEFAULT_GRAPHS = [None]
 
 
 def msp_join_keys(msp: MixedSyntaxPath, doc: Any) -> list[str]:

@@ -371,13 +371,13 @@ class SparkMaterializer:
                 _make_child_fn_lean(tm, self.cfg, py_filter), TRIPLE_SCHEMA)
         child = src.mapInPandas(
             _make_child_fn(tm, self.cfg, rom_base, py_filter), CHILD_SCHEMA)
-        if roms:
-            # two consumers (base triples + join rows): avoid recomputing
-            # the JSON-parse-heavy stage; disk overflow for executor-memory
-            # safety at scale
-            from pyspark import StorageLevel
-            child = child.persist(StorageLevel.MEMORY_AND_DISK)
-            self._persisted.append(child)
+        # ROMs present (the ROM-free case early-returned above): the child
+        # stage has two consumers (base triples + join rows) — persist so
+        # the JSON-parse-heavy stage runs once; disk overflow for
+        # executor-memory safety at scale
+        from pyspark import StorageLevel
+        child = child.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(child)
 
         base = child.where(F.col("kind") == 0) \
                     .select("subj", "pred", "obj", "graph")

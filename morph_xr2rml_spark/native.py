@@ -400,11 +400,11 @@ class NativeCompiler:
         # builds every term string a second time just to check nullness
         subj_nn = self.term_null_cond(df, tm.subject_map)
 
-        def guards(frame: DataFrame, obj_nn: Optional[Column],
-                   extra: Optional[Column] = None) -> DataFrame:
-            cond = extra
+        def guards(frame: DataFrame,
+                   obj_nn: Optional[Column]) -> DataFrame:
+            cond = None
             if subj_nn is not None:
-                cond = ~subj_nn if cond is None else (cond & ~subj_nn)
+                cond = ~subj_nn
             if obj_nn is not None:
                 cond = ~obj_nn if cond is None else (cond & ~obj_nn)
             return frame.where(cond) if cond is not None else frame

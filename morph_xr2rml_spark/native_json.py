@@ -301,16 +301,12 @@ class JsonNativeCompiler:
         self.sample_n = sample_n
         self.fuse_projections = fuse_projections
         # schema sampling costs a driver-side collect() job per (source,
-        # path-set): cache on the CATALOG so repeated queries over the
+        # path-set): cached on the CATALOG so repeated queries over the
         # same registered data pay it once, not once per compile.  The
         # key carries the needed-path set, so different mappings sharing
-        # a catalog never collide; re-registering data makes a new
-        # catalog (or clears the attribute).
-        cache = getattr(catalog, "_json_schema_cache", None)
-        if cache is None:
-            cache = {}
-            setattr(catalog, "_json_schema_cache", cache)
-        self._schema_cache: dict[str, tuple] = cache
+        # a catalog never collide.  The cache is fetched from the
+        # catalog PER ACCESS (never captured) so a re-registration that
+        # invalidates it (sources.py) is seen by live compilers too.
 
     # -- schema ----------------------------------------------------------
     def _needed_paths(self, tm: TriplesMap) -> list[list[str]]:
@@ -363,10 +359,18 @@ class JsonNativeCompiler:
         return (tm.logical_source.source_id() + "|" + repr(paths)
                 + f"|{self.sample_n}")
 
+    def _schema_cache(self) -> dict:
+        cache = getattr(self.catalog, "_json_schema_cache", None)
+        if cache is None:
+            cache = {}
+            setattr(self.catalog, "_json_schema_cache", cache)
+        return cache
+
     def _schema_for(self, tm: TriplesMap) -> T.StructType:
         key = self._cache_key(tm)
-        if key in self._schema_cache:
-            return self._schema_cache[key][0]
+        cache = self._schema_cache()
+        if key in cache:
+            return cache[key][0]
         tree: dict = {}
         for path in self._needed_paths(tm):
             node = tree
@@ -405,7 +409,7 @@ class JsonNativeCompiler:
 
         scan(tree, "")
         schema = _tree_to_struct(tree)
-        self._schema_cache[key] = (schema, unsafe)
+        cache[key] = (schema, unsafe)
         return schema
 
     def unsafe_paths(self, tm: TriplesMap) -> list[str]:
@@ -413,9 +417,9 @@ class JsonNativeCompiler:
         (unseen or conflicting) — non-empty means this TM should run on
         the document compiler instead."""
         key = self._cache_key(tm)
-        if key not in self._schema_cache:
+        if key not in self._schema_cache():
             self._schema_for(tm)
-        return self._schema_cache[key][1]
+        return self._schema_cache()[key][1]
 
     # -- term expressions --------------------------------------------------
     def _field_col(self, tm: TriplesMap, root: Column, item: Optional[Column],

@@ -12,6 +12,12 @@ accumulate executor storage — the same contract as
 from __future__ import annotations
 
 _PERSISTED: list = []
+# live-entry cap: long sessions answering many distinct queries would
+# otherwise accumulate cached source frames indefinitely (each distinct
+# find() filter caches its own filtered copy).  Evicting the OLDEST
+# entry is always safe — a later re-execution of its plan just
+# recomputes from the source.  cleanup() remains the explicit release.
+_MAX_LIVE = 16
 
 
 def spread(df):
@@ -32,10 +38,18 @@ def spread(df):
 
 
 def track_persist(df, level=None):
-    """persist(MEMORY_AND_DISK by default) + register for cleanup()."""
+    """persist(MEMORY_AND_DISK by default) + register for cleanup().
+    Keeps at most _MAX_LIVE tracked entries: beyond that the oldest is
+    unpersisted (lazily recomputable — correctness unaffected)."""
     from pyspark import StorageLevel
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(df)
+    while len(_PERSISTED) > _MAX_LIVE:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass   # session already stopped — nothing to release
     return df
 
 

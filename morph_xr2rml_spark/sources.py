@@ -261,6 +261,7 @@ class SourceCatalog:
     def __init__(self):
         self._collections: dict[str, DataFrame] = {}
         self._tables: dict[str, DataFrame] = {}
+        self._inputs: dict[str, DataFrame] = {}  # name -> input frame
         self._spark = None
 
     # -- registration ----------------------------------------------------
@@ -274,9 +275,12 @@ class SourceCatalog:
     def register_collection(self, name: str, df: DataFrame,
                             content_col: str = "content") -> "SourceCatalog":
         """Register a document collection: df must have a JSON-text column."""
+        if self._inputs.get(f"c:{name}:{content_col}") is df:
+            return self          # same frame re-registered: keep the cache
         out = df.select(F.col(content_col).alias("content"))
         out = out.withColumn("_seq", F.monotonically_increasing_id())
         self._collections[name] = out
+        self._inputs[f"c:{name}:{content_col}"] = df
         self._invalidate_schema_cache()
         return self
 
@@ -285,9 +289,12 @@ class SourceCatalog:
         logical sources): typed columns, translated to a row-dict document
         per row.  Also exposed as a temp view so rr:sqlQuery text can run
         against it."""
+        if self._inputs.get(f"t:{name}") is df:
+            return self          # same frame re-registered: keep the cache
         self._tables[name] = df
         self._spark = df.sparkSession
         df.createOrReplaceTempView(name)
+        self._inputs[f"t:{name}"] = df
         self._invalidate_schema_cache()
         return self
 

@@ -99,7 +99,11 @@ def test_mixed_both_tiers_push_to_scan(spark):
     doc_scans = [l for l in plan.splitlines()
                  if "FileScan" in l and "orders.parquet" in l]
     assert doc_scans
-    assert "get_json_object" in plan
+    # the composed find() must target the constrained field natively,
+    # and the persisted source must actually be shared (InMemoryTableScan
+    # present — since r7 one scan + find() filter feeds every branch)
+    assert "get_json_object" in plan and "$.st" in plan
+    assert "InMemoryTableScan" in plan
     # sources never mentioned by the mapping are not read
     for absent in ("nation.parquet", "region.parquet", "lineitem.parquet"):
         assert absent not in plan
@@ -182,8 +186,10 @@ def test_doc_and_strengthening_composes_one_scan(spark):
     # since r7 the resolved+filtered source is persisted (one scan +
     # find() filter shared by every branch), so the composed filter
     # shows as a native get_json_object Filter inside the cached
-    # subplan rather than on the FileScan line; it must be present and
-    # target the constrained field
+    # subplan rather than on the FileScan line; it must be present,
+    # target the constrained field, and carry the render-mirror
+    # equality (the $renderIn compilation), proving the constraint is
+    # applied at the source rather than post-hoc by the evaluator
     assert "get_json_object" in plan and "$.st" in plan
 
 

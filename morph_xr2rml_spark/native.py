@@ -130,6 +130,69 @@ def nt_escape_col(col: Column) -> Column:
     return F.replace(out, F.lit("\t"), F.lit("\\t"))
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins of the Column builders above.
+#
+# Building a term expression through the Column DSL costs one py4j round
+# trip PER OPERATOR — a single percent-encoding chain is ~90 RPCs, a
+# full kg_tpch compile ~3,700 (~0.7 s of driver time per query BUILD,
+# profiled; guide §7.3 driver-side work).  Rendering the identical
+# expression as ONE SQL string and parsing it with a single F.expr call
+# removes that wall-clock without touching semantics: the strings below
+# are the exact SQL forms of the Column chains, and unresolved column
+# references behave identically (both resolve by name at analysis).
+# ---------------------------------------------------------------------------
+
+def sql_lit(s: str) -> str:
+    """SQL string literal that parses back to exactly ``s`` under the
+    default parser (backslash escape sequences ON)."""
+    out = (s.replace("\\", "\\\\").replace("'", "\\'")
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+    return "'" + out + "'"
+
+
+def sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _replace_chain_sql(inner: str, pairs) -> str:
+    for old, new in pairs:
+        inner = f"replace({inner}, {sql_lit(old)}, {sql_lit(new)})"
+    return inner
+
+
+def encode_reserved_sql(inner: str) -> str:
+    """Text twin of encode_reserved_col."""
+    return _replace_chain_sql(inner, _ENCODE_RESERVED)
+
+
+def encode_url_sql(inner: str) -> str:
+    """Text twin of encode_url_col."""
+    return _replace_chain_sql(inner, _ENCODE_URL)
+
+
+def encode_literal_sql(inner: str, encode_quotes: bool = False) -> str:
+    """Text twin of encode_literal_col (same operation order)."""
+    out = f"replace({inner}, {sql_lit(chr(92))}, '/')"
+    if encode_quotes:
+        out = f"replace({out}, '\"', '%22')"
+    out = f"regexp_replace({out}, '_{{2,}}', '_')"
+    out = f"replace({out}, {sql_lit(chr(10))}, '')"
+    return f"replace({out}, {sql_lit(chr(13))}, '')"
+
+
+def strip_ws_sql(inner: str) -> str:
+    """Text twin of strip_ws_col (same isspace() alphabet)."""
+    return f"btrim({inner}, {sql_lit(_PY_STRIP_WS)})"
+
+
+def nt_escape_sql(inner: str) -> str:
+    """Text twin of nt_escape_col."""
+    return _replace_chain_sql(inner, (
+        ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"),
+        ("\t", "\\t")))
+
+
 _NATURAL_XSD = {
     T.IntegerType: NS.XSD_INTEGER, T.LongType: NS.XSD_INTEGER,
     T.ShortType: NS.XSD_INTEGER, T.ByteType: NS.XSD_INTEGER,
@@ -155,6 +218,17 @@ def _col_as_string(df: DataFrame, name: str) -> Column:
     if isinstance(dtype, T.BooleanType):
         return F.when(col, "true").otherwise("false")
     return col.cast("string")
+
+
+def _col_as_string_sql(df: DataFrame, name: str) -> str:
+    """Text twin of _col_as_string (same lexical forms)."""
+    dtype = df.schema[name].dataType
+    ident = sql_ident(name)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return f"date_format({ident}, {sql_lit(chr(39).join(('yyyy-MM-dd', 'T', 'HH:mm:ss')))})"
+    if isinstance(dtype, T.BooleanType):
+        return f"(CASE WHEN {ident} THEN 'true' ELSE 'false' END)"
+    return f"CAST({ident} AS STRING)"
 
 
 class NativeCompiler:
@@ -212,6 +286,11 @@ class NativeCompiler:
             return F.concat(F.lit("<"), iri_value, F.lit(">"))
         return iri_value
 
+    def _iri_term_sql(self, inner: str) -> str:
+        if self.term_style == "ntriples":
+            return f"concat('<', {inner}, '>')"
+        return inner
+
     def _literal_term(self, value: Column, datatype: Optional[str],
                       lang: Optional[str]) -> Column:
         if self.term_style == "plain":
@@ -221,6 +300,17 @@ class NativeCompiler:
             return F.concat(body, F.lit("@" + lang))
         if datatype:
             return F.concat(body, F.lit(f"^^<{datatype}>"))
+        return body
+
+    def _literal_term_sql(self, inner: str, datatype: Optional[str],
+                          lang: Optional[str]) -> str:
+        if self.term_style == "plain":
+            return inner
+        body = f"concat('\"', {nt_escape_sql(inner)}, '\"')"
+        if lang:
+            return f"concat({body}, {sql_lit('@' + lang)})"
+        if datatype:
+            return f"concat({body}, {sql_lit('^^<' + datatype + '>')})"
         return body
 
     def term_null_cond(self, df: DataFrame, m: TermMap) -> Optional[Column]:
@@ -261,44 +351,56 @@ class NativeCompiler:
         raise ValueError(f"term map kind {m.kind} not native-compilable")
 
     def term_expr(self, df: DataFrame, m: TermMap) -> Column:
-        """Term map → Column producing the term (NULL → no triple)."""
+        """Term map → Column producing the term (NULL → no triple).
+
+        Internally composed as ONE SQL string parsed by a single
+        F.expr call — the Column-DSL build of the same tree costs one
+        py4j round trip per operator (~90 for one percent-encoding
+        chain; ~0.7 s of driver time per kg_tpch build, profiled).
+        Unresolved column references resolve by name exactly as the
+        F.col-based build did (the ROM join relies on that)."""
+        return F.expr(self.term_expr_sql(df, m))
+
+    def term_expr_sql(self, df: DataFrame, m: TermMap) -> str:
+        """term_expr as SQL text (the single source of truth)."""
         tt = m.infer_term_type()
         if m.kind == CONSTANT:
             c = m.constant
             if c[0] == "iri":
-                return self._iri_term(F.lit(c[1]))
+                return self._iri_term_sql(sql_lit(c[1]))
             if c[0] == "bnode":
-                return F.lit(f"_:{c[1]}" if self.term_style == "ntriples" else c[1])
-            return self._literal_term(F.lit(c[1]), m.datatype or c[2],
-                                      m.language or c[3])
+                return sql_lit(f"_:{c[1]}"
+                               if self.term_style == "ntriples" else c[1])
+            return self._literal_term_sql(sql_lit(c[1]), m.datatype or c[2],
+                                          m.language or c[3])
         if m.kind == COLUMN:
-            raw = _col_as_string(df, m.column)
+            raw = _col_as_string_sql(df, m.column)
             if tt == NS.RR_IRI:
                 iri = raw
                 if isinstance(df.schema[m.column].dataType, T.StringType):
                     # createIRI trims unconditionally (translate.py:331)
-                    iri = strip_ws_col(iri)
+                    iri = strip_ws_sql(iri)
                     if self.cfg.encode_unsafe_chars_in_uri:
                         # whole-IRI encodeURI: URL-UNSAFE chars only —
                         # ':' '/' etc. stay (the reserved-chars encoder
                         # is for TEMPLATE GROUP content, not column
                         # IRIs; translate.py:330-333)
-                        iri = encode_url_col(iri)
-                return self._iri_term(iri)
+                        iri = encode_url_sql(iri)
+                return self._iri_term_sql(iri)
             dtype = m.datatype or (natural_datatype(df.schema[m.column].dataType)
                                    if self.cfg.infer_datatypes and not m.language
                                    else None)
             val = raw
             if self.cfg.literal_trim:
-                val = strip_ws_col(val)
+                val = strip_ws_sql(val)
             if isinstance(df.schema[m.column].dataType, T.StringType):
-                val = encode_literal_col(val, self.cfg.encode_literal_quotes)
-            return self._literal_term(val, dtype, m.language)
+                val = encode_literal_sql(val, self.cfg.encode_literal_quotes)
+            return self._literal_term_sql(val, dtype, m.language)
         if m.kind == TEMPLATE:
-            return self._template_expr(df, m, tt)
+            return self._template_expr_sql(df, m, tt)
         raise ValueError(f"term map kind {m.kind} not native-compilable")
 
-    def _template_expr(self, df: DataFrame, m: TermMap, tt: str) -> Column:
+    def _template_expr_sql(self, df: DataFrame, m: TermMap, tt: str) -> str:
         groups = get_template_groups(m.template)
         # split the template on the groups to get fixed segments
         segments = []
@@ -316,36 +418,33 @@ class NativeCompiler:
                 return encode_url(seg)
             return seg
 
-        parts: list[Column] = []
-        col_exprs: list[Column] = []
+        parts: list[str] = []
+        col_exprs: list[str] = []
         for seg, g in zip(segments, groups):
             if seg:
-                parts.append(F.lit(fix(seg)))
-            raw = _col_as_string(df, g)
+                parts.append(sql_lit(fix(seg)))
+            raw = _col_as_string_sql(df, g)
             if tt == NS.RR_IRI and self.cfg.encode_unsafe_chars_in_db_values \
                     and isinstance(df.schema[g].dataType, T.StringType):
-                raw = encode_reserved_col(raw)
+                raw = encode_reserved_sql(raw)
             col_exprs.append(raw)
             # NULL column value contributes '' (MorphRDBDataTranslator.scala:357-372)
-            parts.append(F.coalesce(raw, F.lit("")))
+            parts.append(f"coalesce({raw}, '')")
         if rest:
-            parts.append(F.lit(fix(rest)))
-        expanded = F.concat(*parts)
+            parts.append(sql_lit(fix(rest)))
+        expanded = f"concat({', '.join(parts)})"
         # all-groups-NULL → no term
-        all_null = None
-        for ce in col_exprs:
-            cond = ce.isNull()
-            all_null = cond if all_null is None else (all_null & cond)
-        if all_null is not None:
-            expanded = F.when(all_null, F.lit(None)).otherwise(expanded)
+        if col_exprs:
+            all_null = " AND ".join(f"({ce} IS NULL)" for ce in col_exprs)
+            expanded = f"(CASE WHEN {all_null} THEN NULL ELSE {expanded} END)"
         if tt == NS.RR_IRI:
-            return self._iri_term(expanded)
+            return self._iri_term_sql(expanded)
         if tt == NS.RR_BLANKNODE:
             # format_bnode applies encodeURI unconditionally over the
             # whole id (translate.py:336) — groups included, since bnode
             # groups get no reserved-encoding pass
-            return F.concat(F.lit("_:"), encode_url_col(expanded))
-        return self._literal_term(expanded, m.datatype, m.language)
+            return f"concat('_:', {encode_url_sql(expanded)})"
+        return self._literal_term_sql(expanded, m.datatype, m.language)
 
     # -- triples map compilation ----------------------------------------
     def tm_triples(self, tm: TriplesMap) -> DataFrame:

@@ -20,6 +20,27 @@ _PERSISTED: list = []
 _MAX_LIVE = 16
 
 
+def source_table(spark, path: str, spread_reads: bool = False):
+    """Session-memoized lazy DataFrame HANDLE for a parquet source —
+    the same session-catalog contract as ``examples.tpch_tables``: any
+    real deployment registers its tables once, while re-building the
+    reader per query pays a parquet-footer read (~0.1 s driver time)
+    and, with ``spread_reads``, a partition-count probe on every call.
+    Nothing computed is cached — every execution of the returned plan
+    scans the parquet files — and the memo dies with the session."""
+    cache = getattr(spark, "_mxs_ops_sources", None)
+    if cache is None:
+        cache = {}
+        spark._mxs_ops_sources = cache
+    key = (path, spread_reads)
+    if key not in cache:
+        df = spark.read.parquet(path)
+        if spread_reads:
+            df = spread(df)
+        cache[key] = df
+    return cache[key]
+
+
 def spread(df):
     """Scale-adaptive read-side parallelism fix (guide §2.5, input skew:
     "one huge unsplittable file ... repartition immediately after the

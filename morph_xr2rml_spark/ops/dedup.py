@@ -30,7 +30,8 @@ MERSENNE = 2147483647  # 2^31-1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import source_table
+    return source_table(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -61,12 +62,17 @@ ORDER BY content_hash
 # ---------------------------------------------------------------------------
 
 def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh): distinct word n-gram shingles per document."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return (d.select("doc_id", F.explode(F.array_distinct(grams)).alias("sh")))
+    """(doc_id, sh): distinct word n-gram shingles per document.
+
+    Rendered as one SQL expression string: the Column-DSL build of the
+    same tree costs hundreds of py4j round-trips per query build
+    (driver-side overhead, guide §7.3); the string parses in one call
+    with identical semantics."""
+    toks = r"split(trim(lower(text)), '\\s+')"
+    grams = (f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+             f"i -> concat_ws(' ', slice({toks}, i, {n})))")
+    return d.selectExpr(
+        "doc_id", f"explode(array_distinct({grams})) AS sh")
 
 
 _SHINGLES_SQL = """
@@ -142,12 +148,6 @@ ORDER BY doc_a, doc_b
 # MinHash signatures + LSH band buckets
 # ---------------------------------------------------------------------------
 
-def _hash32(col):
-    """Portable 32-bit hash: first 8 hex chars of md5, as BIGINT.
-    Identical in Spark (conv) and DuckDB (0x cast)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
-
-
 def _perm_params(j: int) -> tuple[int, int]:
     """Deterministic permutation coefficients (fixed, engine-portable)."""
     a = 2 * j + 1          # odd multiplier
@@ -158,11 +158,14 @@ def _perm_params(j: int) -> tuple[int, int]:
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_id, sig_0..sig_{K-1}) — the composable core."""
     d = _docs(spark, sf_dir)
-    sh = _shingles(d).withColumn("h", _hash32(F.col("sh")))
+    sh = _shingles(d).selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint) AS h")
     aggs = []
     for j in range(MINHASH_PERMS):
         a, b = _perm_params(j)
-        aggs.append(F.min((F.col("h") * a + b) % MERSENNE).alias(f"sig_{j}"))
+        aggs.append(F.expr(
+            f"min((h * {a} + {b}) % {MERSENNE}) AS sig_{j}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -204,16 +207,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding a band explode + join would be pure wasted work."""
     sigs = _minhash_sigs(spark, sf_dir)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    band_cols = []
+    band_structs = []
     for b in range(MINHASH_BANDS):
-        cols = [F.col(f"sig_{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.md5(F.concat_ws("-", *cols)).alias("bh")))
-    buckets = (sigs.select("doc_id",
-                           F.explode(F.array(*band_cols)).alias("bb"))
-                   .select("doc_id", F.col("bb.band").alias("band"),
-                           F.col("bb.bh").alias("bh"))
+        concat = ", ".join(
+            f"cast(sig_{b * rows_per_band + r} AS string)"
+            for r in range(rows_per_band))
+        band_structs.append(
+            f"struct({b} AS band, md5(concat_ws('-', {concat})) AS bh)")
+    buckets = (sigs.selectExpr(
+                   "doc_id",
+                   f"explode(array({', '.join(band_structs)})) AS bb")
+                   .selectExpr("doc_id", "bb.band AS band", "bb.bh AS bh")
                    .transform(track_persist))
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -252,29 +256,38 @@ DEDUP_MINHASH_LSH_SQL = _minhash_lsh_sql()
 # SimHash
 # ---------------------------------------------------------------------------
 
+# The 64 per-bit vote aggregates and the 64-term signature assembly are
+# rendered ONCE as SQL text: building the same tree through the Column
+# DSL costs ~9,000 py4j round-trips (~1.3 s of driver time PER QUERY
+# BUILD, profiled — guide §7.3 driver-side work), while parsing a
+# prebuilt string is a handful of calls.  Semantics are identical: the
+# strings are the exact SQL forms of the previous Column expressions.
+_SIMHASH_VOTES_EXPRS = tuple(
+    f"sum(CASE WHEN (shiftright(h_lo, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(32)) + tuple(
+    f"sum(CASE WHEN (shiftright(h_hi, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i + 32}"
+    for i in range(32))
+# bit 63 is the sign bit: -(2**63) as (-(2**63 - 1) - 1) to stay in bigint
+_SIMHASH_SIG_EXPR = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN {2 ** i}L ELSE 0L END" for i in range(63)
+    ) + " + CASE WHEN v63 > 0 THEN (-9223372036854775807L - 1L) ELSE 0L END"
+
+
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_id, simhash) — the composable core."""
     d = _docs(spark, sf_dir)
-    toks = (d.select("doc_id",
-                     F.explode(F.array_distinct(
-                         F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
-                      .alias("tok")))
-    h_lo = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-    h_hi = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("bigint")
-    hashed = toks.select("doc_id", h_lo.alias("h_lo"), h_hi.alias("h_hi"))
+    hashed = d.selectExpr(
+        "doc_id",
+        r"explode(array_distinct(split(trim(lower(text)), '\\s+'))) AS tok",
+    ).selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS h_lo",
+        "cast(conv(substring(md5(tok), 9, 8), 16, 10) AS bigint) AS h_hi",
+    )
     # per-bit vote: sum(+1/-1); bit set if sum > 0
-    lo_bits = [F.sum(F.when(F.shiftright(F.col("h_lo"), i).bitwiseAND(1) == 1, 1)
-                      .otherwise(-1)).alias(f"v{i}") for i in range(32)]
-    hi_bits = [F.sum(F.when(F.shiftright(F.col("h_hi"), i).bitwiseAND(1) == 1, 1)
-                      .otherwise(-1)).alias(f"v{i + 32}") for i in range(32)]
-    votes = hashed.groupBy("doc_id").agg(*(lo_bits + hi_bits))
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0,
-                     F.lit(1).cast("bigint") * (2 ** i if i < 63 else -(2 ** 63))
-                     ).otherwise(0)
-        sig = bit if sig is None else (sig + bit)
-    return votes.select("doc_id", sig.alias("simhash"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _SIMHASH_VOTES_EXPRS])
+    return votes.selectExpr("doc_id", f"({_SIMHASH_SIG_EXPR}) AS simhash")
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

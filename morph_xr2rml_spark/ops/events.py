@@ -18,7 +18,8 @@ SESSION_GAP_MIN = 30
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from . import source_table
+    return source_table(spark, f"{sf_dir}/events.parquet")
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,9 @@ DIM = 64
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: single-row-group local files cap the scan at 1-2
     # partitions (guide §2.5); no-op when splits are plentiful
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    from . import source_table
+    return source_table(spark, f"{sf_dir}/embeddings.parquet",
+                        spread_reads=True)
 
 
 def _dot(a, b):

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import source_table
+    return source_table(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------

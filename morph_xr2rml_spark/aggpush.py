@@ -248,7 +248,7 @@ class _BindingTier:
     def term(self, tm, k: str, df: DataFrame, m: TermMap) -> Column:
         if k == "tab":
             return self.tab.term_expr(df, m)
-        return self.doc._term_expr(tm, F.col("_doc"), None, m)
+        return self.doc._term_expr(tm, "`_doc`", None, m)
 
     def notnull(self, tm, k: str, df: DataFrame, m: TermMap) -> Column:
         if k == "tab":

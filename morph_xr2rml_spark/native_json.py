@@ -35,8 +35,8 @@ from . import namespaces as NS
 from .functions.templates import compile_template, get_template_groups
 from .model import (COLUMN, CONSTANT, REFERENCE, TEMPLATE, MappingDocument,
                     TermMap, TriplesMap)
-from .native import (encode_literal_col, encode_reserved_col,
-                     nt_escape_col, strip_ws_col)
+from .native import (encode_literal_sql, encode_reserved_sql,
+                     encode_url_sql, nt_escape_col, sql_lit, strip_ws_sql)
 from .sources import SourceCatalog
 from .translate import EngineConfig
 
@@ -460,38 +460,73 @@ class JsonNativeCompiler:
         assert isinstance(dt, T.ArrayType)
         return dt.elementType
 
-    def _term_expr(self, tm: TriplesMap, root: Column,
-                   item: Optional[Column], m: TermMap) -> Column:
+    def _field_sql(self, tm: TriplesMap, root_sql: str,
+                   item_sql: Optional[str], ref: str) -> tuple[str, T.DataType]:
+        """Text twin of _field_col: (sql fragment, type) for a static
+        reference — leaves are the named parse columns."""
+        if ref == "$._id":
+            ref = "$._id.$oid"
+        parts = _static_path(ref)
+        schema = self._schema_for(tm)
+        it = tm.logical_source.iterator
+        pushdown_fields = {pd.target_field for pd in tm.logical_source.pushdowns}
+        src_sql, src_schema = (item_sql, self._item_schema(tm)) \
+            if it is not None else (root_sql, schema)
+        if it is not None and parts[0] in pushdown_fields:
+            if len(parts) > 1:
+                return "CAST(NULL AS STRING)", T.StringType()
+            for pd in tm.logical_source.pushdowns:
+                if pd.target_field == parts[0]:
+                    pparts = _static_path(
+                        "$._id.$oid" if pd.reference == "$._id"
+                        else pd.reference)
+                    sql, dt = _descend_sql(root_sql, schema, pparts)
+                    return _as_lexical_sql(sql, dt), T.StringType()
+        return _descend_sql(src_sql, src_schema, parts)
+
+    def _term_expr(self, tm: TriplesMap, root_sql: str,
+                   item_sql: Optional[str], m: TermMap) -> Column:
+        """Term map → Column, composed as ONE SQL string parsed by a
+        single F.expr (the Column-DSL build costs one py4j round trip
+        per operator — see native.py's text twins)."""
+        return F.expr(self._term_expr_sql(tm, root_sql, item_sql, m))
+
+    def _term_expr_sql(self, tm: TriplesMap, root_sql: str,
+                       item_sql: Optional[str], m: TermMap) -> str:
+        # leaves are SQL TEXT ("`_doc`" / "`_item`"): a Column here would
+        # silently interpolate its repr into the generated SQL
+        assert isinstance(root_sql, str), root_sql
+        assert item_sql is None or isinstance(item_sql, str), item_sql
         tt = m.infer_term_type()
         cfg = self.cfg
         if m.kind == CONSTANT:
             c = m.constant
             if c[0] == "iri":
-                return F.concat(F.lit("<"), F.lit(c[1]), F.lit(">"))
+                return sql_lit(f"<{c[1]}>")
             if c[0] == "bnode":
-                return F.lit(f"_:{c[1]}")
-            return _literal_term(F.lit(c[1]), m.datatype or c[2],
-                                 m.language or c[3])
+                return sql_lit(f"_:{c[1]}")
+            return _literal_term_sql(sql_lit(c[1]), m.datatype or c[2],
+                                     m.language or c[3])
         if m.kind == REFERENCE:
-            col, dt = self._field_col(tm, root, item, m.reference)
-            lex = _as_lexical(col, dt)
+            sql, dt = self._field_sql(tm, root_sql, item_sql, m.reference)
+            lex = _as_lexical_sql(sql, dt)
             is_str = isinstance(dt, T.StringType)
             if tt == NS.RR_IRI:
                 # createIRI: trim + encodeUrl; numeric lexicals can't
                 # contain unsafe chars — keep the chain off the plan
                 if is_str:
-                    lex = strip_ws_col(lex)
+                    lex = strip_ws_sql(lex)
                     if cfg.encode_unsafe_chars_in_uri:
-                        lex = encode_url_col(lex)
-                return F.concat(F.lit("<"), lex, F.lit(">"))
+                        lex = encode_url_sql(lex)
+                return f"concat('<', {lex}, '>')"
             if is_str and cfg.literal_trim:
-                lex = strip_ws_col(lex)
+                lex = strip_ws_sql(lex)
             if is_str:
-                lex = encode_literal_col(lex, cfg.encode_literal_quotes)
+                lex = encode_literal_sql(lex, cfg.encode_literal_quotes)
             dtype = m.datatype
             if dtype is None and m.language is None and cfg.infer_datatypes:
                 dtype = _mongo_xsd(dt)
-            return _literal_term(lex, dtype, m.language, escape=is_str)
+            return _literal_term_sql(lex, dtype, m.language, escape=is_str)
         if m.kind == TEMPLATE:
             segs = compile_template(m.template)
             groups = get_template_groups(m.template)
@@ -502,31 +537,31 @@ class JsonNativeCompiler:
                 # runtime whole-string encodeUrl a provable no-op
                 from .functions.encoding import encode_url as _enc_url
                 segs = [_enc_url(s) for s in segs]
-            parts: list[Column] = []
-            null_conds: list[Column] = []
+            parts: list[str] = []
+            null_conds: list[str] = []
             any_str = False
-            parts.append(F.lit(segs[0]))
+            parts.append(sql_lit(segs[0]))
             for i, g in enumerate(groups):
-                col, dt = self._field_col(tm, root, item, g)
-                lex = _as_lexical(col, dt)
+                sql, dt = self._field_sql(tm, root_sql, item_sql, g)
+                lex = _as_lexical_sql(sql, dt)
                 if isinstance(dt, T.StringType):
                     any_str = True
                     if tt == NS.RR_IRI and cfg.encode_unsafe_chars_in_db_values:
-                        lex = encode_reserved_col(lex)
-                null_conds.append(lex.isNull())
-                parts.append(F.coalesce(lex, F.lit("")))
-                parts.append(F.lit(segs[i + 1]))
-            expanded = F.concat(*parts)
-            all_null = null_conds[0]
-            for c in null_conds[1:]:
-                all_null = all_null & c
-            expanded = F.when(all_null, F.lit(None)).otherwise(expanded)
+                        lex = encode_reserved_sql(lex)
+                null_conds.append(f"({lex} IS NULL)")
+                parts.append(f"coalesce({lex}, '')")
+                parts.append(sql_lit(segs[i + 1]))
+            expanded = f"concat({', '.join(parts)})"
+            if null_conds:
+                all_null = " AND ".join(null_conds)
+                expanded = (f"(CASE WHEN {all_null} THEN NULL "
+                            f"ELSE {expanded} END)")
             if tt == NS.RR_IRI:
-                return F.concat(F.lit("<"), expanded, F.lit(">"))
+                return f"concat('<', {expanded}, '>')"
             if tt == NS.RR_BLANKNODE:
-                return F.concat(F.lit("_:"), expanded)
-            return _literal_term(expanded, m.datatype, m.language,
-                                 escape=any_str)
+                return f"concat('_:', {expanded})"
+            return _literal_term_sql(expanded, m.datatype, m.language,
+                                     escape=any_str)
         raise ValueError(f"not json-native compilable: {m.kind}")
 
     # -- triples map --------------------------------------------------------
@@ -579,16 +614,15 @@ class JsonNativeCompiler:
             src = track_persist(spread(src))
         schema = self._schema_for(tm)
         parsed = self._parse_select(src, schema)
-        root = F.col("_doc")
-        item = None
+        root, item = "`_doc`", None
         if tm.logical_source.iterator is not None:
             it_parts = tm.logical_source.iterator[2:-2].split(".")
-            arr: Column = root
+            arr: Column = F.col("_doc")
             for p in it_parts:
                 arr = arr[p]
             parsed = parsed.select("_doc", "_seq",
                                    F.explode(arr).alias("_item"))
-            item = F.col("_item")
+            item = "`_item`"
 
 
         subj = self._term_expr(tm, root, item, tm.subject_map).alias("subj")
@@ -677,17 +711,20 @@ class JsonNativeCompiler:
             out = out.unionByName(p)
         return out
 
-    def _join_key(self, tm: TriplesMap, root, item, ref: str) -> Column:
+    def _join_key(self, tm: TriplesMap, root_sql: str,
+                  item_sql: Optional[str], ref: str) -> Column:
         """Join-key canonicalization matching translate.msp_join_keys
         (json.dumps of the raw scalar: strings quoted+escaped, booleans
         lowercase, numbers bare)."""
-        col, dt = self._field_col(tm, root, item, ref)
+        sql, dt = self._field_sql(tm, root_sql, item_sql, ref)
         if isinstance(dt, T.StringType):
-            return F.concat(F.lit('"'), nt_escape_json(col), F.lit('"'))
+            return F.expr(
+                f"concat('\"', {nt_escape_json_sql(sql)}, '\"')")
         if isinstance(dt, T.BooleanType):
-            return F.when(col.isNull(), F.lit(None).cast("string")) \
-                    .when(col, F.lit("true")).otherwise(F.lit("false"))
-        return col.cast("string")
+            return F.expr(
+                f"(CASE WHEN {sql} IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN {sql} THEN 'true' ELSE 'false' END)")
+        return F.expr(f"CAST({sql} AS STRING)")
 
     def _rom_triples(self, tm, parsed, root, item, subj, pred, rom,
                      graph=None, cond=None) -> DataFrame:
@@ -705,16 +742,15 @@ class JsonNativeCompiler:
             psrc = track_persist(spread(psrc))
         pschema = self._schema_for(parent_tm)
         pparsed = self._parse_select(psrc, pschema)
-        proot = F.col("_doc")
-        pitem = None
+        proot, pitem = "`_doc`", None
         if parent_tm.logical_source.iterator is not None:
             it_parts = parent_tm.logical_source.iterator[2:-2].split(".")
-            arr: Column = proot
+            arr: Column = F.col("_doc")
             for p in it_parts:
                 arr = arr[p]
             pparsed = pparsed.select("_doc", "_seq",
                                      F.explode(arr).alias("_item"))
-            pitem = F.col("_item")
+            pitem = "`_item`"
         psubj = self._term_expr(parent_tm, proot, pitem,
                                 parent_tm.subject_map)
         child_src = parsed if cond is None else parsed.where(cond)
@@ -783,6 +819,40 @@ def _as_lexical(col: Column, dt: T.DataType) -> Column:
     return col.cast("string")
 
 
+def _descend_sql(base_sql: str, schema: T.DataType,
+                 parts: list[str]) -> tuple[str, T.DataType]:
+    """Text twin of _descend (struct field walk over a named column)."""
+    dt = schema
+    sql = base_sql
+    for p in parts:
+        if not isinstance(dt, T.StructType) or p not in dt.fieldNames():
+            return "CAST(NULL AS STRING)", T.StringType()
+        sql = f"{sql}.`" + p.replace("`", "``") + "`"
+        dt = dt[p].dataType
+    return sql, dt
+
+
+def _as_lexical_sql(sql: str, dt: T.DataType) -> str:
+    """Text twin of _as_lexical."""
+    if isinstance(dt, T.BooleanType):
+        return (f"(CASE WHEN {sql} IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN {sql} THEN 'true' ELSE 'false' END)")
+    return f"CAST({sql} AS STRING)"
+
+
+def _literal_term_sql(inner: str, datatype: Optional[str],
+                      lang: Optional[str], escape: bool = True) -> str:
+    """Text twin of _literal_term."""
+    from .native import nt_escape_sql
+    body = (f"concat('\"', {nt_escape_sql(inner) if escape else inner}, "
+            f"'\"')")
+    if lang:
+        return f"concat({body}, {sql_lit('@' + lang)})"
+    if datatype:
+        return f"concat({body}, {sql_lit('^^<' + datatype + '>')})"
+    return body
+
+
 def _mongo_xsd(dt: T.DataType) -> Optional[str]:
     """JSON type → XSD, matching MorphMongoDataTranslator.scala:403-419."""
     if isinstance(dt, T.LongType):
@@ -805,14 +875,7 @@ def _literal_term(value: Column, datatype: Optional[str],
     return body
 
 
-def encode_url_col(col: Column) -> Column:
-    from .functions.encoding import _ENCODE_URL
-    out = col
-    for old, new in _ENCODE_URL:
-        out = F.replace(out, F.lit(old), F.lit(new))
-    return out
-
-
-def nt_escape_json(col: Column) -> Column:
-    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
-    return F.replace(out, F.lit('"'), F.lit('\\"'))
+def nt_escape_json_sql(inner: str) -> str:
+    """json.dumps escaping of the two JSON-string metachars (text form)."""
+    return ("replace(replace(" + inner
+            + ", '\\\\', '\\\\\\\\'), '\"', '\\\\\"')")

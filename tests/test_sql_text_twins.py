@@ -198,3 +198,107 @@ def test_term_expr_matches_legacy_dsl(spark):
         for i in range(len(maps)):
             assert getattr(r, f"new{i}") == getattr(r, f"old{i}"), \
                 (i, getattr(r, f"new{i}"), getattr(r, f"old{i}"))
+
+
+def test_json_term_expr_matches_legacy_dsl(spark):
+    """Differential for the json-native tier: the text-built _term_expr
+    must equal a Column-DSL reconstruction (via the retained _field_col/
+    _as_lexical helpers) byte-for-byte, for reference and template term
+    maps over string/long/double/boolean fields and an iterator."""
+    import json as _json
+    from morph_xr2rml_spark import namespaces as NS
+    from morph_xr2rml_spark.functions.templates import (compile_template,
+                                                        get_template_groups)
+    from morph_xr2rml_spark.model import (CONSTANT, REFERENCE, TEMPLATE,
+                                          MappingDocument)
+    from morph_xr2rml_spark.native_json import (JsonNativeCompiler,
+                                                _as_lexical, _literal_term)
+    from morph_xr2rml_spark.native import (encode_url_col as _nat_enc_url,
+                                           encode_literal_col,
+                                           encode_reserved_col, strip_ws_col)
+    from morph_xr2rml_spark.sources import SourceCatalog
+
+    docs = [
+        {"name": "a b'c\\d", "qty": 3, "price": 2.5, "ok": True,
+         "lines": [{"ln": 1, "tag": " pad %x_ "}, {"ln": 2, "tag": None}]},
+        {"name": None, "qty": None, "price": -0.0, "ok": False,
+         "lines": [{"ln": 3, "tag": "t\"q"}]},
+    ]
+    df = spark.createDataFrame([( _json.dumps(d),) for d in docs],
+                               "content string")
+    catalog = SourceCatalog().register_collection("docs", df)
+    mapping = MappingDocument.from_text("""
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix ex:  <http://example.com/> .
+<#D> xrr:logicalSource [ xrr:query "db.docs.find({})" ];
+  rr:subjectMap [ rr:template "http://example.org/d/{$.name}/{$.qty}" ];
+  rr:predicateObjectMap [ rr:predicate ex:name;
+    rr:objectMap [ xrr:reference "$.name" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:price;
+    rr:objectMap [ xrr:reference "$.price" ] ];
+  rr:predicateObjectMap [ rr:predicate ex:ok;
+    rr:objectMap [ xrr:reference "$.ok" ] ].
+""")
+    comp = JsonNativeCompiler(spark, mapping, catalog)
+    tm = list(mapping.triples_maps.values())[0]
+    schema = comp._schema_for(tm)
+    parsed = df.select(
+        F.from_json(F.col("content"), schema).alias("_doc"))
+    root_c = F.col("_doc")
+
+    def legacy(m):
+        tt = m.infer_term_type()
+        cfg = comp.cfg
+        if m.kind == REFERENCE:
+            col, dt = comp._field_col(tm, root_c, None, m.reference)
+            lex = _as_lexical(col, dt)
+            from pyspark.sql import types as T
+            is_str = isinstance(dt, T.StringType)
+            if is_str and cfg.literal_trim:
+                lex = strip_ws_col(lex)
+            if is_str:
+                lex = encode_literal_col(lex, cfg.encode_literal_quotes)
+            dtype = m.datatype
+            if dtype is None and m.language is None and cfg.infer_datatypes:
+                from morph_xr2rml_spark.native_json import _mongo_xsd
+                dtype = _mongo_xsd(dt)
+            return _literal_term(lex, dtype, m.language, escape=is_str)
+        assert m.kind == TEMPLATE
+        from pyspark.sql import types as T
+        segs = compile_template(m.template)
+        groups = get_template_groups(m.template)
+        if tt == NS.RR_IRI and cfg.encode_unsafe_chars_in_uri:
+            from morph_xr2rml_spark.functions.encoding import encode_url
+            segs = [encode_url(s) for s in segs]
+        parts, null_conds, any_str = [F.lit(segs[0])], [], False
+        for i, g in enumerate(groups):
+            col, dt = comp._field_col(tm, root_c, None, g)
+            lex = _as_lexical(col, dt)
+            if isinstance(dt, T.StringType):
+                any_str = True
+                if tt == NS.RR_IRI and cfg.encode_unsafe_chars_in_db_values:
+                    lex = encode_reserved_col(lex)
+            null_conds.append(lex.isNull())
+            parts.append(F.coalesce(lex, F.lit("")))
+            parts.append(F.lit(segs[i + 1]))
+        expanded = F.concat(*parts)
+        all_null = null_conds[0]
+        for c in null_conds[1:]:
+            all_null = all_null & c
+        expanded = F.when(all_null, F.lit(None)).otherwise(expanded)
+        if tt == NS.RR_IRI:
+            return F.concat(F.lit("<"), expanded, F.lit(">"))
+        return _literal_term(expanded, m.datatype, m.language,
+                             escape=any_str)
+
+    maps = [tm.subject_map] + [m for pom in tm.predicate_object_maps
+                               for m in pom.object_maps]
+    cols = []
+    for i, m in enumerate(maps):
+        cols.append(comp._term_expr(tm, "`_doc`", None, m).alias(f"new{i}"))
+        cols.append(legacy(m).alias(f"old{i}"))
+    for r in parsed.select(*cols).collect():
+        for i in range(len(maps)):
+            assert getattr(r, f"new{i}") == getattr(r, f"old{i}"), \
+                (i, getattr(r, f"new{i}"), getattr(r, f"old{i}"))

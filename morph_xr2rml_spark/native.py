@@ -314,6 +314,11 @@ class NativeCompiler:
         return body
 
     def term_null_cond(self, df: DataFrame, m: TermMap) -> Optional[Column]:
+        """Column form of term_null_cond_sql (None = never NULL)."""
+        sql = self.term_null_cond_sql(df, m)
+        return None if sql is None else F.expr(sql)
+
+    def term_null_cond_sql(self, df: DataFrame, m: TermMap) -> Optional[str]:
         """Cheap per-row condition equivalent to ``term_expr(m).isNull()``
         — evaluated on the RAW source columns, so the null-guard filter
         does not have to build (and throw away) the rendered term string.
@@ -328,10 +333,10 @@ class NativeCompiler:
         if m.kind == CONSTANT:
             return None
 
-        def col_null(name: str) -> Optional[Column]:
+        def col_null(name: str) -> Optional[str]:
             if isinstance(df.schema[name].dataType, T.BooleanType):
                 return None          # 'false' lexical, never null
-            return F.col(name).isNull()
+            return f"({sql_ident(name)} IS NULL)"
 
         if m.kind == COLUMN:
             return col_null(m.column)
@@ -344,10 +349,7 @@ class NativeCompiler:
                 conds.append(c)
             if not conds:
                 return None          # group-less template: constant text
-            out = conds[0]
-            for c in conds[1:]:
-                out = out & c
-            return out
+            return "(" + " AND ".join(conds) + ")"
         raise ValueError(f"term map kind {m.kind} not native-compilable")
 
     def term_expr(self, df: DataFrame, m: TermMap) -> Column:
@@ -457,7 +459,10 @@ class NativeCompiler:
         flt = self.tm_row_filters.get(tm.name)
         if flt:
             df = df.where(self._constraint_col(df, flt))
-        subj = self.term_expr(df, tm.subject_map).alias("subj")
+        # every expression below is composed as SQL TEXT and parsed in
+        # one call per projection/filter (see the module's text twins:
+        # the Column-DSL build pays a py4j round trip per operator)
+        subj_sql = self.term_expr_sql(df, tm.subject_map)
 
         # named graphs (R2RML §9/xR2RML quads): each class triple lands
         # in the subject map's graphs, each POM triple in subject ∪ POM
@@ -468,26 +473,24 @@ class NativeCompiler:
         # the default graph only when EVERY render is null — mirrored
         # here with per-variant row conditions (constant graph maps fold
         # to unconditional variants)
-        null_g = F.lit(None).cast("string")
-        sub_gs = [self.term_expr(df, gm) for gm in tm.graph_maps]
+        NULL_G = "CAST(NULL AS STRING)"
+        sub_gs = [self.term_expr_sql(df, gm) for gm in tm.graph_maps]
         sub_kinds = [gm.kind for gm in tm.graph_maps]
 
-        def graph_variants(gcols: list, kinds: list
-                           ) -> list[tuple[Column, Optional[Column]]]:
-            """[(graph expr, row condition | None)] per quad-combination
-            semantics over this POM's graph-map renders."""
-            if not gcols:
-                return [(null_g, None)]
+        def graph_variants(gsqls: list, kinds: list
+                           ) -> list[tuple[str, Optional[str]]]:
+            """[(graph sql, row condition sql | None)] per quad-
+            combination semantics over this POM's graph-map renders."""
+            if not gsqls:
+                return [(NULL_G, None)]
             if all(k == CONSTANT for k in kinds):
-                return [(g, None) for g in gcols]
-            out = [(g, g.isNotNull()) for g in gcols]
-            allnull = gcols[0].isNull()
-            for g in gcols[1:]:
-                allnull = allnull & g.isNull()
-            out.append((null_g, allnull))
+                return [(g, None) for g in gsqls]
+            out = [(g, f"({g} IS NOT NULL)") for g in gsqls]
+            allnull = " AND ".join(f"({g} IS NULL)" for g in gsqls)
+            out.append((NULL_G, f"({allnull})"))
             return out
 
-        rdf_type = self._iri_term(F.lit(NS.RDF_TYPE))
+        rdf_type = self._iri_term_sql(sql_lit(NS.RDF_TYPE))
         po_trips: list[tuple] = []
         cond_parts: list[DataFrame] = []
         sub_variants = graph_variants(sub_gs, sub_kinds)
@@ -497,47 +500,60 @@ class NativeCompiler:
         # the guard tests the RAW source columns instead of
         # isNotNull(<rendered term string>), so the filter no longer
         # builds every term string a second time just to check nullness
-        subj_nn = self.term_null_cond(df, tm.subject_map)
+        subj_nn = self.term_null_cond_sql(df, tm.subject_map)
 
-        def guards(frame: DataFrame,
-                   obj_nn: Optional[Column]) -> DataFrame:
-            cond = None
+        def guards(frame: DataFrame, obj_nn: Optional[str]) -> DataFrame:
+            conds = []
             if subj_nn is not None:
-                cond = ~subj_nn
+                conds.append(f"(NOT {subj_nn})")
             if obj_nn is not None:
-                cond = ~obj_nn if cond is None else (cond & ~obj_nn)
-            return frame.where(cond) if cond is not None else frame
+                conds.append(f"(NOT {obj_nn})")
+            if not conds:
+                return frame
+            return frame.where(F.expr(" AND ".join(conds)))
 
-        def emit(pred: Column, obj: Column, gc: Column,
-                 cond: Optional[Column],
-                 obj_nn: Optional[Column]) -> None:
+        def sel(frame: DataFrame, pred: str, obj: str, gc: str) -> DataFrame:
+            return frame.selectExpr(
+                f"{subj_sql} AS subj", f"{pred} AS pred",
+                f"{obj} AS obj", f"{gc} AS graph")
+
+        def emit(pred: str, obj: str, gc: str, cond: Optional[str],
+                 obj_nn: Optional[str]) -> None:
             if cond is None:
                 po_trips.append((pred, obj, gc, obj_nn))
             else:
-                cond_parts.append(guards(df.where(cond), obj_nn).select(
-                    subj, pred.alias("pred"), obj.alias("obj"),
-                    gc.alias("graph")))
+                cond_parts.append(
+                    sel(guards(df.where(F.expr(cond)), obj_nn),
+                        pred, obj, gc))
 
         for cls in tm.class_uris:
             for gc, cond in sub_variants:
-                emit(rdf_type, self._iri_term(F.lit(cls)), gc, cond, None)
+                emit(rdf_type, self._iri_term_sql(sql_lit(cls)), gc, cond,
+                     None)
 
         rom_parts: list[DataFrame] = []
         for pom in tm.predicate_object_maps:
             gvars = graph_variants(
-                sub_gs + [self.term_expr(df, gm) for gm in pom.graph_maps],
+                sub_gs + [self.term_expr_sql(df, gm)
+                          for gm in pom.graph_maps],
                 sub_kinds + [gm.kind for gm in pom.graph_maps])
-            pred_exprs = [self.term_expr(df, pm) for pm in pom.predicate_maps]
-            for pred in pred_exprs:
+            pred_sqls = [self.term_expr_sql(df, pm)
+                         for pm in pom.predicate_maps]
+            for pred in pred_sqls:
                 for om in pom.object_maps:
                     for gc, cond in gvars:
-                        emit(pred, self.term_expr(df, om), gc, cond,
-                             self.term_null_cond(df, om))
+                        emit(pred, self.term_expr_sql(df, om), gc, cond,
+                             self.term_null_cond_sql(df, om))
                 for rom in pom.ref_object_maps:
                     for gc, cond in gvars:
                         rom_parts.append(self._rom_triples(
-                            df.where(cond) if cond is not None else df,
-                            subj, pred, rom, gc, subj_nn=subj_nn))
+                            df.where(F.expr(cond)) if cond is not None
+                            else df,
+                            F.expr(subj_sql).alias("subj"), F.expr(pred),
+                            rom,
+                            None if gc is NULL_G else F.expr(gc),
+                            subj_nn=None if subj_nn is None
+                            else F.expr(subj_nn)))
 
         parts: list[DataFrame] = []
         if po_trips and (self.fuse_projections and len(po_trips) > 1):
@@ -546,41 +562,35 @@ class NativeCompiler:
             # instead of materializing an array of N pre-built structs
             # per source row (same strings, minus the array/struct
             # wrappers — ~10% off the translate stage at 33M triples)
-            idx = F.explode(F.sequence(
-                F.lit(0), F.lit(len(po_trips) - 1))).alias("_i")
-            base = df.select("*", idx)
-            pred_c: Optional[Column] = None
-            obj_c: Optional[Column] = None
+            base = df.selectExpr(
+                "*", f"explode(sequence(0, {len(po_trips) - 1})) AS _i")
+
+            def case_over(vals: list[str]) -> str:
+                whens = " ".join(f"WHEN _i = {i} THEN {v}"
+                                 for i, v in enumerate(vals))
+                return f"(CASE {whens} END)"
+
+            pred_c = case_over([p for p, _o, _gc, _nn in po_trips])
+            obj_c = case_over([o for _p, o, _gc, _nn in po_trips])
             # graph-less mapping (the common case): keep the constant
             # NULL instead of a per-row CASE over the index
-            all_default = all(gc is null_g for _p, _o, gc, _nn in po_trips)
-            graph_c: Optional[Column] = null_g if all_default else None
-            objnull_c: Optional[Column] = None
-            any_obj_nn = any(nn is not None for _p, _o, _gc, nn in po_trips)
-            for i, (p, o, gc, nn) in enumerate(po_trips):
-                cond = F.col("_i") == i
-                pred_c = F.when(cond, p) if pred_c is None \
-                    else pred_c.when(cond, p)
-                obj_c = F.when(cond, o) if obj_c is None \
-                    else obj_c.when(cond, o)
-                if not all_default:
-                    graph_c = F.when(cond, gc) if graph_c is None \
-                        else graph_c.when(cond, gc)
-                if any_obj_nn:
-                    v = nn if nn is not None else F.lit(False)
-                    objnull_c = F.when(cond, v) if objnull_c is None \
-                        else objnull_c.when(cond, v)
+            all_default = all(gc is NULL_G for _p, _o, gc, _nn in po_trips)
+            graph_c = NULL_G if all_default else case_over(
+                [gc for _p, _o, gc, _nn in po_trips])
+            objnull_c: Optional[str] = None
+            if any(nn is not None for _p, _o, _gc, nn in po_trips):
+                objnull_c = case_over(
+                    [nn if nn is not None else "false"
+                     for _p, _o, _gc, nn in po_trips])
             base = guards(base, objnull_c)
-            parts.append(base.select(subj, pred_c.alias("pred"),
-                                     obj_c.alias("obj"),
-                                     graph_c.alias("graph")))
+            parts.append(base.selectExpr(
+                f"{subj_sql} AS subj", f"{pred_c} AS pred",
+                f"{obj_c} AS obj", f"{graph_c} AS graph"))
         elif po_trips:
             # unfused: one branch per (pred, obj, graph) with constant
             # preds — prunable by downstream pattern filters
             for p, o, gc, nn in po_trips:
-                parts.append(guards(df, nn).select(
-                    subj, p.alias("pred"), o.alias("obj"),
-                    gc.alias("graph")))
+                parts.append(sel(guards(df, nn), p, o, gc))
         parts.extend(cond_parts)
         parts.extend(rom_parts)
         if not parts:

@@ -705,14 +705,24 @@ def orderflat_catalog(spark: SparkSession, sf_dir: str) -> SourceCatalog:
     # registered RAW (un-repartitioned): the engine spreads the rows to
     # cluster parallelism itself where the heavy JSON work happens, and
     # schema sampling stays an incremental take() over the first file
-    # split instead of paying a full scan+shuffle
-    docs = (spark.read.parquet(f"{sf_dir}/orders.parquet")
-            .select(F.to_json(F.struct(
-                F.col("o_orderkey").alias("ok"),
-                F.col("o_orderstatus").alias("st"),
-                F.col("o_custkey").alias("ck"),
-                F.col("o_orderpriority").alias("pr"))).alias("content")))
-    return SourceCatalog().register_collection("orderflat", docs)
+    # split instead of paying a full scan+shuffle.
+    # The CATALOG (holding lazy handles + the schema-sampling cache) is
+    # memoized on the session, like tpch_tables: a deployment registers
+    # a collection once, and rebuilding it per query re-paid both the
+    # parquet-footer read and the sampling collect on every call.
+    cache = getattr(spark, "_mxs_orderflat_catalog", None)
+    if cache is None:
+        cache = {}
+        spark._mxs_orderflat_catalog = cache
+    if sf_dir not in cache:
+        docs = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.to_json(F.struct(
+                    F.col("o_orderkey").alias("ok"),
+                    F.col("o_orderstatus").alias("st"),
+                    F.col("o_custkey").alias("ck"),
+                    F.col("o_orderpriority").alias("pr"))).alias("content")))
+        cache[sf_dir] = SourceCatalog().register_collection("orderflat", docs)
+    return cache[sf_dir]
 
 
 def sparql_pushdown_doclit(spark: SparkSession, sf_dir: str) -> DataFrame:

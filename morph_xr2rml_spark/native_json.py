@@ -625,53 +625,54 @@ class JsonNativeCompiler:
             item = "`_item`"
 
 
-        subj = self._term_expr(tm, root, item, tm.subject_map).alias("subj")
-        rdf_type = F.lit(f"<{NS.RDF_TYPE}>")
+        # expressions composed as SQL TEXT, one parse per projection —
+        # see the text twins in native.py (a Column-DSL build pays one
+        # py4j round trip per operator)
+        subj_sql = self._term_expr_sql(tm, root, item, tm.subject_map)
+        subj = F.expr(subj_sql).alias("subj")
+        rdf_type = sql_lit(f"<{NS.RDF_TYPE}>")
 
         # named graphs: subject ∪ POM target-graph union, NULL render
         # drops the graph, all-null falls back to the default graph —
         # identical to the Python tier's quad combination
         # (translate.py:419-452) and the native tabular compiler
-        null_g = F.lit(None).cast("string")
-        sub_gs = [self._term_expr(tm, root, item, gm)
+        NULL_G = "CAST(NULL AS STRING)"
+        sub_gs = [self._term_expr_sql(tm, root, item, gm)
                   for gm in tm.graph_maps]
         sub_kinds = [gm.kind for gm in tm.graph_maps]
 
-        def graph_variants(gcols, kinds):
-            if not gcols:
-                return [(null_g, None)]
+        def graph_variants(gsqls, kinds):
+            if not gsqls:
+                return [(NULL_G, None)]
             if all(k == CONSTANT for k in kinds):
-                return [(g, None) for g in gcols]
-            out = [(g, g.isNotNull()) for g in gcols]
-            allnull = gcols[0].isNull()
-            for g in gcols[1:]:
-                allnull = allnull & g.isNull()
-            out.append((null_g, allnull))
+                return [(g, None) for g in gsqls]
+            out = [(g, f"({g} IS NOT NULL)") for g in gsqls]
+            allnull = " AND ".join(f"({g} IS NULL)" for g in gsqls)
+            out.append((NULL_G, f"({allnull})"))
             return out
 
         def entry(pred, obj, gc, cond):
-            s = F.struct(pred.alias("pred"), obj.alias("obj"),
-                         gc.alias("graph"))
+            s = f"struct({pred} AS pred, {obj} AS obj, {gc} AS graph)"
             # a false condition nulls the array element; the obj-notnull
             # filter below drops it after the explode
-            return s if cond is None else F.when(cond, s)
+            return s if cond is None else f"(CASE WHEN {cond} THEN {s} END)"
 
         sub_variants = graph_variants(sub_gs, sub_kinds)
         po_specs = []
         for cls in tm.class_uris:
             for gc, cond in sub_variants:
-                po_specs.append((rdf_type, F.lit(f"<{cls}>"), gc, cond))
+                po_specs.append((rdf_type, sql_lit(f"<{cls}>"), gc, cond))
         rom_selects = []
         for pom in tm.predicate_object_maps:
             gvars = graph_variants(
-                sub_gs + [self._term_expr(tm, root, item, gm)
+                sub_gs + [self._term_expr_sql(tm, root, item, gm)
                           for gm in pom.graph_maps],
                 sub_kinds + [gm.kind for gm in pom.graph_maps])
-            preds = [self._term_expr(tm, root, item, pm)
+            preds = [self._term_expr_sql(tm, root, item, pm)
                      for pm in pom.predicate_maps]
             for pred in preds:
                 for om in pom.object_maps:
-                    obj = self._term_expr(tm, root, item, om)
+                    obj = self._term_expr_sql(tm, root, item, om)
                     for gc, cond in gvars:
                         po_specs.append((pred, obj, gc, cond))
                 for rom in pom.ref_object_maps:
@@ -680,27 +681,28 @@ class JsonNativeCompiler:
         out_parts = []
         if po_specs and (self.fuse_projections or len(po_specs) == 1):
             po_entries = [entry(*spec) for spec in po_specs]
-            fused = parsed.select(subj, F.explode(F.array(*po_entries))
-                                  .alias("_po"))
-            out_parts.append(fused.select(
-                "subj", F.col("_po.pred").alias("pred"),
-                F.col("_po.obj").alias("obj"),
-                F.col("_po.graph").alias("graph"))
-                .where(F.col("subj").isNotNull() & F.col("obj").isNotNull()))
+            fused = parsed.selectExpr(
+                f"{subj_sql} AS subj",
+                f"explode(array({', '.join(po_entries)})) AS _po")
+            out_parts.append(fused.selectExpr(
+                "subj", "_po.pred AS pred", "_po.obj AS obj",
+                "_po.graph AS graph")
+                .where(F.expr("subj IS NOT NULL AND obj IS NOT NULL")))
         elif po_specs:
             # unfused: one branch per (pred, obj, graph) entry — constant
             # preds fold against downstream pattern filters, so only the
             # branches a pattern can match keep their scan in the plan
             for pred, obj, gc, cond in po_specs:
-                b = parsed if cond is None else parsed.where(cond)
+                b = parsed if cond is None else parsed.where(F.expr(cond))
                 out_parts.append(
-                    b.select(subj, pred.alias("pred"), obj.alias("obj"),
-                             gc.alias("graph"))
-                     .where(F.col("subj").isNotNull()
-                            & F.col("obj").isNotNull()))
+                    b.selectExpr(f"{subj_sql} AS subj", f"{pred} AS pred",
+                                 f"{obj} AS obj", f"{gc} AS graph")
+                     .where(F.expr("subj IS NOT NULL AND obj IS NOT NULL")))
         for pred, rom, gc, cond in rom_selects:
-            out_parts.append(self._rom_triples(tm, parsed, root, item,
-                                               subj, pred, rom, gc, cond))
+            out_parts.append(self._rom_triples(
+                tm, parsed, root, item, subj, F.expr(pred), rom,
+                None if gc is NULL_G else F.expr(gc),
+                None if cond is None else F.expr(cond)))
         if not out_parts:
             # subject-only TM (no class, no POM): R2RML emits rows only
             # per POM/class — same as the tabular compiler

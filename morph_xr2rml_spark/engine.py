@@ -366,8 +366,13 @@ class SparkMaterializer:
                     for r in pom.ref_object_maps)]
         if not roms:
             # ROM-free TM: lean 4-column stage, no kind filter, no
-            # persist — same triples, 5 fewer all-NULL Arrow columns
-            return src.mapInPandas(
+            # persist — same triples, 5 fewer all-NULL Arrow columns.
+            # Project to content ONLY: the lean stage never reads the
+            # _seq ordering column (it exists for ROM collection
+            # ordering), and MapInPandas ships every input column
+            # through Arrow — column pruning cannot reach inside the
+            # Python function (guide §4.1), so drop it here
+            return src.select("content").mapInPandas(
                 _make_child_fn_lean(tm, self.cfg, py_filter), TRIPLE_SCHEMA)
         child = src.mapInPandas(
             _make_child_fn(tm, self.cfg, rom_base, py_filter), CHILD_SCHEMA)

@@ -349,7 +349,16 @@ class SparkMaterializer:
         for p in parts[1:]:
             out = out.unionByName(p)
         if dedup:
-            out = dedup_triples(out)
+            # prepartition (skip the map-side partial aggregate) when NO
+            # triples map has an iterator: iterator re-emission is the
+            # duplicate source that is doc-local — i.e. partition-local —
+            # so the partial agg only earns its hashtable there.  Without
+            # iterators the stream is mostly-distinct and the partial agg
+            # is pure overhead (see dedup_triples; A/B: the skew-join
+            # pipeline 1.94→1.68 s, the iterator corpus unchanged).
+            no_iter = not any(tm.logical_source.iterator
+                              for tm in self.mapping.triples_maps.values())
+            out = dedup_triples(out, prepartition=no_iter)
         return out
 
     # ------------------------------------------------------------------
